@@ -1,0 +1,238 @@
+"""ADX block-ADPCM compute kernels (JAX) plus exact numpy reference paths.
+
+Design (tpu-first, see SURVEY.md §7.3): the ADPCM recurrence
+
+    s_t = clamp(q_t * scale_t + (c0 * s_{t-1} >> 12) + (c1 * s_{t-2} >> 12))
+
+is non-associative (the clamp binds), so time stays a `lax.scan`; throughput
+comes from batching thousands of [stream x channel] lanes per scan step on the
+VPU. All arithmetic is int32 with C semantics (arithmetic right shift,
+truncating division), making decode bit-exact against the reference decoder
+(adx.cpp:189-213) and encode bit-exact against adx.cpp:215-273.
+
+Shapes: lanes axis L = streams*channels, time axis N = blocks*samples_per_block.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_S16 = 0x7FFF
+
+
+def _clamp16(x):
+    return jnp.clip(x, -MAX_S16 - 1, MAX_S16)
+
+
+def _tdiv(a, b):
+    """C-style truncating integer division (rounds toward zero)."""
+    q = jnp.abs(a) // jnp.abs(b)
+    return jnp.where((a < 0) != (b < 0), -q, q)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def adx_decode_scan(codes, scales, c0, c1, h1, h2):
+    """Decode signed ADPCM codes to PCM16.
+
+    codes  : int32 [L, N]  sign-extended bitstream codes
+    scales : int32 [L, N]  per-sample effective scale (already mode-transformed)
+    c0, c1 : int32 [L, N]  per-sample prediction coefficients (mode 2 varies
+                           them per block; modes 3/4 broadcast a constant)
+    h1, h2 : int32 [L]     initial history (version 4 headers carry this)
+    returns int16 [L, N]
+    """
+
+    def step(carry, xs):
+        p1, p2 = carry
+        q, s, a0, a1 = xs
+        sample = q * s + ((a0 * p1) >> 12) + ((a1 * p2) >> 12)
+        sample = _clamp16(sample)
+        return (sample, p1), sample.astype(jnp.int16)
+
+    xs = (codes.T, scales.T, c0.T, c1.T)  # scan over time (leading axis)
+    _, out = jax.lax.scan(step, (h1, h2), xs)
+    return out.T
+
+
+def adx_decode_numpy(codes, scales, c0, c1, h1, h2):
+    """Bit-exact numpy mirror of adx_decode_scan (host fallback / oracle)."""
+    codes = np.asarray(codes, dtype=np.int64)
+    scales = np.asarray(scales, dtype=np.int64)
+    c0 = np.asarray(c0, dtype=np.int64)
+    c1 = np.asarray(c1, dtype=np.int64)
+    L, N = codes.shape
+    out = np.empty((L, N), dtype=np.int16)
+    p1 = np.asarray(h1, dtype=np.int64).copy()
+    p2 = np.asarray(h2, dtype=np.int64).copy()
+    for t in range(N):
+        s = codes[:, t] * scales[:, t] + ((c0[:, t] * p1) >> 12) + ((c1[:, t] * p2) >> 12)
+        np.clip(s, -MAX_S16 - 1, MAX_S16, out=s)
+        p2 = p1
+        p1 = s
+        out[:, t] = s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def _scale_from_minmax(minimum, maximum, limit):
+    """Reference scale selection (adx.cpp:236-238): C truncating division."""
+    cand_max = _tdiv(maximum, limit)
+    cand_min = _tdiv(minimum, ~limit + 0)  # ~limit == -(limit+1)
+    scale = jnp.maximum(cand_max, cand_min)
+    return jnp.minimum(scale, 0x1000)
+
+
+def _ilog2(value):
+    """floor(log2(value)) for value >= 1 (int32)."""
+    v = value
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    # popcount-style: number of set bits of the filled mask minus 1
+    ones = jax.lax.population_count(v.astype(jnp.uint32)).astype(jnp.int32)
+    return ones - 1
+
+
+@partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth"))
+def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_depth):
+    """Encode PCM16 into ADPCM codes + per-block raw scale fields.
+
+    pcm     : int32 [L, B, spb]  input samples grouped by block
+    c0, c1  : int32 [L]          prediction coefficients (mode 2: filter coefs)
+    returns (codes int32 [L, B, spb], scale_raw int32 [L, B], zero_mask bool [L, B])
+
+    Exact mirror of ChannelFrame::Encode (adx.cpp:215-273), including:
+    - pass-1 residual min/max computed against *original* sample history;
+    - the zero-residual early-out that leaves history updated with originals;
+    - pass-2 quantisation feedback through the simulated decoder.
+    """
+    limit = (1 << (bit_depth - 1)) - 1
+    L = pcm.shape[0]
+
+    def encode_block(carry, block):
+        h1, h2 = carry  # int32 [L] simulated decoder history
+
+        # Pass 1: residuals against original-sample prediction (vectorised:
+        # the predictor history here is just the shifted original signal).
+        prev1 = jnp.concatenate([h1[:, None], block[:, :-1]], axis=1)
+        prev2 = jnp.concatenate([h2[:, None], h1[:, None], block[:, :-2]], axis=1)
+        resid = ((block << 12) - c0[:, None] * prev1 - c1[:, None] * prev2) >> 12
+        minimum = jnp.minimum(jnp.min(resid, axis=1), 0)
+        maximum = jnp.maximum(jnp.max(resid, axis=1), 0)
+        zero = (minimum == 0) & (maximum == 0)
+
+        scale = _scale_from_minmax(minimum, maximum, limit)
+        if encoding_mode == 4:
+            power = _ilog2(jnp.maximum(scale, 1)) + 1
+            scale_eff = (1 << power).astype(jnp.int32)
+            scale_raw = 12 - power
+        elif encoding_mode == 2:
+            scale_raw = scale & 0x1FFF  # caller ORs in Filter<<13
+            scale_eff = scale
+        else:
+            scale_raw = scale
+            scale_eff = scale
+        scale_eff = jnp.maximum(scale_eff, 1)
+
+        # Pass 2: serial quantisation with decoder-feedback history.
+        def qstep(qcarry, x):
+            q1, q2 = qcarry
+            delta = ((x << 12) - c0 * q1 - c1 * q2) >> 12
+            delta = jnp.where(delta > 0, delta + (scale_eff >> 1),
+                              delta - (scale_eff >> 1))
+            delta = _tdiv(delta, scale_eff)
+            delta = jnp.clip(delta, -limit - 1, limit)
+            sim = (((delta << 12) * scale_eff) + c0 * q1 + c1 * q2) >> 12
+            sim = _clamp16(sim)
+            return (sim, q1), delta
+
+        (h1q, h2q), codes = jax.lax.scan(qstep, (h1, h2), block.T)
+        codes = codes.T
+        codes = jnp.where(zero[:, None], 0, codes)
+        scale_raw = jnp.where(zero, 0, scale_raw)
+
+        # History carried out: simulated on normal blocks, original-updated on
+        # zero blocks (reference early-return quirk, adx.cpp:231-234).
+        h1_out = jnp.where(zero, block[:, -1], h1q)
+        h2_out = jnp.where(zero, block[:, -2] if spb >= 2 else h1, h2q)
+        return (h1_out, h2_out), (codes, scale_raw, zero)
+
+    blocks = jnp.moveaxis(pcm, 1, 0)  # [B, L, spb]
+    _, (codes, scale_raw, zero) = jax.lax.scan(
+        encode_block, (h1_init, h2_init), blocks)
+    return (jnp.moveaxis(codes, 0, 1),
+            jnp.moveaxis(scale_raw, 0, 1),
+            jnp.moveaxis(zero, 0, 1))
+
+
+def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_depth):
+    """Bit-exact numpy mirror of adx_encode_scan."""
+    def tdiv(a, b):
+        q = np.abs(a) // np.abs(b)
+        return np.where((a < 0) != (b < 0), -q, q)
+
+    pcm = np.asarray(pcm, dtype=np.int64)
+    c0 = np.asarray(c0, dtype=np.int64)
+    c1 = np.asarray(c1, dtype=np.int64)
+    limit = (1 << (bit_depth - 1)) - 1
+    L, B, _ = pcm.shape
+    codes = np.zeros((L, B, spb), dtype=np.int64)
+    scale_raws = np.zeros((L, B), dtype=np.int64)
+    zeros = np.zeros((L, B), dtype=bool)
+    h1 = np.asarray(h1_init, dtype=np.int64).copy()
+    h2 = np.asarray(h2_init, dtype=np.int64).copy()
+    for b in range(B):
+        block = pcm[:, b, :]
+        prev1 = np.concatenate([h1[:, None], block[:, :-1]], axis=1)
+        prev2 = np.concatenate([h2[:, None], h1[:, None], block[:, :-2]], axis=1)
+        resid = ((block << 12) - c0[:, None] * prev1 - c1[:, None] * prev2) >> 12
+        minimum = np.minimum(resid.min(axis=1), 0)
+        maximum = np.maximum(resid.max(axis=1), 0)
+        zero = (minimum == 0) & (maximum == 0)
+
+        scale = np.maximum(tdiv(maximum, limit), tdiv(minimum, -(limit + 1)))
+        scale = np.minimum(scale, 0x1000)
+        if encoding_mode == 4:
+            power = np.where(scale >= 1,
+                             np.floor(np.log2(np.maximum(scale, 1))).astype(np.int64) + 1, 0)
+            scale_eff = (1 << power)
+            scale_raw = 12 - power
+        elif encoding_mode == 2:
+            scale_raw = scale & 0x1FFF
+            scale_eff = scale
+        else:
+            scale_raw = scale.copy()
+            scale_eff = scale
+        scale_eff = np.maximum(scale_eff, 1)
+
+        q1, q2 = h1.copy(), h2.copy()
+        for t in range(spb):
+            x = block[:, t]
+            delta = ((x << 12) - c0 * q1 - c1 * q2) >> 12
+            delta = np.where(delta > 0, delta + (scale_eff >> 1), delta - (scale_eff >> 1))
+            delta = tdiv(delta, scale_eff)
+            delta = np.clip(delta, -limit - 1, limit)
+            sim = (((delta << 12) * scale_eff) + c0 * q1 + c1 * q2) >> 12
+            np.clip(sim, -MAX_S16 - 1, MAX_S16, out=sim)
+            q2 = q1
+            q1 = sim
+            codes[:, b, t] = delta
+        codes[zero, b, :] = 0
+        scale_raw = np.where(zero, 0, scale_raw)
+        scale_raws[:, b] = scale_raw
+        zeros[:, b] = zero
+        h1 = np.where(zero, block[:, -1], q1)
+        h2 = np.where(zero, block[:, -2] if spb >= 2 else h1, q2)
+    return codes, scale_raws, zeros

@@ -1,0 +1,73 @@
+"""Test configuration: force an 8-device virtual CPU mesh for JAX.
+
+Tests never require real TPU hardware; multi-chip sharding paths run on
+xla_force_host_platform_device_count=8 virtual CPU devices.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# This environment may pin jax_platforms to a TPU plugin regardless of the env
+# var; force the CPU backend for tests before any computation runs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Reference oracle: the compiled PyCriCodecs C++ extension (built out-of-tree
+# in /tmp/refbuild). Tests that need bit-exact ground truth use this fixture
+# and skip gracefully when it is unavailable.
+# ---------------------------------------------------------------------------
+_ORACLE_PATH = "/tmp/refbuild"
+
+
+def _load_oracle():
+    if _ORACLE_PATH not in sys.path:
+        sys.path.insert(0, _ORACLE_PATH)
+    try:
+        import CriCodecs  # noqa: F401
+        return CriCodecs
+    except ImportError:
+        return None
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    mod = _load_oracle()
+    if mod is None:
+        pytest.skip("reference CriCodecs oracle not built")
+    return mod
+
+
+def make_sine_pcm16(samples, channels=1, sample_rate=48000, freq=440.0, amp=0.5, seed=0):
+    """Deterministic sine+noise PCM16 test signal, interleaved."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(samples) / sample_rate
+    out = np.zeros((samples, channels), dtype=np.float64)
+    for c in range(channels):
+        out[:, c] = (amp * np.sin(2 * np.pi * (freq * (c + 1)) * t)
+                     + 0.02 * rng.standard_normal(samples))
+    return np.clip(out * 32767.0, -32768, 32767).astype(np.int16).reshape(-1)
+
+
+@pytest.fixture()
+def sine_wav():
+    from pycricodecs_tpu.utils.wav import write_wav
+
+    def _make(samples=4096, channels=1, sample_rate=48000, looping=False,
+              loop_start=0, loop_end=0, seed=0):
+        pcm = make_sine_pcm16(samples, channels, sample_rate, seed=seed)
+        return write_wav(pcm, channels, sample_rate, looping=looping,
+                         loop_start=loop_start, loop_end=loop_end)
+
+    return _make
