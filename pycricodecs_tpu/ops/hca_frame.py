@@ -1,0 +1,521 @@
+"""HCA host bitstream front-end: header parse, frame unpack, frame pack.
+
+This is the serial half of the codec (SURVEY.md §7.1 L1): variable-length
+bitstreams are decoded/encoded host-side into dense SoA tensors which the
+device kernels (ops/hca_kernels.py) consume/produce. Behaviour parity:
+clHCA_DecodeHeader (hca.cpp:628-984), clHCA_DecodeBlock_unpack
+(hca.cpp:1149-1205) and PackFrame (hca.cpp:2894-2963).
+
+This module is the pure-Python reference path; the C++ core in
+native/cricore.cpp implements the same layout for throughput.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..utils.bitio import BitReader, BitWriter
+from ..utils.crc import crc16
+from ..utils import hca_crypt
+from . import hca_tables as T
+
+HCA_MASK = 0x7F7F7F7F
+
+VERSION_V101 = 0x0101
+VERSION_V200 = 0x0200
+VERSION_V300 = 0x0300
+
+
+class HcaError(ValueError):
+    pass
+
+
+@dataclass
+class HcaInfo:
+    version: int = 0
+    header_size: int = 0
+    channels: int = 0
+    sample_rate: int = 0
+    frame_count: int = 0
+    encoder_delay: int = 0
+    encoder_padding: int = 0
+    frame_size: int = 0
+    min_resolution: int = 1
+    max_resolution: int = 15
+    track_count: int = 1
+    channel_config: int = 0
+    stereo_type: int = 0
+    total_band_count: int = 0
+    base_band_count: int = 0
+    stereo_band_count: int = 0
+    bands_per_hfr_group: int = 0
+    ms_stereo: int = 0
+    vbr_max_frame_size: int = 0
+    vbr_noise_level: int = 0
+    ath_type: int = 0
+    loop_flag: bool = False
+    loop_start_frame: int = 0
+    loop_end_frame: int = 0
+    loop_start_delay: int = 0
+    loop_end_padding: int = 0
+    ciph_type: int = 0
+    rva_volume: float = 1.0
+    comment: str = ""
+    hfr_group_count: int = 0
+    keycode: int = 0
+
+    # derived
+    channel_type: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.uint8))
+    coded_count: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int32))
+    ath: np.ndarray = field(default_factory=lambda: np.zeros(128, dtype=np.uint8))
+    cipher: np.ndarray = field(default_factory=lambda: np.arange(256, dtype=np.uint8))
+
+    def init_derived(self) -> None:
+        self.channel_type = T.channel_types(
+            self.channels, self.track_count, self.stereo_band_count,
+            self.channel_config)
+        self.coded_count = np.where(
+            self.channel_type == T.STEREO_SECONDARY,
+            self.base_band_count,
+            self.base_band_count + self.stereo_band_count).astype(np.int32)
+        self.ath = T.ath_curve(self.ath_type, self.sample_rate)
+        self.cipher = hca_crypt.cipher_table(self.ciph_type, self.keycode)
+
+    def set_key(self, keycode: int) -> None:
+        self.keycode = keycode
+        self.cipher = hca_crypt.cipher_table(self.ciph_type, keycode)
+
+
+def _ceil2(a: int, b: int) -> int:
+    return (a // b + (1 if a % b else 0)) if b >= 1 else 0
+
+
+def parse_header(data: bytes) -> HcaInfo:
+    if len(data) < 8:
+        raise HcaError("Header too small")
+    br = BitReader(data)
+    info = HcaInfo()
+
+    if (br.peek(32) & HCA_MASK) != 0x48434100:
+        raise HcaError("Not an HCA header")
+    br.skip(32)
+    info.version = br.read(16)
+    info.header_size = br.read(16)
+    if info.version not in (0x0101, 0x0102, 0x0103, 0x0200, 0x0300):
+        raise HcaError("Unknown HCA version")
+    if len(data) < info.header_size:
+        raise HcaError("Truncated header")
+    if crc16(data[:info.header_size]):
+        raise HcaError("Header checksum mismatch")
+    size = info.header_size - 8
+
+    if size >= 0x10 and (br.peek(32) & HCA_MASK) == 0x666D7400:  # fmt
+        br.skip(32)
+        info.channels = br.read(8)
+        info.sample_rate = br.read(24)
+        info.frame_count = br.read(32)
+        info.encoder_delay = br.read(16)
+        info.encoder_padding = br.read(16)
+        if not (1 <= info.channels <= 16) or info.frame_count == 0 \
+                or not (1 <= info.sample_rate <= 0x7FFFFF):
+            raise HcaError("Bad fmt chunk")
+        size -= 0x10
+    else:
+        raise HcaError("Missing fmt chunk")
+
+    if size >= 0x10 and (br.peek(32) & HCA_MASK) == 0x636F6D70:  # comp
+        br.skip(32)
+        info.frame_size = br.read(16)
+        info.min_resolution = br.read(8)
+        info.max_resolution = br.read(8)
+        info.track_count = br.read(8)
+        info.channel_config = br.read(8)
+        info.total_band_count = br.read(8)
+        info.base_band_count = br.read(8)
+        info.stereo_band_count = br.read(8)
+        info.bands_per_hfr_group = br.read(8)
+        info.ms_stereo = br.read(8)
+        br.read(8)
+        size -= 0x10
+    elif size >= 0x0C and (br.peek(32) & HCA_MASK) == 0x64656300:  # dec
+        br.skip(32)
+        info.frame_size = br.read(16)
+        info.min_resolution = br.read(8)
+        info.max_resolution = br.read(8)
+        info.total_band_count = br.read(8) + 1
+        info.base_band_count = br.read(8) + 1
+        info.track_count = br.read(4)
+        info.channel_config = br.read(4)
+        info.stereo_type = br.read(8)
+        if info.stereo_type == 0:
+            info.base_band_count = info.total_band_count
+        info.stereo_band_count = info.total_band_count - info.base_band_count
+        info.bands_per_hfr_group = 0
+        size -= 0x0C
+    else:
+        raise HcaError("Missing comp/dec chunk")
+
+    if size >= 0x08 and (br.peek(32) & HCA_MASK) == 0x76627200:  # vbr
+        br.skip(32)
+        info.vbr_max_frame_size = br.read(16)
+        info.vbr_noise_level = br.read(16)
+        if not (info.frame_size == 0 and 8 < info.vbr_max_frame_size <= 0x1FF):
+            raise HcaError("Bad vbr chunk")
+        size -= 0x08
+
+    if size >= 0x06 and (br.peek(32) & HCA_MASK) == 0x61746800:  # ath
+        br.skip(32)
+        info.ath_type = br.read(16)
+    else:
+        info.ath_type = 1 if info.version < VERSION_V200 else 0
+
+    if size >= 0x10 and (br.peek(32) & HCA_MASK) == 0x6C6F6F70:  # loop
+        br.skip(32)
+        info.loop_start_frame = br.read(32)
+        info.loop_end_frame = br.read(32)
+        info.loop_start_delay = br.read(16)
+        info.loop_end_padding = br.read(16)
+        info.loop_flag = True
+        if not (info.loop_start_frame <= info.loop_end_frame < info.frame_count):
+            raise HcaError("Bad loop chunk")
+        size -= 0x10
+
+    if size >= 0x06 and (br.peek(32) & HCA_MASK) == 0x63697068:  # ciph
+        br.skip(32)
+        info.ciph_type = br.read(16)
+        if info.ciph_type not in (0, 1, 56):
+            raise HcaError("Bad cipher type")
+        size -= 0x06
+
+    if size >= 0x08 and (br.peek(32) & HCA_MASK) == 0x72766100:  # rva
+        br.skip(32)
+        info.rva_volume = np.frombuffer(
+            np.uint32(br.read(32)).tobytes(), dtype=np.float32)[0]
+        size -= 0x08
+
+    if size >= 0x05 and (br.peek(32) & HCA_MASK) == 0x636F6D6D:  # comm
+        br.skip(32)
+        clen = br.read(8)
+        if clen > size:
+            raise HcaError("Bad comment chunk")
+        info.comment = bytes(br.read(8) for _ in range(clen)).decode(
+            "utf-8", errors="replace")
+        size -= 0x05 + clen
+
+    # validations (hca.cpp:842-977)
+    if not (0x08 <= info.frame_size <= 0xFFFF):
+        raise HcaError("Bad frame size")
+    if info.version <= VERSION_V200:
+        if info.min_resolution != 1 or info.max_resolution != 15:
+            raise HcaError("Bad resolution range")
+    else:
+        if info.min_resolution > info.max_resolution or info.max_resolution > 15:
+            raise HcaError("Bad resolution range")
+    if info.track_count == 0:
+        info.track_count = 1
+    if info.track_count > info.channels:
+        raise HcaError("Bad track count")
+    if (info.total_band_count > 128 or info.base_band_count > 128
+            or info.stereo_band_count > 128
+            or info.base_band_count + info.stereo_band_count > 128
+            or info.bands_per_hfr_group > 128):
+        raise HcaError("Bad band counts")
+    info.hfr_group_count = _ceil2(
+        info.total_band_count - info.base_band_count - info.stereo_band_count,
+        info.bands_per_hfr_group)
+    if info.ms_stereo:
+        raise HcaError("MS stereo streams unsupported")  # matches reference
+    info.init_derived()
+    return info
+
+
+# ---------------------------------------------------------------------------
+# Frame unpack (python reference path)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class UnpackedFrames:
+    """SoA tensors for a run of frames, ready for the device transform."""
+    qc: np.ndarray           # int16 [F, C, 8, 128] quantised spectrum values
+    scalefactors: np.ndarray  # u8 [F, C, 128]
+    resolutions: np.ndarray  # u8 [F, C, 128]
+    intensity: np.ndarray    # u8 [F, C, 8]
+    noise_src: np.ndarray    # int32 [F, C, 8, 128] source band (identity = self)
+    noise_sci: np.ndarray    # u8 [F, C, 8, 128] scale conversion index
+    noise_mask: np.ndarray   # bool [F, C, 8, 128]
+    random_state: int        # LCG state after these frames
+
+
+def _unpack_scalefactors(ch_type, coded_count, br, hfr_group_count, version):
+    cs_count = int(coded_count)
+    sf = np.zeros(128, dtype=np.uint8)
+    extra = 0
+    delta_bits = br.read(3)
+    if not (ch_type == T.STEREO_SECONDARY or hfr_group_count <= 0
+            or version <= VERSION_V200):
+        extra = hfr_group_count
+        cs_count += extra
+        if cs_count > 128:
+            raise HcaError("Unpack error (scalefactor count)")
+    if delta_bits >= 6:
+        for i in range(cs_count):
+            sf[i] = br.read(6)
+    elif delta_bits > 0:
+        expected = (1 << delta_bits) - 1
+        value = br.read(6)
+        sf[0] = value
+        for i in range(1, cs_count):
+            delta = br.read(delta_bits)
+            if delta == expected:
+                value = br.read(6)
+            else:
+                test = value + (delta - (expected >> 1))
+                if test < 0 or test >= 64:
+                    raise HcaError("Unpack error (scalefactor delta)")
+                value = (value - (expected >> 1) + delta) & 0x3F
+            sf[i] = value
+    # derived HFR scales for v3.0 (hca.cpp:1352-1355)
+    for i in range(extra):
+        sf[127 - i] = sf[cs_count - i]
+    return sf
+
+
+def _unpack_intensity(ch_type, br, hfr_group_count, version, sf):
+    intensity = np.zeros(8, dtype=np.uint8)
+    if ch_type == T.STEREO_SECONDARY:
+        if version <= VERSION_V200:
+            value = br.peek(4)
+            intensity[0] = value
+            if value < 15:
+                br.skip(4)
+                for i in range(1, 8):
+                    intensity[i] = br.read(4)
+        else:
+            value = br.peek(4)
+            if value < 15:
+                br.skip(4)
+                delta_bits = br.read(2)
+                intensity[0] = value
+                if delta_bits == 3:
+                    for i in range(1, 8):
+                        intensity[i] = br.read(4)
+                else:
+                    bmax = (2 << delta_bits) - 1
+                    bits = delta_bits + 1
+                    for i in range(1, 8):
+                        delta = br.read(bits)
+                        if delta == bmax:
+                            value = br.read(4)
+                        else:
+                            value = value - (bmax >> 1) + delta
+                            if value > 15:
+                                raise HcaError("Unpack error (intensity)")
+                        intensity[i] = value
+            else:
+                br.skip(4)
+                intensity[:] = 7
+    else:
+        if version <= VERSION_V200:
+            for i in range(hfr_group_count):
+                sf[128 - hfr_group_count + i] = br.read(6)
+    return intensity
+
+
+def calc_resolutions(info: HcaInfo, sf: np.ndarray, coded_count: int,
+                     packed_noise_level: int):
+    """Vectorised calculate_resolution (hca.cpp:1444-1494).
+
+    Returns (resolutions u8 [128], noises list-layout u8 [128], noise_count,
+    valid_count).
+    """
+    res = np.zeros(128, dtype=np.uint8)
+    noises = np.zeros(128, dtype=np.uint8)
+    cc = int(coded_count)
+    i = np.arange(cc)
+    sf_c = sf[:cc].astype(np.int64)
+    noise_level = info.ath[:cc].astype(np.int64) + ((packed_noise_level + i) >> 8)
+    curve_pos = noise_level + 1 - ((5 * sf_c) >> 1)
+    r = np.zeros(cc, dtype=np.int64)
+    r = np.where(curve_pos < 0, 15, r)
+    mid = (curve_pos >= 0) & (curve_pos <= 65)
+    r[mid] = T.INVERT_TABLE[curve_pos[mid]]
+    r = np.minimum(np.maximum(r, info.min_resolution), info.max_resolution)
+    r = np.where(sf_c > 0, r, 0)
+    res[:cc] = r
+
+    active = sf_c > 0
+    is_noise = active & (r < 1)
+    is_valid = active & (r >= 1)
+    noise_idx = i[is_noise]
+    valid_idx = i[is_valid]
+    noise_count = len(noise_idx)
+    valid_count = len(valid_idx)
+    noises[:noise_count] = noise_idx
+    if valid_count:
+        noises[128 - valid_count:] = valid_idx[::-1]
+    return res, noises, noise_count, valid_count
+
+
+def _dequantize_codes(br: BitReader, res: np.ndarray, coded_count: int) -> np.ndarray:
+    """Read one subframe's quantised values for one channel. [128] int16."""
+    qc = np.zeros(128, dtype=np.int16)
+    for i in range(int(coded_count)):
+        resolution = res[i]
+        bits = T.MAX_BIT_TABLE[resolution]
+        code = br.read(int(bits))
+        if resolution > 7:
+            value = (1 - ((code & 1) << 1)) * (code >> 1)
+            if value == 0:
+                br.skip(-1)
+            qc[i] = value
+        else:
+            index = (int(resolution) << 4) + code
+            br.skip(int(T.READ_BIT_TABLE[index]) - int(bits))
+            qc[i] = T.READ_VAL_TABLE[index]
+    return qc
+
+
+def unpack_frames(info: HcaInfo, data: bytes, frame_indices=None,
+                  random_state: int = 1) -> UnpackedFrames:
+    """Unpack a run of frames from `data` (frame_size-strided) to SoA arrays."""
+    fs = info.frame_size
+    nframes = len(data) // fs if frame_indices is None else len(frame_indices)
+    C = info.channels
+    qc = np.zeros((nframes, C, 8, 128), dtype=np.int16)
+    sfs = np.zeros((nframes, C, 128), dtype=np.uint8)
+    ress = np.zeros((nframes, C, 128), dtype=np.uint8)
+    intens = np.zeros((nframes, C, 8), dtype=np.uint8)
+    ident = np.broadcast_to(np.arange(128, dtype=np.int32), (nframes, C, 8, 128)).copy()
+    noise_sci = np.zeros((nframes, C, 8, 128), dtype=np.uint8)
+    noise_mask = np.zeros((nframes, C, 8, 128), dtype=bool)
+
+    need_noise = info.min_resolution == 0
+    random = random_state
+    cipher = info.cipher
+
+    for f in range(nframes):
+        idx = f if frame_indices is None else frame_indices[f]
+        frame = np.frombuffer(data, dtype=np.uint8, count=fs, offset=idx * fs)
+        if not (frame[0] == 0xFF and frame[1] == 0xFF):
+            raise HcaError("Frame sync lost")
+        if crc16(frame.tobytes()):
+            raise HcaError("Frame checksum mismatch")
+        dec = cipher[frame]
+        br = BitReader(dec.tobytes())
+        br.skip(16)
+        anl = br.read(9)
+        evb = br.read(7)
+        packed_noise_level = (anl << 8) - evb
+
+        frame_noise = []  # (ch, noises, noise_count, valid_count)
+        for c in range(C):
+            ct = info.channel_type[c]
+            sf = _unpack_scalefactors(ct, info.coded_count[c], br,
+                                      info.hfr_group_count, info.version)
+            intens[f, c] = _unpack_intensity(ct, br, info.hfr_group_count,
+                                             info.version, sf)
+            res, noises, nc, vc = calc_resolutions(
+                info, sf, info.coded_count[c], packed_noise_level)
+            sfs[f, c] = sf
+            ress[f, c] = res
+            frame_noise.append((noises, nc, vc))
+
+        for s in range(8):
+            for c in range(C):
+                qc[f, c, s] = _dequantize_codes(br, ress[f, c], info.coded_count[c])
+
+        if need_noise:
+            # LCG draws happen in transform order: subframe-major, channel-minor
+            for s in range(8):
+                for c in range(C):
+                    noises, nc, vc = frame_noise[c]
+                    if vc <= 0 or nc <= 0:
+                        continue
+                    if info.ms_stereo and info.channel_type[c] != T.STEREO_PRIMARY:
+                        continue
+                    for i in range(nc):
+                        random = (0x343FD * random + 0x269EC3) & 0xFFFFFFFF
+                        rindex = 128 - vc + (((random & 0x7FFF) * vc) >> 15)
+                        nb = int(noises[i])
+                        vb = int(noises[rindex])
+                        sci = int(sfs[f, c, nb]) - int(sfs[f, c, vb]) + 62
+                        if sci < 0:
+                            sci = 0
+                        ident[f, c, s, nb] = vb
+                        noise_sci[f, c, s, nb] = sci
+                        noise_mask[f, c, s, nb] = True
+
+    return UnpackedFrames(qc=qc, scalefactors=sfs, resolutions=ress,
+                          intensity=intens, noise_src=ident, noise_sci=noise_sci,
+                          noise_mask=noise_mask, random_state=random)
+
+
+# ---------------------------------------------------------------------------
+# Frame pack (encode back-end)
+# ---------------------------------------------------------------------------
+
+def pack_frame(info: HcaInfo, acceptable_noise_level: int, evaluation_boundary: int,
+               scalefactors: np.ndarray, resolutions: np.ndarray,
+               intensity: np.ndarray, hfr_scales: np.ndarray,
+               delta_bits: np.ndarray, quantized: np.ndarray) -> bytes:
+    """Serialise one frame (PackFrame, hca.cpp:2938-2963).
+
+    scalefactors u8 [C,128], resolutions u8 [C,128], intensity u8 [C,8],
+    hfr_scales int [C, groups], delta_bits int [C], quantized int [C,8,128].
+    """
+    fs = info.frame_size
+    bw = BitWriter(fs - 2)
+    bw.write(acceptable_noise_level, 9)
+    bw.write(evaluation_boundary, 7)
+    for c in range(info.channels):
+        cc = int(info.coded_count[c])
+        db = int(delta_bits[c])
+        scales = scalefactors[c]
+        bw.write(db, 3)
+        if db != 0:
+            if db == 6:
+                for i in range(cc):
+                    bw.write(int(scales[i]), 6)
+            else:
+                bw.write(int(scales[0]), 6)
+                max_delta = (1 << (db - 1)) - 1
+                escape = (1 << db) - 1
+                for i in range(1, cc):
+                    delta = int(scales[i]) - int(scales[i - 1])
+                    if abs(delta) > max_delta:
+                        bw.write(escape, db)
+                        bw.write(int(scales[i]), 6)
+                    else:
+                        bw.write(max_delta + delta, db)
+        if info.channel_type[c] == T.STEREO_SECONDARY:
+            for i in range(8):
+                bw.write(int(intensity[c, i]), 4)
+        elif info.hfr_group_count > 0:
+            for g in range(info.hfr_group_count):
+                bw.write(int(hfr_scales[c, g]), 6)
+    for s in range(8):
+        for c in range(info.channels):
+            cc = int(info.coded_count[c])
+            for i in range(cc):
+                resolution = int(resolutions[c, i])
+                q = int(quantized[c, s, i])
+                if resolution == 0:
+                    continue
+                if resolution < 8:
+                    bits = int(T.QUANTIZE_SPECTRUM_BITS[resolution, q + 8])
+                    bw.write(int(T.QUANTIZE_SPECTRUM_VALUE[resolution, q + 8]), bits)
+                elif resolution < 16:
+                    bits = int(T.QUANTIZED_SPECTRUM_MAX_BITS[resolution]) - 1
+                    bw.write(abs(q), bits)
+                    if q != 0:
+                        bw.write(0 if q > 0 else 1, 1)
+    bw.align(8)
+    body = bw.getvalue()
+    frame = bytearray(fs)
+    frame[0:2] = b"\xFF\xFF"
+    frame[2:fs - 2 + 2] = body
+    crc = crc16(bytes(frame[:fs - 2]))
+    frame[fs - 2:] = crc.to_bytes(2, "big")
+    return bytes(frame)

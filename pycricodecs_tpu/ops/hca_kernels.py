@@ -1,0 +1,202 @@
+"""HCA device transform kernels (JAX): the numeric half of decode/encode.
+
+Decode pipeline (clHCA_DecodeBlock_transform, hca.cpp:1207-1233, re-designed
+for the TPU):
+  dequantise -> noise fill (host-precomputed indices, device gather) ->
+  HFR reconstruction (static gather map) -> intensity stereo -> IMDCT
+  (7 add/sub stages + 7 twiddle stages on the VPU) -> window overlap-add.
+
+The overlap-add carry between subframes is *linear*: prev(t) depends only on
+dct(t-1), so the whole time axis is a shifted elementwise expression — no scan,
+every (stream, frame, subframe, channel) lane runs in parallel. All float ops
+are single-rounded fp32 mul/add in the same order as the reference, keeping
+CPU/TPU output bit-exact modulo FMA contraction (tests measure exactness).
+
+Shapes: B = batch of streams, T = frames*8 subframes, C channels, 128 bands.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hca_tables as T
+
+
+# NOTE on bit-exactness: XLA CPU contracts fp32 mul+add chains into FMAs at
+# the LLVM level (barriers and precision flags do not stop it). For bit-exact
+# decode parity with the C++ reference run with
+# XLA_FLAGS=--xla_cpu_max_isa=SSE4_2 (no FMA hardware -> no contraction); see
+# tests/conftest.py. Without it, output differs by at most 1 LSB on ~0.1% of
+# samples.
+
+
+class HfrMap(NamedTuple):
+    """Static high-frequency-reconstruction gather map for one stream config."""
+    band_is_hfr: np.ndarray   # bool [128]
+    src_band: np.ndarray      # int32 [128] lowband source (identity elsewhere)
+    group_of: np.ndarray      # int32 [128]
+    zero_band: int            # band zeroed after reconstruction (-1 = none)
+
+
+def build_hfr_map(total_band_count: int, base_band_count: int,
+                  stereo_band_count: int, bands_per_hfr_group: int,
+                  hfr_group_count: int, version: int) -> HfrMap:
+    """Precompute the highband<-lowband walk (hca.cpp:1638-1683)."""
+    is_hfr = np.zeros(128, dtype=bool)
+    src = np.arange(128, dtype=np.int32)
+    group_of = np.zeros(128, dtype=np.int32)
+    zero_band = -1
+    if bands_per_hfr_group > 0 and hfr_group_count > 0:
+        start_band = stereo_band_count + base_band_count
+        highband = start_band
+        lowband = start_band - 1
+        if version <= 0x0200:
+            group_limit = hfr_group_count
+        else:
+            group_limit = (hfr_group_count if hfr_group_count >= 0
+                           else hfr_group_count + 1) >> 1
+        for group in range(hfr_group_count):
+            lowband_sub = 1 if group < group_limit else 0
+            for _ in range(bands_per_hfr_group):
+                if highband >= total_band_count or lowband < 0:
+                    break
+                is_hfr[highband] = True
+                src[highband] = lowband
+                group_of[highband] = group
+                highband += 1
+                lowband -= lowband_sub
+        zero_band = highband - 1
+    return HfrMap(is_hfr, src, group_of, zero_band)
+
+
+# ---------------------------------------------------------------------------
+# IMDCT (decode)
+# ---------------------------------------------------------------------------
+
+def _imdct_butterflies(spec):
+    """DCT-IV via the reference's 7+7 stage network; spec [..., 128] f32."""
+    x = spec
+    # part 1: add/sub tree (hca.cpp:1906-1935)
+    count1, count2 = 1, 64
+    for _ in range(T.MDCT_BITS):
+        g = x.reshape(*x.shape[:-1], count1, count2, 2)
+        a = g[..., 0]
+        b = g[..., 1]
+        x = jnp.concatenate([a + b, a - b], axis=-1).reshape(*spec.shape)
+        count1 <<= 1
+        count2 >>= 1
+    # part 2: twiddle stages (hca.cpp:1937-1972)
+    count1, count2 = 64, 1
+    for i in range(T.MDCT_BITS):
+        sin = jnp.asarray(T.IMDCT_SIN[i]).reshape(count1, count2)
+        cos = jnp.asarray(T.IMDCT_COS[i]).reshape(count1, count2)
+        g = x.reshape(*x.shape[:-1], count1, 2, count2)
+        s1 = g[..., 0, :]
+        s2 = g[..., 1, :]
+        first = s1 * sin - s2 * cos
+        second = jnp.flip(s1 * cos + s2 * sin, axis=-1)
+        x = jnp.concatenate([first, second], axis=-1).reshape(*spec.shape)
+        count1 >>= 1
+        count2 <<= 1
+    return x
+
+
+def _window_overlap_add(dct):
+    """Windowed overlap-add over the time axis; dct [..., T, 128] f32."""
+    w = jnp.asarray(T.IMDCT_WINDOW)
+    p_first = jnp.flip(w[64:]) * jnp.flip(dct[..., :64], axis=-1)
+    p_second = jnp.flip(w[:64]) * dct[..., :64]
+    prev = jnp.concatenate([p_first, p_second], axis=-1)
+    zeros = jnp.zeros_like(prev[..., :1, :])
+    prev = jnp.concatenate([zeros, prev[..., :-1, :]], axis=-2)
+    first = w[:64] * dct[..., 64:] + prev[..., :64]
+    second = w[64:] * jnp.flip(dct[..., 64:], axis=-1) - prev[..., 64:]
+    return jnp.concatenate([first, second], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Decode transform
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
+                                   "apply_noise", "apply_hfr", "hfr_group_count"))
+def hca_decode_transform(qc, sf, res, intensity, noise_src, noise_sci, noise_mask,
+                         hfr_is, hfr_src, hfr_group, hfr_zero,
+                         *, base_band, total_band, stereo_pairs,
+                         apply_noise, apply_hfr, hfr_group_count):
+    """Spectra -> interleaved PCM16 for a frame batch.
+
+    qc        : int16 [F, C, 8, 128]
+    sf, res   : uint8 [F, C, 128]
+    intensity : uint8 [F, C, 8]
+    noise_*   : gather maps from unpack (only read when apply_noise)
+    hfr_*     : static gather maps (build_hfr_map), device arrays
+    returns   : int16 [F, 8, 128, C] (frame-major interleaved samples)
+    """
+    F, C = qc.shape[0], qc.shape[1]
+    scaling = jnp.asarray(T.SCALING_TABLE)
+    range_t = jnp.asarray(T.RANGE_TABLE)
+    conv = jnp.asarray(T.SCALE_CONVERSION_TABLE)
+
+    gain = scaling[sf] * range_t[res]                       # [F, C, 128]
+    spectra = gain[:, :, None, :] * qc.astype(jnp.float32)  # [F, C, 8, 128]
+
+    if apply_noise:
+        gathered = jnp.take_along_axis(spectra, noise_src, axis=-1)
+        spectra = jnp.where(noise_mask, conv[noise_sci] * gathered, spectra)
+
+    if apply_hfr:
+        # sci = hfr_scale(group) - sf[lowband] + 63, clamped at 0
+        hfr_scales = sf[:, :, 128 - hfr_group_count:]        # [F, C, G]
+        g_scale = jnp.take_along_axis(
+            hfr_scales.astype(jnp.int32), hfr_group[None, None, :], axis=-1)
+        low_sf = jnp.take_along_axis(sf.astype(jnp.int32),
+                                     hfr_src[None, None, :], axis=-1)
+        sci = jnp.maximum(g_scale - low_sf + 63, 0)
+        low_spec = jnp.take_along_axis(spectra, hfr_src[None, None, None, :], axis=-1)
+        hfr_fill = conv[sci][:, :, None, :] * low_spec
+        # secondary channels skip HFR (their high bands come from intensity)
+        is_secondary = jnp.zeros((C,), dtype=bool)
+        for (p, s) in stereo_pairs:
+            is_secondary = is_secondary.at[s].set(True)
+        mask = hfr_is[None, None, None, :] & (~is_secondary)[None, :, None, None]
+        spectra = jnp.where(mask, hfr_fill, spectra)
+        zero_mask = (jnp.arange(128) == hfr_zero)[None, None, None, :] \
+            & (~is_secondary)[None, :, None, None]
+        spectra = jnp.where(zero_mask, 0.0, spectra)
+
+    if stereo_pairs:
+        itable = jnp.asarray(T.INTENSITY_RATIO_TABLE)
+        band = jnp.arange(128)
+        sel = (band >= base_band) & (band < total_band)
+        for (p, s) in stereo_pairs:
+            ratio_l = itable[intensity[:, s, :]][:, :, None]   # [F, 8, 1]
+            ratio_r = jnp.float32(2.0) - ratio_l
+            l_spec = spectra[:, p, :, :]
+            new_l = jnp.where(sel, l_spec * ratio_l, l_spec)
+            new_r = jnp.where(sel, l_spec * ratio_r, spectra[:, s, :, :])
+            spectra = spectra.at[:, p, :, :].set(new_l)
+            spectra = spectra.at[:, s, :, :].set(new_r)
+
+    dct = _imdct_butterflies(spectra)                       # [F, C, 8, 128]
+    # time axis per channel: [C, F*8, 128]
+    dct_t = jnp.moveaxis(dct, 1, 0).reshape(C, F * 8, 128)
+    wave = _window_overlap_add(dct_t)                       # [C, T, 128]
+
+    scaled = wave * jnp.float32(32768.0)
+    ints = jnp.clip(scaled.astype(jnp.int32), -32768, 32767).astype(jnp.int16)
+    # -> [F, 8, 128, C] interleaved sample layout
+    return jnp.moveaxis(ints.reshape(C, F, 8, 128), 0, 3)
+
+
+def stereo_pairs_of(channel_type: np.ndarray) -> Tuple[Tuple[int, int], ...]:
+    """(primary, secondary) channel index pairs (adjacent by construction)."""
+    pairs = []
+    for c in range(len(channel_type) - 1):
+        if channel_type[c] == T.STEREO_PRIMARY:
+            pairs.append((c, c + 1))
+    return tuple(pairs)

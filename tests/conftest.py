@@ -8,8 +8,14 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
+extra = []
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    extra.append("--xla_force_host_platform_device_count=8")
+if "xla_cpu_max_isa" not in flags:
+    # Pre-FMA ISA: XLA CPU otherwise contracts fp32 mul+add into FMAs, which
+    # breaks bit-exact parity with the (SSE2-built) reference decoder.
+    extra.append("--xla_cpu_max_isa=SSE4_2")
+os.environ["XLA_FLAGS"] = (flags + " " + " ".join(extra)).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,91 @@
+"""HCA parity tests vs the reference C++ extension."""
+import numpy as np
+import pytest
+
+from pycricodecs_tpu.models import hca as hcamod
+from pycricodecs_tpu.utils.wav import write_wav
+from tests.conftest import make_sine_pcm16
+
+KEY = 0xCF222F1FE0748978
+
+
+def _wav(samples=24576, channels=2, sr=48000, looping=False, seed=0):
+    pcm = make_sine_pcm16(samples, channels, sr, seed=seed)
+    return write_wav(pcm, channels, sr, looping=looping,
+                     loop_start=2048, loop_end=samples - 2048)
+
+
+def _hdr_size(b):
+    return int.from_bytes(b[6:8], "big")
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("quality", [0, 1, 2, 3, 5])
+def test_decode_matches_reference(oracle, channels, quality):
+    hca = oracle.HcaEncode(_wav(channels=channels, seed=quality + channels), 0, quality)
+    ref = oracle.HcaDecode(bytes(hca), _hdr_size(hca), 0, 0)
+    ours = hcamod.decode(hca)
+    assert ours == ref
+
+
+def test_decode_looping_matches_reference(oracle):
+    hca = oracle.HcaEncode(_wav(looping=True, seed=11), 0, 1)
+    ref = oracle.HcaDecode(bytes(hca), _hdr_size(hca), 0, 0)
+    ours = hcamod.decode(hca)
+    assert ours == ref
+
+
+@pytest.mark.parametrize("subkey", [0, 0x1234])
+def test_crypt_roundtrip_matches_reference(oracle, subkey):
+    hca = bytes(oracle.HcaEncode(_wav(seed=3), 0, 1))
+    hs = _hdr_size(hca)
+    ref_enc = bytes(oracle.HcaCrypt(bytearray(hca), 1, hs, 56, KEY, subkey))
+    our_enc = hcamod.crypt(hca, True, hs, 56, KEY, subkey)
+    assert our_enc == ref_enc
+    ref_dec = bytes(oracle.HcaCrypt(bytearray(ref_enc), 0, hs, 0, KEY, subkey))
+    our_dec = hcamod.crypt(our_enc, False, hs, 0, KEY, subkey)
+    assert our_dec == ref_dec == hca
+
+
+def test_crypt_keyless_type1(oracle):
+    hca = bytes(oracle.HcaEncode(_wav(seed=4, channels=1), 0, 2))
+    hs = _hdr_size(hca)
+    ref_enc = bytes(oracle.HcaCrypt(bytearray(hca), 1, hs, 1, 0, 0))
+    our_enc = hcamod.crypt(hca, True, hs, 1, 0, 0)
+    assert our_enc == ref_enc
+
+
+def test_decode_encrypted_with_key(oracle):
+    hca = bytes(oracle.HcaEncode(_wav(seed=5), 0, 1))
+    hs = _hdr_size(hca)
+    enc = hcamod.crypt(hca, True, hs, 56, KEY, 0)
+    ref = oracle.HcaDecode(bytes(enc), hs, KEY, 0)
+    ours = hcamod.decode(enc, key=KEY)
+    assert ours == ref
+
+
+def test_hca_class_flow(oracle):
+    hca_bytes = bytes(oracle.HcaEncode(_wav(seed=6), 0, 1))
+    obj = hcamod.HCA(hca_bytes)
+    assert obj.filetype == "hca"
+    info = obj.info()
+    assert info["ChannelCount"] == 2 and info["SampleRate"] == 48000
+    wav1 = obj.decode()
+    obj.encrypt(KEY)
+    assert obj.encrypted
+    frames = list(obj.get_frames())
+    assert len(frames) == info["FrameCount"]
+    assert len(frames[0][1]) == info["FrameSize"]
+    obj.decrypt(KEY)
+    assert obj.get_hca() == hca_bytes
+    assert obj.decode() == wav1
+
+
+def test_wrong_key_fails_like_reference(oracle):
+    hca = bytes(oracle.HcaEncode(_wav(seed=7, channels=1), 0, 1))
+    hs = _hdr_size(hca)
+    enc = hcamod.crypt(hca, True, hs, 56, KEY, 0)
+    with pytest.raises(Exception):
+        oracle.HcaDecode(bytes(enc), hs, 0xDEAD, 0)
+    with pytest.raises(Exception):
+        hcamod.decode(enc, key=0xDEAD)
