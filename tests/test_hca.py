@@ -89,3 +89,38 @@ def test_wrong_key_fails_like_reference(oracle):
         oracle.HcaDecode(bytes(enc), hs, 0xDEAD, 0)
     with pytest.raises(Exception):
         hcamod.decode(enc, key=0xDEAD)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("quality", [0, 1, 2, 3, 5])
+def test_encode_matches_reference(oracle, channels, quality):
+    from pycricodecs_tpu.ops import hca_encode_host
+    wav = _wav(channels=channels, seed=quality * 3 + channels)
+    ours = hca_encode_host.encode(wav, quality=quality)
+    ref = bytes(oracle.HcaEncode(wav, 0, quality))
+    assert ours == ref
+
+
+def test_encode_looping_matches_reference(oracle):
+    from pycricodecs_tpu.ops import hca_encode_host
+    wav = _wav(channels=2, looping=True, seed=21)
+    assert hca_encode_host.encode(wav, quality=1) == bytes(oracle.HcaEncode(wav, 0, 1))
+    # force_not_looping drops the loop chunk
+    ours = hca_encode_host.encode(wav, force_not_looping=True)
+    assert ours == bytes(oracle.HcaEncode(wav, 1, 1))
+
+
+def test_encode_encrypt_decrypt_roundtrip(oracle):
+    """BASELINE config 4: encode + keyed cipher roundtrip (key 0xCF22...)."""
+    wav = _wav(channels=2, seed=33)
+    obj = hcamod.HCA(wav)
+    hca_plain = obj.encode()
+    assert hca_plain == bytes(oracle.HcaEncode(wav, 0, 1))
+    obj2 = hcamod.HCA(wav, key=KEY)
+    enc = obj2.encode(encrypt=True)
+    hs = _hdr_size(enc)
+    assert enc == bytes(oracle.HcaCrypt(bytearray(hca_plain), 1, hs, 56, KEY, 0))
+    obj2.decrypt(KEY)
+    assert obj2.get_hca() == hca_plain
+    # decode of the encrypted stream with the key matches plain decode
+    assert hcamod.decode(enc, key=KEY) == hcamod.decode(hca_plain)
