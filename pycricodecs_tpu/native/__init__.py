@@ -1,0 +1,60 @@
+"""Native host core loader.
+
+Compiles native/cricore.cpp to libcricore.so on first use (g++, -O3) and
+exposes it through ctypes. All entry points have pure-Python fallbacks in the
+rest of the package; `load()` returns None when no toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "cricore.cpp")
+_SO = os.path.join(_HERE, "libcricore.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+               "-std=c++17", _SRC, "-o", _SO, "-lpthread"]
+        res = subprocess.run(cmd, capture_output=True, timeout=300)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def load():
+    """Return the ctypes library handle, building it if needed (or None)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.cri_crc16.restype = ctypes.c_uint16
+        lib.cri_crc16.argtypes = [u8p, ctypes.c_uint32]
+        lib.cri_layla_decompress.restype = ctypes.c_uint32
+        lib.cri_layla_decompress.argtypes = [u8p, ctypes.c_uint32,
+                                             ctypes.c_uint32, u8p]
+        lib.cri_layla_compress.restype = ctypes.c_uint32
+        lib.cri_layla_compress.argtypes = [u8p, ctypes.c_uint32, u8p,
+                                           ctypes.c_uint32]
+        lib.cri_hca_unpack_frames.restype = ctypes.c_int32
+        _lib = lib
+        return _lib

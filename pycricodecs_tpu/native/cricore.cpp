@@ -1,0 +1,479 @@
+// cricore: native host core for pycricodecs_tpu.
+//
+// Plain-C ABI (loaded via ctypes): CRILAYLA compress/decompress and the
+// batched HCA frame unpacker (the serial bitstream half of HCA decode, which
+// feeds dense SoA tensors to the JAX/TPU transform). Behaviour parity targets:
+// crilayla.cpp:48-197 and clHCA_DecodeBlock_unpack (hca.cpp:1149-1205).
+//
+// Build: g++ -O3 -march=native -fPIC -shared cricore.cpp -o libcricore.so
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC16 (poly 0x8005, MSB-first)
+// ---------------------------------------------------------------------------
+static uint16_t g_crc_table[256];
+static bool g_crc_ready = false;
+
+static void crc_init() {
+    if (g_crc_ready) return;
+    for (int i = 0; i < 256; i++) {
+        uint32_t s = i << 8;
+        for (int b = 0; b < 8; b++)
+            s = (s << 1) ^ ((s & 0x8000) ? 0x8005 : 0);
+        g_crc_table[i] = (uint16_t)(s & 0xFFFF);
+    }
+    g_crc_ready = true;
+}
+
+uint16_t cri_crc16(const uint8_t* data, uint32_t size) {
+    crc_init();
+    uint16_t s = 0;
+    for (uint32_t i = 0; i < size; i++)
+        s = (uint16_t)((s << 8) ^ g_crc_table[(s >> 8) ^ data[i]]);
+    return s;
+}
+
+void cri_crc16_batch(const uint8_t* rows, uint32_t nrows, uint32_t rowlen,
+                     uint16_t* out) {
+    crc_init();
+    for (uint32_t r = 0; r < nrows; r++)
+        out[r] = cri_crc16(rows + (uint64_t)r * rowlen, rowlen);
+}
+
+// ---------------------------------------------------------------------------
+// CRILAYLA
+// ---------------------------------------------------------------------------
+namespace layla {
+
+struct RevBitReader {
+    const uint8_t* p;    // moves backward
+    uint32_t count = 0;  // bits buffered
+    uint32_t acc = 0;
+    explicit RevBitReader(const uint8_t* end_minus_1) : p(end_minus_1) {}
+    uint32_t get(uint32_t n) {
+        while (count < n) {
+            acc = (acc << 8) | *p--;
+            count += 8;
+        }
+        uint32_t v = (acc >> (count - n)) & ((1u << n) - 1);
+        count -= n;
+        return v;
+    }
+};
+
+}  // namespace layla
+
+// Decompress the LZ stream. src points at the compressed payload (after the
+// 16-byte header); dst must hold decompress_size + 256 bytes. Returns bytes
+// produced in the LZ region.
+uint32_t cri_layla_decompress(const uint8_t* src, uint32_t compressed_size,
+                              uint32_t decompress_size, uint8_t* dst) {
+    // raw 256-byte prefix sits after the compressed stream; it becomes the
+    // head of the output
+    std::memcpy(dst, src + compressed_size, 256);
+    uint8_t* out_base = dst + 256;
+    uint8_t* w = out_base + decompress_size - 1;  // write backward
+    layla::RevBitReader br(src + compressed_size - 1);
+
+    while (w >= out_base) {
+        if (br.get(1) == 0) {
+            *w-- = (uint8_t)br.get(8);
+        } else {
+            uint32_t offset = br.get(13);
+            uint32_t len = br.get(2);
+            if (len == 3) {
+                len += br.get(3);
+                if (len == 10) {
+                    len += br.get(5);
+                    if (len == 41) {
+                        uint32_t byte;
+                        do {
+                            byte = br.get(8);
+                            len += byte;
+                        } while (byte == 255);
+                    }
+                }
+            }
+            const uint8_t* r = w + offset + 3;
+            len += 3;
+            while (len-- && w >= out_base)
+                *w-- = *r--;
+        }
+    }
+    return decompress_size;
+}
+
+// Compress src[0..src_len) with the reference's greedy backward matcher.
+// dst must hold at least src_len + src_len/2 + 0x400 bytes (generous bound;
+// worst case is 9 bits per literal + trailer). Returns total output length
+// (header + stream + 256-byte prefix), or 0 if it would exceed dst_cap.
+uint32_t cri_layla_compress(const uint8_t* src, uint32_t src_len,
+                            uint8_t* dst, uint32_t dst_cap) {
+    if (src_len < 0x101) return 0;
+    // The %4 stream padding depends on the work buffer length mod 4; the
+    // reference uses a buffer of exactly src_len bytes. Keep work_cap
+    // congruent to src_len (mod 4) so the emitted bytes are identical, while
+    // still leaving headroom for incompressible data.
+    const uint32_t work_cap = src_len + ((src_len / 2 + 0x403) & ~3u);
+    std::vector<uint8_t> work(work_cap, 0);
+    int64_t m = (int64_t)work_cap - 1;
+    uint64_t d = 0;
+    uint32_t T = 0;
+
+    auto flush = [&]() {
+        while (T >= 8) {
+            if (m < 0) return false;
+            work[m--] = (uint8_t)((d >> (T - 8)) & 0xFF);
+            T -= 8;
+            d &= (T >= 64) ? ~0ull : ((1ull << T) - 1);
+        }
+        return true;
+    };
+
+    int64_t n = (int64_t)src_len - 1;
+    while (n >= 0x100) {
+        // search window: positions i in [n+3, n+3+0x2000) clamped to src_len
+        uint32_t j = (uint32_t)std::min<int64_t>(n + 3 + 0x2000, src_len);
+        uint32_t best_len = 0, best_off = 0;
+        for (uint32_t i = (uint32_t)n + 3; i < j; i++) {
+            uint32_t k = 0;
+            uint32_t kmax = (uint32_t)(n - 0x100);
+            while (k <= kmax && src[n - k] == src[i - k]) k++;
+            if (k > best_len) {
+                best_off = (uint32_t)(i - n - 3);
+                best_len = k;
+            }
+        }
+        if (best_len < 3) {
+            d = (d << 9) | src[n--];
+            T += 9;
+        } else {
+            d = (((d << 1) | 1) << 13) | best_off;
+            T += 14;
+            n -= best_len;
+            uint32_t p = best_len;
+            if (p < 6) {
+                d = (d << 2) | (p - 3);
+                T += 2;
+            } else if (p < 13) {
+                d = (((d << 2) | 3) << 3) | (p - 6);
+                T += 5;
+            } else if (p < 44) {
+                d = (((d << 5) | 0x1f) << 5) | (p - 13);
+                T += 10;
+            } else {
+                d = (d << 10) | 0x3ff;
+                T += 10;
+                p -= 44;
+                for (;;) {
+                    if (!flush()) return 0;
+                    if (p < 255) break;
+                    d = (d << 8) | 0xff;
+                    T += 8;
+                    p -= 0xff;
+                }
+                d = (d << 8) | p;
+                T += 8;
+            }
+        }
+        if (!flush()) return 0;
+    }
+    if (T != 0) {
+        if (m < 0) return 0;
+        work[m--] = (uint8_t)(d << (8 - T));
+    }
+    if (m < 2) return 0;
+    work[m--] = 0;
+    work[m] = 0;
+    while (((work_cap - m) & 3) != 0) {
+        if (m < 1) return 0;
+        work[--m] = 0;
+    }
+    uint32_t stream_len = (uint32_t)(work_cap - m);
+    uint32_t total = stream_len + 0x110;
+    if (total > dst_cap) return 0;
+    // header
+    std::memcpy(dst, "CRILAYLA", 8);
+    uint32_t usize = src_len - 0x100;
+    std::memcpy(dst + 8, &usize, 4);
+    std::memcpy(dst + 12, &stream_len, 4);
+    std::memcpy(dst + 16, work.data() + m, stream_len);
+    std::memcpy(dst + 16 + stream_len, src, 0x100);
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// HCA batched frame unpack
+// ---------------------------------------------------------------------------
+namespace hca {
+
+struct BitReader {
+    const uint8_t* data;
+    int size;  // bits
+    int pos = 0;
+    BitReader(const uint8_t* d, int bytes) : data(d), size(bytes * 8) {}
+    uint32_t peek(int n) const {
+        if (pos + n > size) return 0;
+        int byte = pos >> 3;
+        int rem = pos & 7;
+        uint64_t v = 0;
+        int need = (rem + n + 7) >> 3;
+        for (int i = 0; i < need; i++) v = (v << 8) | data[byte + i];
+        int total = need * 8;
+        return (uint32_t)((v >> (total - rem - n)) & ((n >= 32) ? 0xFFFFFFFFull
+                                                                : ((1ull << n) - 1)));
+    }
+    uint32_t read(int n) {
+        uint32_t v = peek(n);
+        pos += n;
+        return v;
+    }
+    void skip(int n) { pos += n; }
+};
+
+}  // namespace hca
+
+// Per-frame unpack into SoA tensors. Layouts match ops/hca_frame.py.
+// Returns 0 on success, <0 on bitstream error (-4 sync, -3 crc, -5 unpack).
+int cri_hca_unpack_frames(
+    const uint8_t* data, int32_t nframes, int32_t frame_size,
+    const uint8_t* cipher, int32_t channels, int32_t version,
+    int32_t hfr_group_count, int32_t min_resolution, int32_t max_resolution,
+    const uint8_t* channel_type, const int32_t* coded_count,
+    const uint8_t* ath, const uint8_t* invert_table,
+    const uint8_t* max_bit_table, const uint8_t* read_bit_table,
+    const int8_t* read_val_table,
+    uint32_t* random_state,
+    int16_t* qc, uint8_t* sfs_out, uint8_t* ress_out, uint8_t* intens_out,
+    int32_t* noise_src, uint8_t* noise_sci, uint8_t* noise_mask,
+    int32_t nthreads) {
+    crc_init();
+    const int C = channels;
+    const bool need_noise = (min_resolution == 0);
+    const bool v3 = version > 0x0200;
+
+    // per-frame noise bookkeeping (needed serially for the LCG ordering)
+    std::vector<uint8_t> noises_all;
+    std::vector<int32_t> counts_all;
+    if (need_noise) {
+        noises_all.resize((size_t)nframes * C * 128);
+        counts_all.resize((size_t)nframes * C * 2);
+    }
+
+    std::vector<uint8_t> decbuf_all;
+    int err = 0;
+
+    auto unpack_frame = [&](int f) -> int {
+        const uint8_t* frame = data + (size_t)f * frame_size;
+        if (!(frame[0] == 0xFF && frame[1] == 0xFF)) return -4;
+        if (cri_crc16(frame, frame_size) != 0) return -3;
+        std::vector<uint8_t> dec(frame_size);
+        for (int i = 0; i < frame_size; i++) dec[i] = cipher[frame[i]];
+        hca::BitReader br(dec.data(), frame_size);
+        br.skip(16);
+        int anl = br.read(9);
+        int evb = br.read(7);
+        int packed_noise = (anl << 8) - evb;
+
+        uint8_t* sfs_f = sfs_out + ((size_t)f * C) * 128;
+        uint8_t* res_f = ress_out + ((size_t)f * C) * 128;
+        uint8_t* int_f = intens_out + ((size_t)f * C) * 8;
+        int16_t* qc_f = qc + ((size_t)f * C) * 8 * 128;
+
+        for (int c = 0; c < C; c++) {
+            uint8_t* sf = sfs_f + (size_t)c * 128;
+            std::memset(sf, 0, 128);
+            int ct = channel_type[c];
+            int cs_count = coded_count[c];
+            int extra = 0;
+            int delta_bits = br.read(3);
+            if (!(ct == 2 || hfr_group_count <= 0 || !v3)) {
+                extra = hfr_group_count;
+                cs_count += extra;
+                if (cs_count > 128) return -5;
+            }
+            if (delta_bits >= 6) {
+                for (int i = 0; i < cs_count; i++) sf[i] = (uint8_t)br.read(6);
+            } else if (delta_bits > 0) {
+                int expected = (1 << delta_bits) - 1;
+                int value = br.read(6);
+                sf[0] = (uint8_t)value;
+                for (int i = 1; i < cs_count; i++) {
+                    int delta = br.read(delta_bits);
+                    if (delta == expected) {
+                        value = br.read(6);
+                    } else {
+                        int test = value + (delta - (expected >> 1));
+                        if (test < 0 || test >= 64) return -5;
+                        value = (value - (expected >> 1) + delta) & 0x3F;
+                    }
+                    sf[i] = (uint8_t)value;
+                }
+            }
+            for (int i = 0; i < extra; i++)
+                sf[127 - i] = sf[cs_count - i];
+
+            // intensity / v2 HFR scales
+            uint8_t* inten = int_f + (size_t)c * 8;
+            std::memset(inten, 0, 8);
+            if (ct == 2) {
+                if (!v3) {
+                    int value = br.peek(4);
+                    inten[0] = (uint8_t)value;
+                    if (value < 15) {
+                        br.skip(4);
+                        for (int i = 1; i < 8; i++) inten[i] = (uint8_t)br.read(4);
+                    }
+                } else {
+                    int value = br.peek(4);
+                    if (value < 15) {
+                        br.skip(4);
+                        int dbits = br.read(2);
+                        inten[0] = (uint8_t)value;
+                        if (dbits == 3) {
+                            for (int i = 1; i < 8; i++) inten[i] = (uint8_t)br.read(4);
+                        } else {
+                            int bmax = (2 << dbits) - 1;
+                            int bits = dbits + 1;
+                            for (int i = 1; i < 8; i++) {
+                                int delta = br.read(bits);
+                                if (delta == bmax) {
+                                    value = br.read(4);
+                                } else {
+                                    value = value - (bmax >> 1) + delta;
+                                    if (value > 15 || value < 0) return -5;
+                                }
+                                inten[i] = (uint8_t)value;
+                            }
+                        }
+                    } else {
+                        br.skip(4);
+                        for (int i = 0; i < 8; i++) inten[i] = 7;
+                    }
+                }
+            } else if (!v3) {
+                for (int i = 0; i < hfr_group_count; i++)
+                    sf[128 - hfr_group_count + i] = (uint8_t)br.read(6);
+            }
+
+            // resolutions + noise/valid lists
+            uint8_t* res = res_f + (size_t)c * 128;
+            std::memset(res, 0, 128);
+            int cc = coded_count[c];
+            int noise_count = 0, valid_count = 0;
+            uint8_t* noises = need_noise
+                ? noises_all.data() + ((size_t)f * C + c) * 128 : nullptr;
+            for (int i = 0; i < cc; i++) {
+                int r = 0;
+                int s = sf[i];
+                if (s > 0) {
+                    int noise_level = ath[i] + ((packed_noise + i) >> 8);
+                    int curve_pos = noise_level + 1 - ((5 * s) >> 1);
+                    if (curve_pos < 0) r = 15;
+                    else if (curve_pos <= 65) r = invert_table[curve_pos];
+                    else r = 0;
+                    if (r > max_resolution) r = max_resolution;
+                    else if (r < min_resolution) r = min_resolution;
+                    if (need_noise) {
+                        if (r < 1) noises[noise_count++] = (uint8_t)i;
+                        else noises[127 - valid_count++] = (uint8_t)i;
+                    }
+                }
+                res[i] = (uint8_t)r;
+            }
+            if (need_noise) {
+                counts_all[((size_t)f * C + c) * 2 + 0] = noise_count;
+                counts_all[((size_t)f * C + c) * 2 + 1] = valid_count;
+            }
+        }
+
+        // spectrum codes, subframe-major
+        for (int s = 0; s < 8; s++) {
+            for (int c = 0; c < C; c++) {
+                const uint8_t* res = res_f + (size_t)c * 128;
+                int16_t* out = qc_f + ((size_t)c * 8 + s) * 128;
+                std::memset(out, 0, 128 * sizeof(int16_t));
+                int cc = coded_count[c];
+                for (int i = 0; i < cc; i++) {
+                    int r = res[i];
+                    int bits = max_bit_table[r];
+                    uint32_t code = br.read(bits);
+                    if (r > 7) {
+                        int v = (1 - (int)((code & 1) << 1)) * (int)(code >> 1);
+                        if (v == 0) br.skip(-1);
+                        out[i] = (int16_t)v;
+                    } else {
+                        int index = (r << 4) + code;
+                        br.skip((int)read_bit_table[index] - bits);
+                        out[i] = read_val_table[index];
+                    }
+                }
+            }
+        }
+        return 0;
+    };
+
+    // frames are independent at unpack time: thread across them
+    int nt = nthreads > 0 ? nthreads : 1;
+    if (nt > 1 && nframes > 4) {
+        std::vector<std::thread> pool;
+        std::vector<int> errs(nt, 0);
+        int per = (nframes + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            pool.emplace_back([&, t]() {
+                int lo = t * per, hi = std::min(nframes, (t + 1) * per);
+                for (int f = lo; f < hi; f++) {
+                    int e = unpack_frame(f);
+                    if (e < 0) { errs[t] = e; return; }
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+        for (int e : errs) if (e < 0) return e;
+    } else {
+        for (int f = 0; f < nframes; f++) {
+            int e = unpack_frame(f);
+            if (e < 0) return e;
+        }
+    }
+
+    // serial LCG pass for noise-fill maps (v3 streams only)
+    if (need_noise) {
+        uint32_t random = *random_state;
+        for (int f = 0; f < nframes; f++) {
+            for (int s = 0; s < 8; s++) {
+                for (int c = 0; c < C; c++) {
+                    int nc = counts_all[((size_t)f * C + c) * 2 + 0];
+                    int vc = counts_all[((size_t)f * C + c) * 2 + 1];
+                    if (vc <= 0 || nc <= 0) continue;
+                    const uint8_t* noises =
+                        noises_all.data() + ((size_t)f * C + c) * 128;
+                    const uint8_t* sf = sfs_out + ((size_t)f * C + c) * 128;
+                    size_t base = (((size_t)f * C + c) * 8 + s) * 128;
+                    for (int i = 0; i < nc; i++) {
+                        random = 0x343FDu * random + 0x269EC3u;
+                        int rindex = 128 - vc + (int)(((random & 0x7FFF) * vc) >> 15);
+                        int nb = noises[i];
+                        int vb = noises[rindex];
+                        int sci = (int)sf[nb] - (int)sf[vb] + 62;
+                        if (sci < 0) sci = 0;
+                        noise_src[base + nb] = vb;
+                        noise_sci[base + nb] = (uint8_t)sci;
+                        noise_mask[base + nb] = 1;
+                    }
+                }
+            }
+        }
+        *random_state = random;
+    }
+    (void)err;
+    return 0;
+}
+
+}  // extern "C"

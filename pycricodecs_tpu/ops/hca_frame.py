@@ -378,8 +378,83 @@ def _dequantize_codes(br: BitReader, res: np.ndarray, coded_count: int) -> np.nd
 
 
 def unpack_frames(info: HcaInfo, data: bytes, frame_indices=None,
-                  random_state: int = 1) -> UnpackedFrames:
-    """Unpack a run of frames from `data` (frame_size-strided) to SoA arrays."""
+                  random_state: int = 1, use_native: bool = True,
+                  nthreads: int = 0) -> UnpackedFrames:
+    """Unpack a run of frames from `data` (frame_size-strided) to SoA arrays.
+
+    Dispatches to the C++ core (native/cricore.cpp, threaded across frames)
+    when available and `frame_indices` is None; the Python path below is the
+    behavioural reference.
+    """
+    if use_native and frame_indices is None:
+        out = _unpack_frames_native(info, data, random_state, nthreads)
+        if out is not None:
+            return out
+    return _unpack_frames_py(info, data, frame_indices, random_state)
+
+
+def _unpack_frames_native(info: HcaInfo, data: bytes, random_state: int,
+                          nthreads: int):
+    import ctypes
+    import os
+
+    from .. import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    fs = info.frame_size
+    nframes = len(data) // fs
+    C = info.channels
+    qc = np.zeros((nframes, C, 8, 128), dtype=np.int16)
+    sfs = np.zeros((nframes, C, 128), dtype=np.uint8)
+    ress = np.zeros((nframes, C, 128), dtype=np.uint8)
+    intens = np.zeros((nframes, C, 8), dtype=np.uint8)
+    ident = np.broadcast_to(np.arange(128, dtype=np.int32),
+                            (nframes, C, 8, 128)).copy()
+    noise_sci = np.zeros((nframes, C, 8, 128), dtype=np.uint8)
+    noise_mask = np.zeros((nframes, C, 8, 128), dtype=np.uint8)
+    buf = np.frombuffer(data, dtype=np.uint8, count=nframes * fs)
+    rand = np.array([random_state], dtype=np.uint32)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+
+    def p(arr, ct):
+        return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+    u8, i8, i16, i32, u16, u32 = (ctypes.c_uint8, ctypes.c_int8, ctypes.c_int16,
+                                  ctypes.c_int32, ctypes.c_uint16, ctypes.c_uint32)
+    coded = np.ascontiguousarray(info.coded_count, dtype=np.int32)
+    ctype = np.ascontiguousarray(info.channel_type, dtype=np.uint8)
+    res = lib.cri_hca_unpack_frames(
+        p(buf, u8), int(nframes), int(fs),
+        p(np.ascontiguousarray(info.cipher), u8), int(C),
+        int(info.version), int(info.hfr_group_count),
+        int(info.min_resolution), int(info.max_resolution),
+        p(ctype, u8), p(coded, i32), p(np.ascontiguousarray(info.ath), u8),
+        p(np.ascontiguousarray(T.INVERT_TABLE), u8),
+        p(np.ascontiguousarray(T.MAX_BIT_TABLE), u8),
+        p(np.ascontiguousarray(T.READ_BIT_TABLE), u8),
+        p(np.ascontiguousarray(T.READ_VAL_TABLE), i8),
+        p(rand, u32),
+        p(qc, i16), p(sfs, u8), p(ress, u8), p(intens, u8),
+        p(ident, i32), p(noise_sci, u8), p(noise_mask, u8),
+        int(nthreads))
+    if res == -4:
+        raise HcaError("Frame sync lost")
+    if res == -3:
+        raise HcaError("Frame checksum mismatch")
+    if res < 0:
+        raise HcaError("Unpack error")
+    return UnpackedFrames(qc=qc, scalefactors=sfs, resolutions=ress,
+                          intensity=intens, noise_src=ident,
+                          noise_sci=noise_sci, noise_mask=noise_mask.astype(bool),
+                          random_state=int(rand[0]))
+
+
+def _unpack_frames_py(info: HcaInfo, data: bytes, frame_indices=None,
+                      random_state: int = 1) -> UnpackedFrames:
+    """Pure-Python unpack (reference path)."""
     fs = info.frame_size
     nframes = len(data) // fs if frame_indices is None else len(frame_indices)
     C = info.channels

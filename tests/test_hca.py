@@ -124,3 +124,23 @@ def test_encode_encrypt_decrypt_roundtrip(oracle):
     assert obj2.get_hca() == hca_plain
     # decode of the encrypted stream with the key matches plain decode
     assert hcamod.decode(enc, key=KEY) == hcamod.decode(hca_plain)
+
+
+def test_native_unpack_matches_python(oracle):
+    from pycricodecs_tpu.ops import hca_frame
+    from pycricodecs_tpu import native
+    if native.load() is None:
+        pytest.skip("native core unavailable")
+    hca = bytes(oracle.HcaEncode(_wav(channels=2, seed=44), 0, 1))
+    hs = _hdr_size(hca)
+    info = hca_frame.parse_header(hca[:hs])
+    frames = hca[hs:hs + info.frame_count * info.frame_size]
+    a = hca_frame.unpack_frames(info, frames, use_native=True)
+    b = hca_frame.unpack_frames(info, frames, use_native=False)
+    assert np.array_equal(a.qc, b.qc)
+    assert np.array_equal(a.scalefactors, b.scalefactors)
+    assert np.array_equal(a.resolutions, b.resolutions)
+    assert np.array_equal(a.intensity, b.intensity)
+    assert np.array_equal(a.noise_src, b.noise_src)
+    assert np.array_equal(a.noise_mask, b.noise_mask)
+    assert a.random_state == b.random_state
