@@ -1,13 +1,25 @@
 """pycricodecs_tpu: a TPU-native batched CRIWARE codec framework.
 
 A from-scratch rebuild of the capabilities of Youjose/PyCriCodecs with a
-JAX/XLA/Pallas compute path (batched ADX/HCA transcode on TPU) and a C++ host
-core for bitstream work. Public API mirrors the reference package:
-ADX, HCA, CPK, CPKBuilder, USM, USMBuilder, UTF, UTFBuilder, ACB, ACBBuilder,
-AWB, AWBBuilder, IVF — plus new batched entry points under
-pycricodecs_tpu.parallel.
-"""
-from .models.adx import ADX
+JAX/XLA compute path (batched ADX/HCA transcode on TPU) and a C++ host core
+for bitstream work. The public API mirrors the reference package:
 
-__all__ = ["ADX"]
+    ADX, HCA, CPK, CPKBuilder, USM, USMBuilder, UTF, UTFBuilder,
+    ACB, ACBBuilder, AWB, AWBBuilder, IVF
+
+plus new batched/sharded entry points under ``pycricodecs_tpu.parallel``.
+"""
+from .containers.acb import ACB, ACBBuilder
+from .containers.awb import AWB, AWBBuilder
+from .containers.cpk import CPK, CPKBuilder
+from .containers.ivf import IVF
+from .containers.usm import USM, USMBuilder
+from .containers.utf import UTF, UTFBuilder
+from .models.adx import ADX
+from .models.hca import HCA
+from .models import crilayla
+
+__all__ = ["ADX", "HCA", "CPK", "CPKBuilder", "USM", "USMBuilder", "UTF",
+           "UTFBuilder", "ACB", "ACBBuilder", "AWB", "AWBBuilder", "IVF",
+           "crilayla"]
 __version__ = "0.1.0"

@@ -85,7 +85,7 @@ class AdxHeader:
         return (self.block_size - 2) * 8 // self.bit_depth
 
 
-def parse_adx_header(data: bytes) -> AdxHeader:
+def parse_adx_header(data: bytes, strict_cri_check: bool = True) -> AdxHeader:
     if len(data) < 20:
         _err(-1)
     h = AdxHeader()
@@ -146,8 +146,13 @@ def parse_adx_header(data: bytes) -> AdxHeader:
             h.loop_start_sample = int.from_bytes(data[off + 4:off + 8], "big")
             h.loop_end_sample = int.from_bytes(data[off + 12:off + 16], "big")
 
-    # reference compares 7 chars ("(c)CRI" + NUL) starting at DataOffset-2
-    if data[h.data_offset - 2:h.data_offset + 5] != CRI_STRING + b"\x00":
+    # The reference compares 7 chars ("(c)CRI" + NUL) starting at
+    # DataOffset-2 — the 7th byte is actually the first audio block's scale
+    # high byte (adx.cpp:345-348), rejecting some valid files. strict mode
+    # replicates that for decode parity; non-strict checks only the 6 real
+    # signature bytes (used by container code).
+    want = CRI_STRING + (b"\x00" if strict_cri_check else b"")
+    if data[h.data_offset - 2:h.data_offset - 2 + len(want)] != want:
         _err(-9)
     return h
 

@@ -77,3 +77,16 @@ def sine_wav():
                          loop_start=loop_start, loop_end=loop_end)
 
     return _make
+
+
+@pytest.fixture(scope="session")
+def oracle_py():
+    """The reference pure-Python package (containers oracle)."""
+    _load_oracle()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        import PyCriCodecs  # noqa: F401
+        return PyCriCodecs
+    except Exception:
+        pytest.skip("reference PyCriCodecs package unavailable")

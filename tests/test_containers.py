@@ -1,0 +1,247 @@
+"""Container round-trip and parity tests (AWB, CPK, ACB, USM, IVF)."""
+import os
+
+import numpy as np
+import pytest
+
+from pycricodecs_tpu.containers.acb import ACB, ACBBuilder
+from pycricodecs_tpu.containers.awb import AWB, AWBBuilder
+from pycricodecs_tpu.containers.cpk import CPK, CPKBuilder
+from pycricodecs_tpu.containers.ivf import IVF, build_ivf
+from pycricodecs_tpu.containers.usm import USM, USMBuilder
+from pycricodecs_tpu.utils.wav import write_wav
+from tests.conftest import make_sine_pcm16
+
+
+@pytest.fixture()
+def sample_dir(tmp_path):
+    rng = np.random.default_rng(3)
+    d = tmp_path / "bank"
+    d.mkdir()
+    for i in range(6):
+        blob = (b"payload %d " % i) * (50 * (i + 1))
+        (d / f"file_{i:02d}.bin").write_bytes(blob)
+    sub = d / "nested"
+    sub.mkdir()
+    (sub / "deep.dat").write_bytes(bytes(rng.integers(0, 255, 777).astype(np.uint8)))
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# AWB
+# ---------------------------------------------------------------------------
+
+def test_awb_build_matches_reference(oracle_py, sample_dir, tmp_path):
+    ours_path = tmp_path / "ours.awb"
+    ref_path = tmp_path / "ref.awb"
+    AWBBuilder(sample_dir, subkey=0x55, version=2).build(str(ours_path))
+    oracle_py.AWBBuilder(sample_dir, subkey=0x55, version=2).build(str(ref_path))
+    assert ours_path.read_bytes() == ref_path.read_bytes()
+
+
+def test_awb_parse_roundtrip(sample_dir, tmp_path):
+    from pycricodecs_tpu.containers.awb import build_afs2
+    files = sorted(os.path.join(sample_dir, f)
+                   for f in os.listdir(sample_dir)
+                   if os.path.isfile(os.path.join(sample_dir, f)))
+    payloads = [open(p, "rb").read() for p in files]
+    blob = build_afs2(payloads, subkey=7)
+    awb = AWB(blob)
+    assert awb.numfiles == len(files)
+    assert awb.subkey == 7
+    members = list(awb.getfiles())
+    for orig, member in zip(payloads, members):
+        assert member[:len(orig)] == orig  # members are tail-padded to align
+
+
+def test_awb_parse_matches_reference(oracle_py, sample_dir, tmp_path):
+    out = tmp_path / "bank.awb"
+    AWBBuilder(sample_dir).build(str(out))
+    ours = AWB(str(out))
+    ref = oracle_py.AWB(str(out))
+    assert ours.ids == ref.ids and ours.ofs == ref.ofs
+    assert list(ours.getfiles()) == list(ref.getfiles())
+
+
+# ---------------------------------------------------------------------------
+# CPK
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_cpk_build_matches_reference(oracle_py, sample_dir, tmp_path, mode):
+    ours_path = tmp_path / "ours.cpk"
+    ref_path = tmp_path / "ref.cpk"
+    CPKBuilder(sample_dir, str(ours_path), CpkMode=mode)
+    oracle_py.CPKBuilder(sample_dir, str(ref_path), CpkMode=mode)
+    assert ours_path.read_bytes() == ref_path.read_bytes()
+
+
+def test_cpk_mode0_build_matches_reference(oracle_py, tmp_path):
+    d = tmp_path / "ids"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(5):
+        size = 100 + i * 40000  # mix of DataL (<64KB) and DataH entries
+        (d / str(i)).write_bytes(bytes(rng.integers(0, 255, size).astype(np.uint8)))
+    ours_path = tmp_path / "ours.cpk"
+    ref_path = tmp_path / "ref.cpk"
+    CPKBuilder(str(d), str(ours_path), CpkMode=0)
+    oracle_py.CPKBuilder(str(d), str(ref_path), CpkMode=0)
+    assert ours_path.read_bytes() == ref_path.read_bytes()
+
+
+@pytest.mark.parametrize("encrypt,compress", [(False, False), (True, False),
+                                              (False, True)])
+def test_cpk_extract_roundtrip(sample_dir, tmp_path, encrypt, compress):
+    cpk_path = tmp_path / "arch.cpk"
+    CPKBuilder(sample_dir, str(cpk_path), CpkMode=1, encrypt=encrypt,
+               compress=compress)
+    out_dir = tmp_path / "out"
+    cpk = CPK(str(cpk_path))
+    cpk.extract(str(out_dir))
+    for root, _, names in os.walk(sample_dir):
+        for name in names:
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, sample_dir)
+            dst = out_dir / rel
+            assert dst.read_bytes() == open(src, "rb").read(), rel
+
+
+def test_cpk_extract_file(sample_dir, tmp_path):
+    cpk_path = tmp_path / "arch.cpk"
+    CPKBuilder(sample_dir, str(cpk_path), CpkMode=1)
+    cpk = CPK(str(cpk_path))
+    cpk.extract_file("file_03.bin", str(tmp_path / "single"))
+    got = (tmp_path / "single" / "file_03.bin").read_bytes()
+    assert got == open(os.path.join(sample_dir, "file_03.bin"), "rb").read()
+
+
+def test_cpk_encrypted_tables_parse(oracle_py, sample_dir, tmp_path):
+    cpk_path = tmp_path / "enc.cpk"
+    CPKBuilder(sample_dir, str(cpk_path), CpkMode=1, encrypt=True)
+    ours = CPK(str(cpk_path))
+    ref = oracle_py.CPK(str(cpk_path))
+    assert ours.tables["TOC"] == ref.tables["TOC"]
+
+
+# ---------------------------------------------------------------------------
+# ACB
+# ---------------------------------------------------------------------------
+
+def _make_hca_tracks(oracle, n=3):
+    tracks = []
+    for i in range(n):
+        pcm = make_sine_pcm16(4096, 2, 48000, seed=100 + i)
+        wav = write_wav(pcm, 2, 48000)
+        tracks.append(bytes(oracle.HcaEncode(wav, 0, 2)))
+    return tracks
+
+
+def test_acb_build_extract_roundtrip(oracle, tmp_path):
+    tracks = _make_hca_tracks(oracle)
+    acb_blob = ACBBuilder(tracks, name="testbank").build()
+    acb = ACB(acb_blob)
+    assert acb.payload[0]["Name"][1] == "testbank"
+    members = list(acb.awb.getfiles())
+    assert len(members) == len(tracks)
+    for member, track in zip(members, tracks):
+        assert member[:len(track)] == track
+    out = tmp_path / "acb_out"
+    acb.extract(decode=True, dirname=str(out))
+    assert sorted(os.listdir(out)) == ["0.wav", "1.wav", "2.wav"]
+    # decoded output parity against direct decode
+    from pycricodecs_tpu.models import hca as hcamod
+    assert (out / "0.wav").read_bytes() == hcamod.decode(tracks[0])
+
+
+def test_acb_named_extract(oracle, tmp_path):
+    tracks = _make_hca_tracks(oracle)
+    blob = ACBBuilder(tracks, cue_names=["intro", "loop", "outro"]).build()
+    acb = ACB(blob)
+    assert acb.cue_names() == {0: "intro", 1: "loop", 2: "outro"}
+    out = tmp_path / "named"
+    acb.extract_with_names(dirname=str(out))
+    assert sorted(os.listdir(out)) == ["intro.hca", "loop.hca", "outro.hca"]
+
+
+def test_acb_parse_matches_reference(oracle, oracle_py, tmp_path):
+    tracks = _make_hca_tracks(oracle, 2)
+    blob = ACBBuilder(tracks).build()
+    ours = ACB(blob)
+    ref = oracle_py.ACB(blob)
+    assert [bytes(x) for x in ours.awb.getfiles()] == \
+        [bytes(x) for x in ref.awb.getfiles()]
+
+
+# ---------------------------------------------------------------------------
+# IVF + USM
+# ---------------------------------------------------------------------------
+
+def _fake_ivf(nframes=12):
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(nframes):
+        body = bytes(rng.integers(0, 255, 400 + 37 * i).astype(np.uint8))
+        if i % 6 == 0:
+            body = b"\x82I\x83B" + body  # keyframe marker
+        frames.append(body)
+    return build_ivf(frames, fps_num=2997, fps_den=100)
+
+
+def test_ivf_parse():
+    blob = _fake_ivf()
+    ivf = IVF(blob)
+    assert ivf.info()["FrameCount"] == 12
+    frames = list(ivf.get_frames())
+    assert len(frames) == 12
+    # reference semantics: the keyframe flag is matched against the 12-byte
+    # frame header (ivf.py:57), so well-formed IVF frames never match
+    assert all(f[4] is False for f in frames)
+
+
+@pytest.mark.parametrize("codec", ["adx", "hca"])
+def test_usm_build_and_demux(tmp_path, codec):
+    ivf_blob = _fake_ivf()
+    pcm = make_sine_pcm16(24000, 2, 48000, seed=9)
+    wav = write_wav(pcm, 2, 48000)
+    builder = USMBuilder(ivf_blob, audio=[wav], audio_codec=codec)
+    usm_bytes = builder.build()
+    usm = USM(usm_bytes)
+    usm.demux()
+    assert "@SFV_0" in usm.output and "@SFA_0" in usm.output
+    video = bytes(usm.output["@SFV_0"])
+    assert video[:len(ivf_blob)] == ivf_blob
+    audio = bytes(usm.output["@SFA_0"])
+    expected = builder.streams[0] if codec == "adx" \
+        else builder.streams[0].get_hca()
+    assert audio == bytes(expected)
+
+
+def test_usm_demux_matches_reference(oracle_py, tmp_path):
+    ivf_blob = _fake_ivf()
+    pcm = make_sine_pcm16(16000, 1, 32000, seed=10)
+    wav = write_wav(pcm, 1, 32000)
+    usm_bytes = USMBuilder(ivf_blob, audio=[wav], audio_codec="hca").build()
+    path = tmp_path / "video.usm"
+    path.write_bytes(usm_bytes)
+    ours = USM(str(path))
+    ours.demux()
+    ref = oracle_py.USM(str(path))
+    ref.demux()
+    assert {k: bytes(v) for k, v in ours.output.items()} == \
+        {k: bytes(v) for k, v in ref.output.items()}
+
+
+def test_usm_encrypted_video_roundtrip(oracle_py, tmp_path):
+    key = 0x1234567890ABCDEF
+    ivf_blob = _fake_ivf()
+    usm_bytes = USMBuilder(ivf_blob, key=key).build()
+    path = tmp_path / "enc.usm"
+    path.write_bytes(usm_bytes)
+    ours = USM(str(path), key=key)
+    ours.demux()
+    assert bytes(ours.output["@SFV_0"])[:len(ivf_blob)] == ivf_blob
+    ref = oracle_py.USM(str(path), key=key)
+    ref.demux()
+    assert {k: bytes(v) for k, v in ours.output.items()} == \
+        {k: bytes(v) for k, v in ref.output.items()}
