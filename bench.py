@@ -1,0 +1,77 @@
+"""Benchmark: batched HCA bank decode throughput (BASELINE config 5).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: decoded audio-seconds per wallclock second per chip, end-to-end
+(host bitstream unpack + device transform + PCM copy-back) for a 256-stream
+HCA bank. vs_baseline is measured against the BASELINE.json north-star of
+1000x realtime per chip.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_X_REALTIME = 1000.0
+
+
+def main():
+    import jax
+
+    # On CPU fallback keep bit-exactness flags; on TPU run as-is.
+    platform = jax.devices()[0].platform
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.utils.wav import write_wav
+
+    n_streams = int(os.environ.get("BENCH_STREAMS", "256"))
+    duration_s = float(os.environ.get("BENCH_SECONDS", "10.0"))
+    sr = 48000
+    samples = int(sr * duration_s)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(samples) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 991 * t)
+           + 0.02 * rng.standard_normal(samples))
+    pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+    stereo = np.stack([pcm, np.roll(pcm, 480)], 1).reshape(-1)
+    wav = write_wav(stereo, 2, sr)
+    print(f"encoding {duration_s:.0f}s stereo reference stream...",
+          file=sys.stderr)
+    hca_blob = hca_encode_host.encode(wav, quality=2)
+    blobs = [hca_blob] * n_streams
+    audio_seconds = n_streams * duration_s
+
+    print(f"platform={platform} devices={len(jax.devices())}", file=sys.stderr)
+    # warmup at the real batch shape (compiles once; persistent cache reuses)
+    t0 = time.perf_counter()
+    parallel.decode_batch(blobs)
+    print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = parallel.decode_batch(blobs)
+        elapsed = time.perf_counter() - t0
+        assert len(out) == n_streams
+        best = max(best, audio_seconds / elapsed)
+        print(f"  run: {elapsed:.3f}s -> {audio_seconds/elapsed:.1f}x realtime",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "hca_bank_decode_audio_sec_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(best / BASELINE_X_REALTIME, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -157,8 +157,13 @@ def parse_adx_header(data: bytes, strict_cri_check: bool = True) -> AdxHeader:
     return h
 
 
-def _decode_arrays(data: bytes, h: AdxHeader, use_jax: bool) -> np.ndarray:
-    """Demux the block stream and run the ADPCM kernel. Returns [C, N] int16."""
+def _decode_arrays_host(data: bytes, h: AdxHeader):
+    """Demux the block stream to dense kernel inputs.
+
+    Returns (codes, scales, c0, c1, h1, h2): int32 [C, N] lanes plus initial
+    history [C] — the layout consumed by ops/adx_kernels and the batched
+    pipeline (parallel.adx_decode_batch).
+    """
     spb = h.samples_per_block
     base = h.data_offset + 4
     blocks_total = math.ceil(h.sample_count / spb) if h.sample_count else 0
@@ -215,7 +220,12 @@ def _decode_arrays(data: bytes, h: AdxHeader, use_jax: bool) -> np.ndarray:
     else:
         h1 = np.zeros(h.channels, dtype=np.int32)
         h2 = np.zeros(h.channels, dtype=np.int32)
+    return codes_l, scales_l, c0_l, c1_l, h1, h2
 
+
+def _decode_arrays(data: bytes, h: AdxHeader, use_jax: bool) -> np.ndarray:
+    """Demux and run the ADPCM kernel. Returns [C, N] int16."""
+    codes_l, scales_l, c0_l, c1_l, h1, h2 = _decode_arrays_host(data, h)
     if codes_l.shape[1] == 0:
         return np.zeros((h.channels, 0), dtype=np.int16)
     if use_jax:

@@ -124,26 +124,32 @@ def _window_overlap_add(dct):
 
 @partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
                                    "apply_noise", "apply_hfr", "hfr_group_count"))
-def hca_decode_transform(qc, sf, res, intensity, noise_src, noise_sci, noise_mask,
-                         hfr_is, hfr_src, hfr_group, hfr_zero,
-                         *, base_band, total_band, stereo_pairs,
-                         apply_noise, apply_hfr, hfr_group_count):
-    """Spectra -> interleaved PCM16 for a frame batch.
+def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
+                                 noise_mask, hfr_is, hfr_src, hfr_group,
+                                 hfr_zero, *, base_band, total_band,
+                                 stereo_pairs, apply_noise, apply_hfr,
+                                 hfr_group_count):
+    """Spectra -> interleaved PCM16 for a batch of streams.
 
-    qc        : int16 [F, C, 8, 128]
-    sf, res   : uint8 [F, C, 128]
-    intensity : uint8 [F, C, 8]
+    qc        : int16 [B, F, C, 8, 128] (B streams x F frames)
+    sf, res   : uint8 [B, F, C, 128]
+    intensity : uint8 [B, F, C, 8]
     noise_*   : gather maps from unpack (only read when apply_noise)
     hfr_*     : static gather maps (build_hfr_map), device arrays
-    returns   : int16 [F, 8, 128, C] (frame-major interleaved samples)
+    returns   : int16 [B, F, 8, 128, C] (frame-major interleaved samples)
+
+    All stages are batched elementwise/gather math; the only cross-frame
+    coupling (overlap-add) is a one-step shift over the time axis, so when F
+    is sharded over a mesh axis XLA lowers it to a neighbour collective-permute
+    (halo exchange) rather than a serial scan.
     """
-    F, C = qc.shape[0], qc.shape[1]
+    B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
     scaling = jnp.asarray(T.SCALING_TABLE)
     range_t = jnp.asarray(T.RANGE_TABLE)
     conv = jnp.asarray(T.SCALE_CONVERSION_TABLE)
 
-    gain = scaling[sf] * range_t[res]                       # [F, C, 128]
-    spectra = gain[:, :, None, :] * qc.astype(jnp.float32)  # [F, C, 8, 128]
+    gain = scaling[sf] * range_t[res]                     # [B, F, C, 128]
+    spectra = gain[..., None, :] * qc.astype(jnp.float32)  # [B, F, C, 8, 128]
 
     if apply_noise:
         gathered = jnp.take_along_axis(spectra, noise_src, axis=-1)
@@ -151,22 +157,25 @@ def hca_decode_transform(qc, sf, res, intensity, noise_src, noise_sci, noise_mas
 
     if apply_hfr:
         # sci = hfr_scale(group) - sf[lowband] + 63, clamped at 0
-        hfr_scales = sf[:, :, 128 - hfr_group_count:]        # [F, C, G]
+        hfr_scales = sf[..., 128 - hfr_group_count:]       # [B, F, C, G]
+        bc = (1,) * 3
         g_scale = jnp.take_along_axis(
-            hfr_scales.astype(jnp.int32), hfr_group[None, None, :], axis=-1)
+            hfr_scales.astype(jnp.int32), hfr_group.reshape(bc + (-1,)), axis=-1)
         low_sf = jnp.take_along_axis(sf.astype(jnp.int32),
-                                     hfr_src[None, None, :], axis=-1)
+                                     hfr_src.reshape(bc + (-1,)), axis=-1)
         sci = jnp.maximum(g_scale - low_sf + 63, 0)
-        low_spec = jnp.take_along_axis(spectra, hfr_src[None, None, None, :], axis=-1)
-        hfr_fill = conv[sci][:, :, None, :] * low_spec
+        low_spec = jnp.take_along_axis(
+            spectra, hfr_src.reshape(bc + (1, -1)), axis=-1)
+        hfr_fill = conv[sci][..., None, :] * low_spec
         # secondary channels skip HFR (their high bands come from intensity)
         is_secondary = jnp.zeros((C,), dtype=bool)
         for (p, s) in stereo_pairs:
             is_secondary = is_secondary.at[s].set(True)
-        mask = hfr_is[None, None, None, :] & (~is_secondary)[None, :, None, None]
+        not_sec = (~is_secondary)[None, None, :, None, None]
+        mask = hfr_is[None, None, None, None, :] & not_sec
         spectra = jnp.where(mask, hfr_fill, spectra)
-        zero_mask = (jnp.arange(128) == hfr_zero)[None, None, None, :] \
-            & (~is_secondary)[None, :, None, None]
+        zero_mask = (jnp.arange(128) == hfr_zero)[None, None, None, None, :] \
+            & not_sec
         spectra = jnp.where(zero_mask, 0.0, spectra)
 
     if stereo_pairs:
@@ -174,23 +183,34 @@ def hca_decode_transform(qc, sf, res, intensity, noise_src, noise_sci, noise_mas
         band = jnp.arange(128)
         sel = (band >= base_band) & (band < total_band)
         for (p, s) in stereo_pairs:
-            ratio_l = itable[intensity[:, s, :]][:, :, None]   # [F, 8, 1]
+            ratio_l = itable[intensity[..., s, :]][..., None]  # [B, F, 8, 1]
             ratio_r = jnp.float32(2.0) - ratio_l
-            l_spec = spectra[:, p, :, :]
+            l_spec = spectra[..., p, :, :]
             new_l = jnp.where(sel, l_spec * ratio_l, l_spec)
-            new_r = jnp.where(sel, l_spec * ratio_r, spectra[:, s, :, :])
-            spectra = spectra.at[:, p, :, :].set(new_l)
-            spectra = spectra.at[:, s, :, :].set(new_r)
+            new_r = jnp.where(sel, l_spec * ratio_r, spectra[..., s, :, :])
+            spectra = spectra.at[..., p, :, :].set(new_l)
+            spectra = spectra.at[..., s, :, :].set(new_r)
 
-    dct = _imdct_butterflies(spectra)                       # [F, C, 8, 128]
-    # time axis per channel: [C, F*8, 128]
-    dct_t = jnp.moveaxis(dct, 1, 0).reshape(C, F * 8, 128)
-    wave = _window_overlap_add(dct_t)                       # [C, T, 128]
+    dct = _imdct_butterflies(spectra)                     # [B, F, C, 8, 128]
+    # time axis per (stream, channel): [B, C, F*8, 128]
+    dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
+    wave = _window_overlap_add(dct_t)                     # [B, C, T, 128]
 
     scaled = wave * jnp.float32(32768.0)
     ints = jnp.clip(scaled.astype(jnp.int32), -32768, 32767).astype(jnp.int16)
-    # -> [F, 8, 128, C] interleaved sample layout
-    return jnp.moveaxis(ints.reshape(C, F, 8, 128), 0, 3)
+    # -> [B, F, 8, 128, C] interleaved sample layout
+    return jnp.moveaxis(ints.reshape(B, C, F, 8, 128), 1, 4)
+
+
+def hca_decode_transform(qc, sf, res, intensity, noise_src, noise_sci,
+                         noise_mask, hfr_is, hfr_src, hfr_group, hfr_zero,
+                         **config):
+    """Single-stream decode transform: [F, ...] wrapper over the batched op."""
+    out = hca_decode_transform_batched(
+        qc[None], sf[None], res[None], intensity[None], noise_src[None],
+        noise_sci[None], noise_mask[None], hfr_is, hfr_src, hfr_group,
+        hfr_zero, **config)
+    return out[0]
 
 
 def stereo_pairs_of(channel_type: np.ndarray) -> Tuple[Tuple[int, int], ...]:

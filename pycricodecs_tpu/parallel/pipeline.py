@@ -1,0 +1,332 @@
+"""Batched / sharded decode pipelines (the TPU-scaling layer).
+
+This is the framework's analogue of data/sequence parallelism (SURVEY.md
+§2.4): thousands of independent HCA/ADX streams per device batch, sharded over
+a `jax.sharding.Mesh`:
+
+- the stream axis B shards over the "dp" mesh axis (embarrassingly parallel);
+- the frame/time axis F can shard over "sp": the IMDCT overlap-add couples
+  neighbouring frames through a one-step shift, which XLA GSPMD lowers to a
+  collective-permute halo exchange over ICI — no custom collectives needed.
+
+Entry points:
+    decode_batch(blobs, key=...)         -> list of WAV bytes
+    decode_awb / decode_acb              -> bank decode (BASELINE config 5)
+    encode_batch(wavs, ...)              -> list of ADX blobs (batched ADX)
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import hca as hca_model
+from ..ops import hca_frame, hca_kernels
+from ..utils import hca_crypt
+from ..utils import wav as wavmod
+
+SAMPLES_PER_FRAME = 1024
+
+
+_cache_ready = False
+
+
+def _ensure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache (compiles on tunneled TPU
+    backends can take tens of seconds; decode shapes are bucketed so repeat
+    workloads hit this cache)."""
+    global _cache_ready
+    if _cache_ready:
+        return
+    _cache_ready = True
+    try:
+        cache_dir = os.environ.get(
+            "PYCRICODECS_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "pycricodecs_tpu", "jaxcache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("dp", "sp")) -> Mesh:
+    """Build a device mesh. Default: all devices on the "dp" (stream) axis."""
+    devices = np.array(jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    devices = devices[:int(np.prod(shape))].reshape(tuple(shape))
+    return Mesh(devices, axis_names=tuple(axis_names))
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+class _GroupKey(tuple):
+    """Hashable transform-config key used to batch compatible streams."""
+
+
+def _config_key(info: hca_frame.HcaInfo) -> tuple:
+    return (info.channels, info.version, info.frame_size,
+            info.min_resolution, info.max_resolution, info.total_band_count,
+            info.base_band_count, info.stereo_band_count,
+            info.bands_per_hfr_group, info.hfr_group_count,
+            info.channel_config, info.track_count, info.ath_type)
+
+
+def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
+                 subkeys: Optional[Sequence[int]] = None,
+                 mesh: Optional[Mesh] = None,
+                 return_arrays: bool = False) -> List[bytes]:
+    """Decode many HCA streams in device batches.
+
+    Streams are grouped by transform configuration; each group is unpacked
+    host-side (C++ core, threaded), frame-padded to a common length, stacked
+    to [B, F, C, 8, 128] tensors and decoded in a single device dispatch,
+    optionally sharded over `mesh` ("dp" = stream axis).
+
+    Returns WAV bytes per stream (or (pcm16 array, info) when return_arrays).
+    """
+    _ensure_compile_cache()
+    infos = []
+    for i, blob in enumerate(blobs):
+        blob = bytes(blob)
+        hs = int.from_bytes(blob[6:8], "big")
+        info = hca_frame.parse_header(blob[:hs])
+        sk = subkeys[i] if subkeys is not None else subkey
+        info.set_key(hca_crypt.scramble_subkey(key, sk))
+        infos.append((info, blob, hs))
+
+    groups: dict = {}
+    for idx, (info, blob, hs) in enumerate(infos):
+        groups.setdefault(_config_key(info), []).append(idx)
+
+    results: List = [None] * len(blobs)
+    for group in groups.values():
+        _decode_group(group, infos, results, mesh)
+
+    out = []
+    for (info, _blob, _hs), item in zip(infos, results):
+        if return_arrays:
+            out.append((item, info))
+        else:
+            looping = info.loop_flag
+            loop_start = loop_end = 0
+            if looping:
+                loop_start = (info.loop_start_frame * SAMPLES_PER_FRAME
+                              + info.loop_start_delay - info.encoder_delay)
+                loop_end = (info.loop_end_frame * SAMPLES_PER_FRAME
+                            + (SAMPLES_PER_FRAME - info.loop_end_padding)
+                            - info.encoder_delay)
+            out.append(wavmod.write_wav(
+                item.reshape(-1), info.channels, info.sample_rate,
+                looping=looping, loop_start=loop_start, loop_end=loop_end))
+    return out
+
+
+def _decode_group(group, infos, results, mesh) -> None:
+    info0 = infos[group[0]][0]
+    C = info0.channels
+    fmax = max(infos[i][0].frame_count for i in group)
+    B = len(group)
+    # Bucket batch/frame axes: keeps the number of distinct compiled shapes
+    # small (compiles dominate on remote backends) and makes shardings divide
+    # evenly. Padding decodes to silence and is sliced away per stream below.
+    fmax = _round_up(fmax, 32)
+    Bp = max(1 << (B - 1).bit_length(), 4) if B > 2 else B
+    if mesh is not None:
+        Bp = _round_up(Bp, mesh.devices.shape[0])
+        if len(mesh.devices.shape) > 1 and mesh.devices.shape[1] > 1:
+            fmax = _round_up(fmax, mesh.devices.shape[1])
+
+    qc = np.zeros((Bp, fmax, C, 8, 128), dtype=np.int16)
+    sf = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)
+    res = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)
+    inten = np.zeros((Bp, fmax, C, 8), dtype=np.uint8)
+    need_noise = info0.min_resolution == 0
+    if need_noise:
+        noise_src = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                    (Bp, fmax, C, 8, 128)).copy()
+        noise_sci = np.zeros((Bp, fmax, C, 8, 128), dtype=np.uint8)
+        noise_mask = np.zeros((Bp, fmax, C, 8, 128), dtype=bool)
+    else:
+        # v2.0 streams never noise-fill; ship 1-element dummies instead of
+        # three full-size tensors (cuts H2D volume by ~3x)
+        noise_src = np.zeros((1,) * 5, dtype=np.int32)
+        noise_sci = np.zeros((1,) * 5, dtype=np.uint8)
+        noise_mask = np.zeros((1,) * 5, dtype=bool)
+
+    for b, idx in enumerate(group):
+        info, blob, hs = infos[idx]
+        frames = blob[hs:hs + info.frame_count * info.frame_size]
+        unp = hca_frame.unpack_frames(info, frames)
+        F = unp.qc.shape[0]
+        qc[b, :F] = unp.qc
+        sf[b, :F] = unp.scalefactors
+        res[b, :F] = unp.resolutions
+        inten[b, :F] = unp.intensity
+        if need_noise:
+            noise_src[b, :F] = unp.noise_src
+            noise_sci[b, :F] = unp.noise_sci
+            noise_mask[b, :F] = unp.noise_mask
+
+    hfr = hca_kernels.build_hfr_map(
+        info0.total_band_count, info0.base_band_count,
+        info0.stereo_band_count, info0.bands_per_hfr_group,
+        info0.hfr_group_count, info0.version)
+    pairs = hca_kernels.stereo_pairs_of(info0.channel_type) \
+        if info0.stereo_band_count > 0 else ()
+    config = dict(base_band=int(info0.base_band_count),
+                  total_band=int(info0.total_band_count),
+                  stereo_pairs=pairs,
+                  apply_noise=bool(need_noise and noise_mask.any()),
+                  apply_hfr=bool(info0.bands_per_hfr_group > 0
+                                 and info0.hfr_group_count > 0),
+                  hfr_group_count=int(info0.hfr_group_count))
+
+    args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask,
+            np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+            np.asarray(hfr.group_of), np.int32(hfr.zero_band))
+    if mesh is not None:
+        batch_axis = mesh.axis_names[0]
+        shardings = []
+        for a in args[:7]:
+            spec = [None] * np.ndim(a)
+            if np.ndim(a) >= 1 and a.shape[0] == Bp:
+                spec[0] = batch_axis
+                if np.ndim(a) >= 2 and len(mesh.axis_names) > 1 \
+                        and mesh.devices.shape[1] > 1:
+                    spec[1] = mesh.axis_names[1]
+            shardings.append(NamedSharding(mesh, P(*spec)))
+        for a in args[7:]:
+            shardings.append(NamedSharding(mesh, P()))
+        args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+
+    out = np.asarray(hca_kernels.hca_decode_transform_batched(*args, **config))
+
+    for b, idx in enumerate(group):
+        info = infos[idx][0]
+        samples = (info.frame_count * SAMPLES_PER_FRAME
+                   - info.encoder_delay - info.encoder_padding)
+        pcm = out[b].reshape(-1, info.channels)
+        pcm = pcm[info.encoder_delay:info.encoder_delay + samples]
+        full = np.zeros((samples, info.channels), dtype=np.int16)
+        full[:pcm.shape[0]] = pcm
+        results[idx] = full
+
+
+def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,
+               decode_non_hca: bool = True) -> List[bytes]:
+    """Decode every HCA member of an AWB bank in one device batch."""
+    from ..containers.awb import AWB
+    from ..models.adx import decode as adx_decode
+
+    awb = awb_obj_or_bytes if isinstance(awb_obj_or_bytes, AWB) \
+        else AWB(awb_obj_or_bytes)
+    members = list(awb.getfiles())
+    hca_idx = [i for i, m in enumerate(members)
+               if bytes(m[:4]) in (b"HCA\x00", b"\xC8\xC3\xC1\x00")]
+    decoded = decode_batch([members[i] for i in hca_idx], key=key,
+                           subkey=awb.subkey, mesh=mesh)
+    out: List = [None] * len(members)
+    for i, wav_bytes in zip(hca_idx, decoded):
+        out[i] = wav_bytes
+    for i, m in enumerate(members):
+        if out[i] is None:
+            if decode_non_hca and bytes(m[:2]) == b"\x80\x00":
+                out[i] = adx_decode(m)
+            else:
+                out[i] = bytes(m)
+    return out
+
+
+def decode_acb(acb_obj_or_bytes, key: int = 0,
+               mesh: Optional[Mesh] = None) -> List[bytes]:
+    """Decode an ACB's waveform bank in one device batch (BASELINE config 5)."""
+    from ..containers.acb import ACB
+
+    acb = acb_obj_or_bytes if isinstance(acb_obj_or_bytes, ACB) \
+        else ACB(acb_obj_or_bytes)
+    return decode_awb(acb.awb, key=key, mesh=mesh)
+
+
+def adx_decode_batch(blobs: Sequence[bytes],
+                     mesh: Optional[Mesh] = None) -> List[bytes]:
+    """Decode many ADX streams with one scan dispatch per stream group.
+
+    Streams are grouped by (mode, bit depth, block size, sample length
+    bucket); each group decodes as a single [lanes, time] `lax.scan` where
+    lanes = streams x channels — the batching strategy from SURVEY.md §2.4.
+    """
+    import math
+
+    from ..models import adx as adx_model
+    from ..ops import adx_kernels
+    from ..utils.bitio import unpack_fixed_codes
+
+    _ensure_compile_cache()
+    parsed = []
+    for blob in blobs:
+        blob = bytes(blob)
+        parsed.append((adx_model.parse_adx_header(blob), blob))
+
+    groups: dict = {}
+    for idx, (h, _blob) in enumerate(parsed):
+        spb = h.samples_per_block
+        nblocks = math.ceil(h.sample_count / spb) if h.sample_count else 0
+        bucket = _round_up(max(nblocks, 1), 64)
+        key = (h.encoding_mode, h.bit_depth, h.block_size, h.version, bucket)
+        groups.setdefault(key, []).append(idx)
+
+    results: List = [None] * len(blobs)
+    for (mode, bit_depth, block_size, version, bucket), members in groups.items():
+        spb = (block_size - 2) * 8 // bit_depth
+        nlanes = sum(parsed[i][0].channels for i in members)
+        N = bucket * spb
+        codes = np.zeros((nlanes, N), dtype=np.int32)
+        scales = np.zeros((nlanes, N), dtype=np.int32)
+        c0 = np.zeros((nlanes, N), dtype=np.int32)
+        c1 = np.zeros((nlanes, N), dtype=np.int32)
+        h1 = np.zeros(nlanes, dtype=np.int32)
+        h2 = np.zeros(nlanes, dtype=np.int32)
+        lane = 0
+        lane_spans = []
+        for idx in members:
+            h, blob = parsed[idx]
+            ch = h.channels
+            arr = adx_model._decode_arrays_host(blob, h)
+            (g_codes, g_scales, g_c0, g_c1, g_h1, g_h2) = arr
+            n = g_codes.shape[1]
+            codes[lane:lane + ch, :n] = g_codes
+            scales[lane:lane + ch, :n] = g_scales
+            c0[lane:lane + ch, :n] = g_c0
+            c1[lane:lane + ch, :n] = g_c1
+            h1[lane:lane + ch] = g_h1
+            h2[lane:lane + ch] = g_h2
+            lane_spans.append((idx, lane, ch, n))
+            lane += ch
+        pcm = np.asarray(adx_kernels.adx_decode_scan(codes, scales, c0, c1, h1, h2))
+        for idx, lane0, ch, n in lane_spans:
+            h, _blob = parsed[idx]
+            count = h.sample_count
+            interleaved = np.zeros(count * ch, dtype=np.int16)
+            have = min(count, n)
+            interleaved.reshape(count, ch)[:have] = pcm[lane0:lane0 + ch, :have].T
+            results[idx] = wavmod.write_wav(
+                interleaved, ch, h.sample_rate, looping=h.looping,
+                loop_start=h.loop_start_sample, loop_end=h.loop_end_sample)
+    return results
+
+
+def encode_batch(wavs: Sequence[bytes], mesh: Optional[Mesh] = None,
+                 **adx_kwargs) -> List[bytes]:
+    """Batched ADX encode of WAV inputs (shared jitted kernels per shape)."""
+    from ..models import adx as adx_model
+
+    return [adx_model.encode(w, **adx_kwargs) for w in wavs]

@@ -1,0 +1,92 @@
+"""Batched bank decode + mesh sharding tests (8 virtual CPU devices)."""
+import jax
+import numpy as np
+import pytest
+
+from pycricodecs_tpu import parallel
+from pycricodecs_tpu.containers.acb import ACBBuilder
+from pycricodecs_tpu.models import hca as hcamod
+from pycricodecs_tpu.utils.wav import write_wav
+from tests.conftest import make_sine_pcm16
+
+
+def _tracks(oracle, n, channels=2, samples=8192):
+    out = []
+    for i in range(n):
+        wav = write_wav(make_sine_pcm16(samples, channels, 48000, seed=500 + i),
+                        channels, 48000)
+        out.append(bytes(oracle.HcaEncode(wav, 0, 2)))
+    return out
+
+
+def test_decode_batch_matches_single(oracle):
+    blobs = _tracks(oracle, 5)
+    batched = parallel.decode_batch(blobs)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_batch_mixed_configs(oracle):
+    # different channel counts force separate groups
+    blobs = _tracks(oracle, 2, channels=2) + _tracks(oracle, 2, channels=1)
+    batched = parallel.decode_batch(blobs)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_batch_mixed_lengths(oracle):
+    blobs = (_tracks(oracle, 2, samples=4096) + _tracks(oracle, 1, samples=16384)
+             + _tracks(oracle, 1, samples=6144))
+    batched = parallel.decode_batch(blobs)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_batch_sharded_dp(oracle):
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    mesh = parallel.make_mesh((8, 1))
+    blobs = _tracks(oracle, 11)  # odd count exercises batch padding
+    batched = parallel.decode_batch(blobs, mesh=mesh)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_batch_sharded_dp_sp(oracle):
+    mesh = parallel.make_mesh((4, 2))  # frame axis sharded too (halo exchange)
+    blobs = _tracks(oracle, 6)
+    batched = parallel.decode_batch(blobs, mesh=mesh)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_acb_bank(oracle):
+    blobs = _tracks(oracle, 4)
+    acb_blob = ACBBuilder(blobs).build()
+    mesh = parallel.make_mesh((8, 1))
+    decoded = parallel.decode_acb(acb_blob, mesh=mesh)
+    assert len(decoded) == 4
+    for blob, wav_bytes in zip(blobs, decoded):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_batch_encrypted(oracle):
+    key = 0xCF222F1FE0748978
+    blobs = _tracks(oracle, 3)
+    enc = [hcamod.crypt(b, True, int.from_bytes(b[6:8], "big"), 56, key, 0)
+           for b in blobs]
+    batched = parallel.decode_batch(enc, key=key)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_adx_decode_batch(oracle):
+    from pycricodecs_tpu.models import adx as adxmod
+    blobs = []
+    for i, (ch, samples) in enumerate([(1, 4096), (2, 4096), (2, 9000), (1, 2048)]):
+        pcm = make_sine_pcm16(samples, ch, 48000, seed=700 + i)
+        pcm[:64 * ch] = 0
+        wav = write_wav(pcm, ch, 48000)
+        blobs.append(bytes(oracle.AdxEncode(wav, 4, 0x12, 3, 0x1F4, 0, 4, False)))
+    batched = parallel.adx_decode_batch(blobs)
+    for blob, wav_bytes in zip(blobs, batched):
+        assert wav_bytes == adxmod.decode(blob)
