@@ -594,3 +594,117 @@ def pack_frame(info: HcaInfo, acceptable_noise_level: int, evaluation_boundary: 
     crc = crc16(bytes(frame[:fs - 2]))
     frame[fs - 2:] = crc.to_bytes(2, "big")
     return bytes(frame)
+
+
+# ---------------------------------------------------------------------------
+# Key testing (clHCA_TestBlock analogue, hca.cpp:1004-1097)
+# ---------------------------------------------------------------------------
+
+def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
+    """Statistically score one frame under the current cipher table.
+
+    Returns the reference's scoring: 0 = silent/neutral, 1 = plausible,
+    2/3/clips = suspicious, negative = hard bitstream failure. Used for
+    keycode search over encrypted streams.
+    """
+    fs = info.frame_size
+    frame = bytes(frame[:fs])
+    if all(b == 0 for b in frame[2:fs - 2]):
+        return 0
+    # unpack with bit-position tracking
+    if not (frame[0] == 0xFF and frame[1] == 0xFF):
+        return -1
+    if crc16(frame):
+        return -1
+    dec = info.cipher[np.frombuffer(frame, dtype=np.uint8)]
+    br = BitReader(dec.tobytes())
+    br.skip(16)
+    anl = br.read(9)
+    evb = br.read(7)
+    packed_noise_level = (anl << 8) - evb
+    C = info.channels
+    sfs = np.zeros((C, 128), dtype=np.uint8)
+    ress = np.zeros((C, 128), dtype=np.uint8)
+    intens = np.zeros((C, 8), dtype=np.uint8)
+    try:
+        for c in range(C):
+            ct = info.channel_type[c]
+            sf = _unpack_scalefactors(ct, info.coded_count[c], br,
+                                      info.hfr_group_count, info.version)
+            intens[c] = _unpack_intensity(ct, br, info.hfr_group_count,
+                                          info.version, sf)
+            res, _, _, _ = calc_resolutions(info, sf, info.coded_count[c],
+                                            packed_noise_level)
+            sfs[c] = sf
+            ress[c] = res
+        qc = np.zeros((C, 8, 128), dtype=np.int16)
+        for s in range(8):
+            for c in range(C):
+                qc[c, s] = _dequantize_codes(br, ress[c], info.coded_count[c])
+    except HcaError:
+        return -1
+    status = br.pos
+    bits_max = fs * 8
+    if status + 14 > bits_max:
+        return -6
+    byte_start = (status // 8) + (1 if status % 8 else 0)
+    if any(dec[i] != 0 for i in range(byte_start, fs - 2)):
+        return -1
+
+    # transform and inspect the waveform (float domain)
+    from . import hca_kernels
+    hfr = hca_kernels.build_hfr_map(
+        info.total_band_count, info.base_band_count, info.stereo_band_count,
+        info.bands_per_hfr_group, info.hfr_group_count, info.version)
+    pairs = hca_kernels.stereo_pairs_of(info.channel_type) \
+        if info.stereo_band_count > 0 else ()
+    wave = hca_kernels.hca_decode_wave(
+        qc[None, None], sfs[None, None], ress[None, None], intens[None, None],
+        np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+        np.asarray(hfr.group_of), np.int32(hfr.zero_band),
+        base_band=int(info.base_band_count),
+        total_band=int(info.total_band_count), stereo_pairs=pairs,
+        apply_hfr=bool(info.bands_per_hfr_group > 0 and info.hfr_group_count > 0),
+        hfr_group_count=int(info.hfr_group_count))
+    wave = np.asarray(wave)[0]  # [C, 8, 128] time layout
+
+    clips = int((np.abs(wave) > 1.0).sum())
+    scaled = np.trunc(wave.astype(np.float64) * 32768.0).astype(np.int64)
+    blank = (np.abs(wave) <= 1.0) & ((scaled == 0) | (scaled == -1))
+    blanks = int(blank.sum())
+    channel_blanks = blank.reshape(C, -1).sum(axis=1)
+    frame_samples = 8 * 128
+    if clips == 1:
+        clips += 1
+    if clips > 1:
+        return clips
+    if blanks == C * frame_samples:
+        return 0
+    if C >= 2 and channel_blanks[0] == frame_samples \
+            and channel_blanks[1] != frame_samples:
+        return 3
+    return 1
+
+
+def score_key(data: bytes, keycode: int, subkey: int = 0,
+              max_frames: int = 16) -> int:
+    """Aggregate test_block score over the first frames of an HCA stream.
+
+    Higher is better; <= 0 means the key is almost certainly wrong.
+    """
+    header_size = int.from_bytes(data[6:8], "big")
+    info = parse_header(data[:header_size])
+    info.set_key(hca_crypt.scramble_subkey(keycode, subkey))
+    total = 0
+    tested = 0
+    for f in range(min(max_frames, info.frame_count)):
+        off = header_size + f * info.frame_size
+        frame = data[off:off + info.frame_size]
+        if len(frame) < info.frame_size:
+            break
+        score = test_block(info, frame)
+        if score < 0:
+            return -1
+        total += score
+        tested += 1
+    return total if tested else -1

@@ -220,3 +220,57 @@ def stereo_pairs_of(channel_type: np.ndarray) -> Tuple[Tuple[int, int], ...]:
         if channel_type[c] == T.STEREO_PRIMARY:
             pairs.append((c, c + 1))
     return tuple(pairs)
+
+
+@partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
+                                   "apply_hfr", "hfr_group_count"))
+def hca_decode_wave(qc, sf, res, intensity, hfr_is, hfr_src, hfr_group,
+                    hfr_zero, *, base_band, total_band, stereo_pairs,
+                    apply_hfr, hfr_group_count):
+    """Float-domain decode (no PCM16 quantisation, no noise fill).
+
+    Used by the key tester (clHCA_TestBlock analogue) which inspects the
+    waveform before int16 conversion. Shapes as in
+    hca_decode_transform_batched; returns f32 [B, C, F*8, 128].
+    """
+    B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
+    scaling = jnp.asarray(T.SCALING_TABLE)
+    range_t = jnp.asarray(T.RANGE_TABLE)
+    conv = jnp.asarray(T.SCALE_CONVERSION_TABLE)
+    gain = scaling[sf] * range_t[res]
+    spectra = gain[..., None, :] * qc.astype(jnp.float32)
+    if apply_hfr:
+        hfr_scales = sf[..., 128 - hfr_group_count:]
+        bc = (1,) * 3
+        g_scale = jnp.take_along_axis(
+            hfr_scales.astype(jnp.int32), hfr_group.reshape(bc + (-1,)), axis=-1)
+        low_sf = jnp.take_along_axis(sf.astype(jnp.int32),
+                                     hfr_src.reshape(bc + (-1,)), axis=-1)
+        sci = jnp.maximum(g_scale - low_sf + 63, 0)
+        low_spec = jnp.take_along_axis(
+            spectra, hfr_src.reshape(bc + (1, -1)), axis=-1)
+        hfr_fill = conv[sci][..., None, :] * low_spec
+        is_secondary = jnp.zeros((C,), dtype=bool)
+        for (p, s) in stereo_pairs:
+            is_secondary = is_secondary.at[s].set(True)
+        not_sec = (~is_secondary)[None, None, :, None, None]
+        mask = hfr_is[None, None, None, None, :] & not_sec
+        spectra = jnp.where(mask, hfr_fill, spectra)
+        zero_mask = (jnp.arange(128) == hfr_zero)[None, None, None, None, :] \
+            & not_sec
+        spectra = jnp.where(zero_mask, 0.0, spectra)
+    if stereo_pairs:
+        itable = jnp.asarray(T.INTENSITY_RATIO_TABLE)
+        band = jnp.arange(128)
+        sel = (band >= base_band) & (band < total_band)
+        for (p, s) in stereo_pairs:
+            ratio_l = itable[intensity[..., s, :]][..., None]
+            ratio_r = jnp.float32(2.0) - ratio_l
+            l_spec = spectra[..., p, :, :]
+            new_l = jnp.where(sel, l_spec * ratio_l, l_spec)
+            new_r = jnp.where(sel, l_spec * ratio_r, spectra[..., s, :, :])
+            spectra = spectra.at[..., p, :, :].set(new_l)
+            spectra = spectra.at[..., s, :, :].set(new_r)
+    dct = _imdct_butterflies(spectra)
+    dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
+    return _window_overlap_add(dct_t)

@@ -245,3 +245,32 @@ def test_usm_encrypted_video_roundtrip(oracle_py, tmp_path):
     ref.demux()
     assert {k: bytes(v) for k, v in ours.output.items()} == \
         {k: bytes(v) for k, v in ref.output.items()}
+
+
+def test_sbt_to_srt():
+    from struct import pack
+    # two subtitle records, language 0
+    recs = b""
+    for i, text in enumerate([b"Hello\x00\x00", b"World\x00\x00"]):
+        recs += pack("<IIIII", 0, 1000, 1000 * (i + 1), 500, len(text)) + text
+    usm = USM.__new__(USM)
+    srts = usm.sbt_to_srt(bytearray(recs))
+    assert len(srts) == 1
+    assert "1\n00:00:01,000 --> 00:00:01,500\nHello" in srts[0]
+    assert "2\n00:00:02,000 --> 00:00:02,500\nWorld" in srts[0]
+
+
+def test_usm_extract_to_files(tmp_path):
+    ivf_blob = _fake_ivf()
+    pcm = make_sine_pcm16(8000, 1, 32000, seed=12)
+    wav = write_wav(pcm, 1, 32000)
+    usm_bytes = USMBuilder(ivf_blob, audio=[wav], audio_codec="hca").build()
+    path = tmp_path / "movie.usm"
+    path.write_bytes(usm_bytes)
+    out = tmp_path / "extracted"
+    usm = USM(str(path))
+    usm.extract(str(out))
+    names = sorted(os.listdir(out))
+    assert len(names) == 2  # video + one audio track
+    meta = usm.get_metadata()
+    assert any("CRIUSF_DIR_STREAM" in d for d in meta)

@@ -144,3 +144,66 @@ def test_native_unpack_matches_python(oracle):
     assert np.array_equal(a.noise_src, b.noise_src)
     assert np.array_equal(a.noise_mask, b.noise_mask)
     assert a.random_state == b.random_state
+
+
+def test_key_scoring(oracle):
+    from pycricodecs_tpu.ops import hca_frame
+    hca = bytes(oracle.HcaEncode(_wav(seed=55), 0, 1))
+    hs = _hdr_size(hca)
+    enc = hcamod.crypt(hca, True, hs, 56, KEY, 0)
+    good = hca_frame.score_key(enc, KEY)
+    bad = hca_frame.score_key(enc, 0xDEADBEEF)
+    assert good > 0
+    assert bad <= 0
+
+
+def test_cricodecs_compat_module(oracle):
+    from pycricodecs_tpu import cricodecs as CC
+    wav = _wav(seed=66, channels=1)
+    assert CC.HcaEncode(wav, 0, 1) == bytes(oracle.HcaEncode(wav, 0, 1))
+    hca = CC.HcaEncode(wav, 0, 1)
+    hs = _hdr_size(hca)
+    assert CC.HcaDecode(hca, hs, 0, 0) == oracle.HcaDecode(bytes(hca), hs, 0, 0)
+    data = b"compat test payload " * 40
+    assert CC.CriLaylaDecompress(CC.CriLaylaCompress(data)) == data
+
+
+def _relabel_v3(hca: bytes) -> bytes:
+    """Rewrite a mono full-band v2.0 stream as v3.0 with min_resolution=0.
+
+    For mono streams without HFR groups the v2/v3 frame bitstreams coincide,
+    so this produces a valid v3 file whose decode exercises the noise-fill
+    path (resolution-0 bands are PNS-filled when min_resolution == 0).
+    """
+    from pycricodecs_tpu.utils.crc import crc16
+    out = bytearray(hca)
+    hs = _hdr_size(hca)
+    assert out[4:6] == b"\x02\x00"
+    out[4:6] = b"\x03\x00"          # version 3.0
+    # comp chunk at offset 24: min_resolution at +6 (offset 30)
+    assert out[24:28] == b"comp"
+    out[30] = 0                      # min_resolution = 0
+    crc = crc16(bytes(out[:hs - 2]))
+    out[hs - 2:hs] = crc.to_bytes(2, "big")
+    return bytes(out)
+
+
+def test_v3_noise_fill_matches_reference(oracle):
+    # quality 0 mono -> full-band, no HFR groups, quiet tail creates
+    # resolution-0 bands once min_resolution drops to 0
+    wav = _wav(channels=1, seed=77)
+    hca_v2 = bytes(oracle.HcaEncode(wav, 0, 0))
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    info = parse_header(hca_v2[:_hdr_size(hca_v2)])
+    assert info.hfr_group_count == 0 and info.channels == 1
+    hca_v3 = _relabel_v3(hca_v2)
+    ref = oracle.HcaDecode(bytes(hca_v3), _hdr_size(hca_v3), 0, 0)
+    ours = hcamod.decode(hca_v3)
+    assert ours == ref
+    # noise fill must actually have triggered for this to be a real test
+    info3 = parse_header(hca_v3[:_hdr_size(hca_v3)])
+    from pycricodecs_tpu.ops import hca_frame
+    unp = hca_frame.unpack_frames(
+        info3, hca_v3[_hdr_size(hca_v3):_hdr_size(hca_v3)
+                      + info3.frame_count * info3.frame_size])
+    assert unp.noise_mask.any(), "expected PNS noise fill to trigger"

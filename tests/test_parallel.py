@@ -90,3 +90,11 @@ def test_adx_decode_batch(oracle):
     batched = parallel.adx_decode_batch(blobs)
     for blob, wav_bytes in zip(blobs, batched):
         assert wav_bytes == adxmod.decode(blob)
+
+
+def test_graft_entry_roundtrip():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.shape == (4, 16, 8, 128, 2) and out.dtype == np.int16
+    g.dryrun_multichip(8)
