@@ -213,28 +213,33 @@ uint32_t cri_layla_compress(const uint8_t* src, uint32_t src_len,
 // ---------------------------------------------------------------------------
 namespace hca {
 
+// Fast MSB-first reader. Requires 8 readable bytes past the logical end
+// (callers pad their buffers); one unaligned 64-bit big-endian load per read.
 struct BitReader {
     const uint8_t* data;
     int size;  // bits
     int pos = 0;
     BitReader(const uint8_t* d, int bytes) : data(d), size(bytes * 8) {}
-    uint32_t peek(int n) const {
-        if (pos + n > size) return 0;
-        int byte = pos >> 3;
-        int rem = pos & 7;
-        uint64_t v = 0;
-        int need = (rem + n + 7) >> 3;
-        for (int i = 0; i < need; i++) v = (v << 8) | data[byte + i];
-        int total = need * 8;
-        return (uint32_t)((v >> (total - rem - n)) & ((n >= 32) ? 0xFFFFFFFFull
-                                                                : ((1ull << n) - 1)));
+    inline uint32_t peek(int n) const {
+        if (n <= 0 || pos + n > size) return 0;
+        uint64_t v;
+        std::memcpy(&v, data + (pos >> 3), 8);
+#if defined(__GNUC__)
+        v = __builtin_bswap64(v);
+#else
+        v = ((v & 0xFFull) << 56) | ((v & 0xFF00ull) << 40) |
+            ((v & 0xFF0000ull) << 24) | ((v & 0xFF000000ull) << 8) |
+            ((v >> 8) & 0xFF000000ull) | ((v >> 24) & 0xFF0000ull) |
+            ((v >> 40) & 0xFF00ull) | (v >> 56);
+#endif
+        return (uint32_t)((v << (pos & 7)) >> (64 - n));
     }
-    uint32_t read(int n) {
+    inline uint32_t read(int n) {
         uint32_t v = peek(n);
         pos += n;
         return v;
     }
-    void skip(int n) { pos += n; }
+    inline void skip(int n) { pos += n; }
 };
 
 }  // namespace hca
@@ -273,8 +278,10 @@ int cri_hca_unpack_frames(
         const uint8_t* frame = data + (size_t)f * frame_size;
         if (!(frame[0] == 0xFF && frame[1] == 0xFF)) return -4;
         if (cri_crc16(frame, frame_size) != 0) return -3;
-        std::vector<uint8_t> dec(frame_size);
+        thread_local std::vector<uint8_t> dec;
+        dec.resize(frame_size + 8);  // +8: BitReader overreads up to 8 bytes
         for (int i = 0; i < frame_size; i++) dec[i] = cipher[frame[i]];
+        std::memset(dec.data() + frame_size, 0, 8);
         hca::BitReader br(dec.data(), frame_size);
         br.skip(16);
         int anl = br.read(9);

@@ -379,22 +379,35 @@ def _dequantize_codes(br: BitReader, res: np.ndarray, coded_count: int) -> np.nd
 
 def unpack_frames(info: HcaInfo, data: bytes, frame_indices=None,
                   random_state: int = 1, use_native: bool = True,
-                  nthreads: int = 0) -> UnpackedFrames:
+                  nthreads: int = 0, out=None) -> UnpackedFrames:
     """Unpack a run of frames from `data` (frame_size-strided) to SoA arrays.
 
     Dispatches to the C++ core (native/cricore.cpp, threaded across frames)
     when available and `frame_indices` is None; the Python path below is the
-    behavioural reference.
+    behavioural reference. `out` may be an UnpackedFrames of preallocated
+    destination views (batch pipeline writes straight into stacked tensors).
     """
     if use_native and frame_indices is None:
-        out = _unpack_frames_native(info, data, random_state, nthreads)
-        if out is not None:
-            return out
-    return _unpack_frames_py(info, data, frame_indices, random_state)
+        res = _unpack_frames_native(info, data, random_state, nthreads, out)
+        if res is not None:
+            return res
+    result = _unpack_frames_py(info, data, frame_indices, random_state)
+    if out is not None:
+        F = result.qc.shape[0]
+        out.qc[:F] = result.qc
+        out.scalefactors[:F] = result.scalefactors
+        out.resolutions[:F] = result.resolutions
+        out.intensity[:F] = result.intensity
+        if result.noise_mask.any():
+            out.noise_src[:F] = result.noise_src
+            out.noise_sci[:F] = result.noise_sci
+            out.noise_mask[:F] = result.noise_mask
+        return result
+    return result
 
 
 def _unpack_frames_native(info: HcaInfo, data: bytes, random_state: int,
-                          nthreads: int):
+                          nthreads: int, out=None):
     import ctypes
     import os
 
@@ -406,16 +419,35 @@ def _unpack_frames_native(info: HcaInfo, data: bytes, random_state: int,
     fs = info.frame_size
     nframes = len(data) // fs
     C = info.channels
-    qc = np.zeros((nframes, C, 8, 128), dtype=np.int16)
-    sfs = np.zeros((nframes, C, 128), dtype=np.uint8)
-    ress = np.zeros((nframes, C, 128), dtype=np.uint8)
-    intens = np.zeros((nframes, C, 8), dtype=np.uint8)
-    ident = np.broadcast_to(np.arange(128, dtype=np.int32),
-                            (nframes, C, 8, 128)).copy()
-    noise_sci = np.zeros((nframes, C, 8, 128), dtype=np.uint8)
-    noise_mask = np.zeros((nframes, C, 8, 128), dtype=np.uint8)
+    need_noise = info.min_resolution == 0
+    if out is not None:
+        def view(a):
+            v = a[:nframes]
+            assert v.flags["C_CONTIGUOUS"]
+            return v
+        qc = view(out.qc)
+        sfs = view(out.scalefactors)
+        ress = view(out.resolutions)
+        intens = view(out.intensity)
+        ident = view(out.noise_src)
+        noise_sci = view(out.noise_sci)
+        noise_mask8 = view(out.noise_mask).view(np.uint8)
+    else:
+        qc = np.zeros((nframes, C, 8, 128), dtype=np.int16)
+        sfs = np.zeros((nframes, C, 128), dtype=np.uint8)
+        ress = np.zeros((nframes, C, 128), dtype=np.uint8)
+        intens = np.zeros((nframes, C, 8), dtype=np.uint8)
+        if need_noise:
+            ident = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                    (nframes, C, 8, 128)).copy()
+            noise_sci = np.zeros((nframes, C, 8, 128), dtype=np.uint8)
+        else:
+            ident = np.zeros((1,) * 4, dtype=np.int32)
+            noise_sci = np.zeros((1,) * 4, dtype=np.uint8)
+        noise_mask8 = np.zeros(ident.shape, dtype=np.uint8)
     buf = np.frombuffer(data, dtype=np.uint8, count=nframes * fs)
     rand = np.array([random_state], dtype=np.uint32)
+    noise_mask = noise_mask8
     if nthreads <= 0:
         nthreads = min(os.cpu_count() or 1, 16)
 
@@ -448,7 +480,8 @@ def _unpack_frames_native(info: HcaInfo, data: bytes, random_state: int,
         raise HcaError("Unpack error")
     return UnpackedFrames(qc=qc, scalefactors=sfs, resolutions=ress,
                           intensity=intens, noise_src=ident,
-                          noise_sci=noise_sci, noise_mask=noise_mask.astype(bool),
+                          noise_sci=noise_sci,
+                          noise_mask=noise_mask.view(bool),
                           random_state=int(rand[0]))
 
 

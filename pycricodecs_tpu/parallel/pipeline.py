@@ -139,42 +139,22 @@ def _decode_group(group, infos, results, mesh) -> None:
     # small (compiles dominate on remote backends) and makes shardings divide
     # evenly. Padding decodes to silence and is sliced away per stream below.
     fmax = _round_up(fmax, 32)
-    Bp = max(1 << (B - 1).bit_length(), 4) if B > 2 else B
+    if mesh is not None and len(mesh.devices.shape) > 1 \
+            and mesh.devices.shape[1] > 1:
+        fmax = _round_up(fmax, 32 * mesh.devices.shape[1])
+
+    # Chunk the stream axis: each chunk is dispatched asynchronously (host
+    # unpack of chunk i+1 and its H2D overlap the device->host fetch of
+    # earlier chunks).
+    chunk = 64
     if mesh is not None:
-        Bp = _round_up(Bp, mesh.devices.shape[0])
-        if len(mesh.devices.shape) > 1 and mesh.devices.shape[1] > 1:
-            fmax = _round_up(fmax, mesh.devices.shape[1])
-
-    qc = np.zeros((Bp, fmax, C, 8, 128), dtype=np.int16)
-    sf = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)
-    res = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)
-    inten = np.zeros((Bp, fmax, C, 8), dtype=np.uint8)
-    need_noise = info0.min_resolution == 0
-    if need_noise:
-        noise_src = np.broadcast_to(np.arange(128, dtype=np.int32),
-                                    (Bp, fmax, C, 8, 128)).copy()
-        noise_sci = np.zeros((Bp, fmax, C, 8, 128), dtype=np.uint8)
-        noise_mask = np.zeros((Bp, fmax, C, 8, 128), dtype=bool)
+        chunk = _round_up(chunk, mesh.devices.shape[0])
+    if B <= chunk:
+        chunk_sizes = [B]
     else:
-        # v2.0 streams never noise-fill; ship 1-element dummies instead of
-        # three full-size tensors (cuts H2D volume by ~3x)
-        noise_src = np.zeros((1,) * 5, dtype=np.int32)
-        noise_sci = np.zeros((1,) * 5, dtype=np.uint8)
-        noise_mask = np.zeros((1,) * 5, dtype=bool)
-
-    for b, idx in enumerate(group):
-        info, blob, hs = infos[idx]
-        frames = blob[hs:hs + info.frame_count * info.frame_size]
-        unp = hca_frame.unpack_frames(info, frames)
-        F = unp.qc.shape[0]
-        qc[b, :F] = unp.qc
-        sf[b, :F] = unp.scalefactors
-        res[b, :F] = unp.resolutions
-        inten[b, :F] = unp.intensity
-        if need_noise:
-            noise_src[b, :F] = unp.noise_src
-            noise_sci[b, :F] = unp.noise_sci
-            noise_mask[b, :F] = unp.noise_mask
+        chunk_sizes = [chunk] * (B // chunk)
+        if B % chunk:
+            chunk_sizes.append(B % chunk)
 
     hfr = hca_kernels.build_hfr_map(
         info0.total_band_count, info0.base_band_count,
@@ -182,43 +162,87 @@ def _decode_group(group, infos, results, mesh) -> None:
         info0.hfr_group_count, info0.version)
     pairs = hca_kernels.stereo_pairs_of(info0.channel_type) \
         if info0.stereo_band_count > 0 else ()
-    config = dict(base_band=int(info0.base_band_count),
-                  total_band=int(info0.total_band_count),
-                  stereo_pairs=pairs,
-                  apply_noise=bool(need_noise and noise_mask.any()),
-                  apply_hfr=bool(info0.bands_per_hfr_group > 0
-                                 and info0.hfr_group_count > 0),
-                  hfr_group_count=int(info0.hfr_group_count))
+    need_noise = info0.min_resolution == 0
+    hfr_args = (np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+                np.asarray(hfr.group_of), np.int32(hfr.zero_band))
 
-    args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask,
-            np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
-            np.asarray(hfr.group_of), np.int32(hfr.zero_band))
-    if mesh is not None:
-        batch_axis = mesh.axis_names[0]
-        shardings = []
-        for a in args[:7]:
-            spec = [None] * np.ndim(a)
-            if np.ndim(a) >= 1 and a.shape[0] == Bp:
-                spec[0] = batch_axis
-                if np.ndim(a) >= 2 and len(mesh.axis_names) > 1 \
-                        and mesh.devices.shape[1] > 1:
-                    spec[1] = mesh.axis_names[1]
-            shardings.append(NamedSharding(mesh, P(*spec)))
-        for a in args[7:]:
-            shardings.append(NamedSharding(mesh, P()))
-        args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+    pending = []  # (device_out, [(batch_row, stream_idx), ...])
+    start = 0
+    for csize in chunk_sizes:
+        members = group[start:start + csize]
+        start += csize
+        Bp = max(1 << (csize - 1).bit_length(), min(4, csize)) \
+            if csize > 2 else csize
+        if B > chunk:
+            Bp = chunk  # uniform chunk shape -> one compiled executable
+        if mesh is not None:
+            Bp = _round_up(Bp, mesh.devices.shape[0])
 
-    out = np.asarray(hca_kernels.hca_decode_transform_batched(*args, **config))
+        qc = np.zeros((Bp, fmax, C, 8, 128), dtype=np.int16)
+        sf = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)
+        res = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)
+        inten = np.zeros((Bp, fmax, C, 8), dtype=np.uint8)
+        if need_noise:
+            noise_src = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                        (Bp, fmax, C, 8, 128)).copy()
+            noise_sci = np.zeros((Bp, fmax, C, 8, 128), dtype=np.uint8)
+            noise_mask = np.zeros((Bp, fmax, C, 8, 128), dtype=bool)
+        else:
+            noise_src = np.zeros((1,) * 5, dtype=np.int32)
+            noise_sci = np.zeros((1,) * 5, dtype=np.uint8)
+            noise_mask = np.zeros((1,) * 5, dtype=bool)
 
-    for b, idx in enumerate(group):
-        info = infos[idx][0]
-        samples = (info.frame_count * SAMPLES_PER_FRAME
-                   - info.encoder_delay - info.encoder_padding)
-        pcm = out[b].reshape(-1, info.channels)
-        pcm = pcm[info.encoder_delay:info.encoder_delay + samples]
-        full = np.zeros((samples, info.channels), dtype=np.int16)
-        full[:pcm.shape[0]] = pcm
-        results[idx] = full
+        for b, idx in enumerate(members):
+            info, blob, hs = infos[idx]
+            frames = blob[hs:hs + info.frame_count * info.frame_size]
+            # the unpacker writes straight into this stream's slice of the
+            # stacked batch tensors (no intermediate copies)
+            dest = hca_frame.UnpackedFrames(
+                qc=qc[b], scalefactors=sf[b], resolutions=res[b],
+                intensity=inten[b],
+                noise_src=noise_src[b] if need_noise else noise_src,
+                noise_sci=noise_sci[b] if need_noise else noise_sci,
+                noise_mask=noise_mask[b] if need_noise else noise_mask,
+                random_state=1)
+            hca_frame.unpack_frames(info, frames, out=dest)
+
+        config = dict(base_band=int(info0.base_band_count),
+                      total_band=int(info0.total_band_count),
+                      stereo_pairs=pairs,
+                      apply_noise=bool(need_noise and noise_mask.any()),
+                      apply_hfr=bool(info0.bands_per_hfr_group > 0
+                                     and info0.hfr_group_count > 0),
+                      hfr_group_count=int(info0.hfr_group_count))
+        args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask) + hfr_args
+        if mesh is not None:
+            batch_axis = mesh.axis_names[0]
+            shardings = []
+            for a in args[:7]:
+                spec = [None] * np.ndim(a)
+                if np.ndim(a) >= 1 and a.shape[0] == Bp:
+                    spec[0] = batch_axis
+                    if np.ndim(a) >= 2 and len(mesh.axis_names) > 1 \
+                            and mesh.devices.shape[1] > 1:
+                        spec[1] = mesh.axis_names[1]
+                shardings.append(NamedSharding(mesh, P(*spec)))
+            for a in args[7:]:
+                shardings.append(NamedSharding(mesh, P()))
+            args = tuple(jax.device_put(a, s)
+                         for a, s in zip(args, shardings))
+        out_dev = hca_kernels.hca_decode_transform_batched(*args, **config)
+        pending.append((out_dev, list(enumerate(members))))
+
+    for out_dev, members in pending:
+        out = np.asarray(out_dev)
+        for b, idx in members:
+            info = infos[idx][0]
+            samples = (info.frame_count * SAMPLES_PER_FRAME
+                       - info.encoder_delay - info.encoder_padding)
+            pcm = out[b].reshape(-1, info.channels)
+            pcm = pcm[info.encoder_delay:info.encoder_delay + samples]
+            full = np.zeros((samples, info.channels), dtype=np.int16)
+            full[:pcm.shape[0]] = pcm
+            results[idx] = full
 
 
 def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,
