@@ -83,7 +83,8 @@ def _config_key(info: hca_frame.HcaInfo) -> tuple:
 def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
                  subkeys: Optional[Sequence[int]] = None,
                  mesh: Optional[Mesh] = None,
-                 return_arrays: bool = False) -> List[bytes]:
+                 return_arrays: bool = False,
+                 on_error: str = "raise") -> List[bytes]:
     """Decode many HCA streams in device batches.
 
     Streams are grouped by transform configuration; each group is unpacked
@@ -91,28 +92,60 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
     to [B, F, C, 8, 128] tensors and decoded in a single device dispatch,
     optionally sharded over `mesh` ("dp" = stream axis).
 
+    on_error: "raise" aborts the whole batch on any corrupt stream;
+    "isolate" keeps going — failed streams come back as the exception object
+    instead of bytes (per-stream error isolation, SURVEY.md §5).
+
     Returns WAV bytes per stream (or (pcm16 array, info) when return_arrays).
     """
+    if on_error not in ("raise", "isolate"):
+        raise ValueError("on_error must be 'raise' or 'isolate'")
     _ensure_compile_cache()
     infos = []
+    failures: dict = {}
     for i, blob in enumerate(blobs):
         blob = bytes(blob)
-        hs = int.from_bytes(blob[6:8], "big")
-        info = hca_frame.parse_header(blob[:hs])
+        try:
+            hs = int.from_bytes(blob[6:8], "big")
+            info = hca_frame.parse_header(blob[:hs])
+        except Exception as exc:  # noqa: BLE001
+            if on_error == "raise":
+                raise
+            failures[i] = exc
+            infos.append(None)
+            continue
         sk = subkeys[i] if subkeys is not None else subkey
         info.set_key(hca_crypt.scramble_subkey(key, sk))
         infos.append((info, blob, hs))
 
     groups: dict = {}
-    for idx, (info, blob, hs) in enumerate(infos):
-        groups.setdefault(_config_key(info), []).append(idx)
+    for idx, entry in enumerate(infos):
+        if entry is None:
+            continue
+        groups.setdefault(_config_key(entry[0]), []).append(idx)
 
     results: List = [None] * len(blobs)
     for group in groups.values():
-        _decode_group(group, infos, results, mesh)
+        if on_error == "raise":
+            _decode_group(group, infos, results, mesh)
+            continue
+        try:
+            _decode_group(group, infos, results, mesh)
+        except Exception:  # noqa: BLE001
+            # a stream in this group is corrupt: fall back to per-stream
+            # decode so one bad member doesn't take down its group
+            for idx in group:
+                try:
+                    _decode_group([idx], infos, results, mesh)
+                except Exception as exc:  # noqa: BLE001
+                    failures[idx] = exc
 
     out = []
-    for (info, _blob, _hs), item in zip(infos, results):
+    for i, entry in enumerate(infos):
+        if entry is None or i in failures:
+            out.append(failures[i])
+            continue
+        (info, _blob, _hs), item = entry, results[i]
         if return_arrays:
             out.append((item, info))
         else:

@@ -98,3 +98,17 @@ def test_graft_entry_roundtrip():
     out = np.asarray(jax.jit(fn)(*args))
     assert out.shape == (4, 16, 8, 128, 2) and out.dtype == np.int16
     g.dryrun_multichip(8)
+
+
+def test_decode_batch_error_isolation(oracle):
+    blobs = _tracks(oracle, 3)
+    corrupt = bytearray(blobs[1])
+    corrupt[2000] ^= 0xFF  # break a frame CRC
+    mixed = [blobs[0], bytes(corrupt), blobs[2], b"not an hca"]
+    out = parallel.decode_batch(mixed, on_error="isolate")
+    assert out[0] == hcamod.decode(blobs[0])
+    assert isinstance(out[1], Exception)
+    assert out[2] == hcamod.decode(blobs[2])
+    assert isinstance(out[3], Exception)
+    with pytest.raises(Exception):
+        parallel.decode_batch(mixed, on_error="raise")
