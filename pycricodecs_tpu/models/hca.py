@@ -26,6 +26,31 @@ SAMPLES_PER_FRAME = 1024
 DEFAULT_KEY = hca_crypt.DEFAULT_KEY
 
 
+def decode_range(data: bytes, start_frame: int, end_frame: int = -1,
+                 key: int = 0, subkey: int = 0) -> np.ndarray:
+    """Decode an arbitrary frame range [start_frame, end_frame) to PCM16.
+
+    The seek/checkpoint analogue (SURVEY.md §5): HCA is CBR and frame-
+    seekable; decoding can start at any frame after a decoder reset. As in
+    the reference (hca.h:90-92), the first decoded frame lacks the previous
+    frame's overlap history, so its first 128 samples differ from a
+    full-stream decode; everything after matches exactly.
+
+    Returns interleaved PCM16 [samples, channels] for the range (no encoder
+    delay/padding trimming — the caller knows its frame coordinates).
+    """
+    data = bytes(data)
+    header_size = int.from_bytes(data[6:8], "big")
+    info = hca_frame.parse_header(data[:header_size])
+    info.set_key(hca_crypt.scramble_subkey(key, subkey))
+    if end_frame < 0 or end_frame > info.frame_count:
+        end_frame = info.frame_count
+    start_frame = max(0, min(start_frame, end_frame))
+    frames = data[header_size + start_frame * info.frame_size:
+                  header_size + end_frame * info.frame_size]
+    return decode_frames_to_pcm(info, frames)
+
+
 def decode_frames_to_pcm(info: hca_frame.HcaInfo, frames: bytes,
                          random_state: int = 1) -> np.ndarray:
     """Decode raw frame data to interleaved PCM16 [total_samples, channels]."""

@@ -1,0 +1,102 @@
+// Sanitizer harness for cricore.cpp: exercises CRILAYLA compress/decompress
+// round-trips (compressible, repetitive, incompressible and tiny inputs) and
+// CRC batching under ASan/UBSan. Build + run:
+//   g++ -O1 -g -fsanitize=address,undefined -std=c++17 \
+//       sanitize_check.cpp -o /tmp/cricore_san -lpthread && /tmp/cricore_san
+#include <cassert>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <random>
+#include <vector>
+
+#include "cricore.cpp"
+
+static void roundtrip(const std::vector<uint8_t>& src, const char* name) {
+    uint32_t cap = (uint32_t)src.size() + (uint32_t)src.size() / 2 + 0x800;
+    std::vector<uint8_t> comp(cap, 0);
+    uint32_t n = cri_layla_compress(src.data(), (uint32_t)src.size(),
+                                    comp.data(), cap);
+    if (src.size() < 0x101) {
+        assert(n == 0);
+        printf("  %-14s -> rejected (too small) OK\n", name);
+        return;
+    }
+    assert(n > 0x110);
+    uint32_t dec_size, comp_size;
+    std::memcpy(&dec_size, comp.data() + 8, 4);
+    std::memcpy(&comp_size, comp.data() + 12, 4);
+    std::vector<uint8_t> out(dec_size + 256);
+    cri_layla_decompress(comp.data() + 16, comp_size, dec_size, out.data());
+    assert(out.size() == src.size());
+    assert(std::memcmp(out.data(), src.data(), src.size()) == 0);
+    printf("  %-14s -> %u -> %zu bytes OK\n", name, n, out.size());
+}
+
+int main() {
+    std::mt19937 rng(7);
+    std::vector<uint8_t> text;
+    for (int i = 0; i < 120; i++)
+        for (const char* p = "the quick brown fox jumps over the lazy dog. ";
+             *p; p++)
+            text.push_back((uint8_t)*p);
+    roundtrip(text, "text");
+
+    std::vector<uint8_t> rep(4000);
+    for (size_t i = 0; i < rep.size(); i++) rep[i] = (uint8_t)(i % 7);
+    roundtrip(rep, "repetitive");
+
+    std::vector<uint8_t> noise(8192);
+    for (auto& b : noise) b = (uint8_t)rng();
+    roundtrip(noise, "incompressible");
+
+    std::vector<uint8_t> tiny(200, 0x41);
+    roundtrip(tiny, "tiny");
+
+    // HCA unpack: synthetic valid frames (sync + zero payload + CRC) run the
+    // scalefactor/intensity/spectrum readers and the threading path
+    {
+        const int fs = 0x100, nframes = 64, channels = 2;
+        std::vector<uint8_t> frames(nframes * fs, 0);
+        for (int f = 0; f < nframes; f++) {
+            uint8_t* p = frames.data() + f * fs;
+            p[0] = 0xFF;
+            p[1] = 0xFF;
+            uint16_t crc = cri_crc16(p, fs - 2);
+            p[fs - 2] = (uint8_t)(crc >> 8);
+            p[fs - 1] = (uint8_t)crc;
+        }
+        std::vector<uint8_t> cipher(256);
+        for (int i = 0; i < 256; i++) cipher[i] = (uint8_t)i;
+        uint8_t channel_type[2] = {1, 2};
+        int32_t coded_count[2] = {96, 80};
+        std::vector<uint8_t> ath(128, 0), invert(66, 1);
+        std::vector<uint8_t> max_bit(16, 0), read_bit(128, 0);
+        std::vector<int8_t> read_val(128, 0);
+        for (int i = 0; i < 16; i++) max_bit[i] = (uint8_t)((i < 8) ? i / 3 : i - 4);
+        uint32_t rnd = 1;
+        std::vector<int16_t> qc((size_t)nframes * channels * 8 * 128);
+        std::vector<uint8_t> sfs((size_t)nframes * channels * 128);
+        std::vector<uint8_t> ress((size_t)nframes * channels * 128);
+        std::vector<uint8_t> inten((size_t)nframes * channels * 8);
+        std::vector<int32_t> nsrc((size_t)nframes * channels * 8 * 128, 0);
+        std::vector<uint8_t> nsci((size_t)nframes * channels * 8 * 128, 0);
+        std::vector<uint8_t> nmask((size_t)nframes * channels * 8 * 128, 0);
+        int rc = cri_hca_unpack_frames(
+            frames.data(), nframes, fs, cipher.data(), channels, 0x0200,
+            0, 1, 15, channel_type, coded_count, ath.data(), invert.data(),
+            max_bit.data(), read_bit.data(), read_val.data(), &rnd,
+            qc.data(), sfs.data(), ress.data(), inten.data(),
+            nsrc.data(), nsci.data(), nmask.data(), 8);
+        assert(rc == 0);
+        printf("  hca unpack (64 zero frames, 8 threads) OK\n");
+    }
+
+    std::vector<uint8_t> rows(64 * 512);
+    for (auto& b : rows) b = (uint8_t)rng();
+    std::vector<uint16_t> crcs(64);
+    cri_crc16_batch(rows.data(), 64, 512, crcs.data());
+    printf("  crc16_batch OK (first=0x%04x)\n", crcs[0]);
+    printf("sanitize_check: all OK\n");
+    return 0;
+}

@@ -207,3 +207,19 @@ def test_v3_noise_fill_matches_reference(oracle):
         info3, hca_v3[_hdr_size(hca_v3):_hdr_size(hca_v3)
                       + info3.frame_count * info3.frame_size])
     assert unp.noise_mask.any(), "expected PNS noise fill to trigger"
+
+
+def test_decode_range_seek(oracle):
+    """Frame-range decode matches the full decode after the overlap warmup."""
+    hca = bytes(oracle.HcaEncode(_wav(seed=88, channels=2), 0, 1))
+    full = hcamod.decode(hca)
+    full_pcm = np.frombuffer(full[44:], np.int16).reshape(-1, 2)
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    info = parse_header(hca[:_hdr_size(hca)])
+    start = 5
+    part = hcamod.decode_range(hca, start, start + 4)
+    # align: range output frame f starts at (start+f)*1024 - encoder_delay
+    offset = start * 1024 - info.encoder_delay
+    ref_slice = full_pcm[offset + 128: offset + 4 * 1024]
+    # skip the first 128 samples (missing overlap history, as in hca.h:90-92)
+    assert np.array_equal(part[128:4 * 1024], ref_slice)
