@@ -348,7 +348,11 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
     # Header (adx.cpp:359-379, 479-489)
     header_size = 20 + 6
     if version in (4, 5):
-        header_size += 8 if channels <= 1 else 4 * channels
+        # The reference sizes the history area from an *uninitialized*
+        # Header.Channels (adx.cpp:482; zero on this toolchain), so it always
+        # reserves 8 bytes regardless of channel count; overflowing history
+        # entries are overwritten by the CRI string / audio blocks below.
+        header_size += 8
     num_loops = 1 if looping else 0
     if looping:
         header_size += 4 + num_loops * 20
@@ -368,11 +372,15 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
     out[19] = 0
     base = 20
     if version in (4, 5):
-        # 4-byte padding then per-channel history (first-sample init)
+        # 4-byte padding then per-channel history (first-sample init);
+        # entries past header_size are clipped (the reference overwrites
+        # them with audio data immediately after)
         for i in range(channels):
             off = base + 4 + i * 4
-            out[off:off + 2] = int(h1[i] & 0xFFFF).to_bytes(2, "big")
-            out[off + 2:off + 4] = int(h2[i] & 0xFFFF).to_bytes(2, "big")
+            entry = (int(h1[i] & 0xFFFF).to_bytes(2, "big")
+                     + int(h2[i] & 0xFFFF).to_bytes(2, "big"))
+            room = max(0, min(4, header_size - off))
+            out[off:off + room] = entry[:room]
         base += 4 + (4 * channels if channels > 1 else 8)
     if looping:
         samples_in_frame = data_block * 2

@@ -93,3 +93,19 @@ def test_roundtrip_tracks_input():
     b = parse_wav(decoded).pcm16.astype(np.float64)[: a.size]
     err = np.sqrt(np.mean((a - b) ** 2))
     assert err < 300.0  # 4-bit ADPCM on noisy sine stays well under this
+
+
+@pytest.mark.parametrize("channels", [3, 4, 6, 8])
+def test_multichannel_vs_reference(oracle, channels):
+    wav = _wav_bytes(samples=2048, channels=channels, seed=channels)
+    ours = adxmod.encode(wav)
+    ref = oracle.AdxEncode(wav, 4, 0x12, 3, 0x1F4, 0, 4, False)
+    assert ours == ref
+    # NOTE: decode outcomes are not compared here — the reference decoder's
+    # `Looping` member is uninitialized (adx.cpp:279) and for some channel
+    # counts it reads stack garbage and rejects its own output with error -8.
+    # Our decoder handles these files; verify the roundtrip tracks the input.
+    decoded = adxmod.decode(ours)
+    a = parse_wav(wav).pcm16.astype(np.float64)
+    b = parse_wav(decoded).pcm16.astype(np.float64)[: a.size]
+    assert np.sqrt(np.mean((a - b) ** 2)) < 300.0
