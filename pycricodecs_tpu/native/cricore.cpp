@@ -483,4 +483,138 @@ int cri_hca_unpack_frames(
     return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// HCA batched frame pack (encoder back-end, PackFrame parity)
+// ---------------------------------------------------------------------------
+namespace hca {
+
+struct BitWriter {
+    uint8_t* buf;
+    int size_bits;
+    int pos = 0;
+    BitWriter(uint8_t* b, int bytes) : buf(b), size_bits(bytes * 8) {}
+    inline void write(uint32_t value, int n) {
+        if (n <= 0 || n > 32 || pos + n > size_bits) return;
+        value &= (n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1);
+        int p = pos;
+        pos += n;
+        while (n > 0) {
+            int byte = p >> 3;
+            int bit = p & 7;
+            int take = 8 - bit;
+            if (take > n) take = n;
+            int shift = 8 - bit - take;
+            uint32_t piece = (value >> (n - take)) & ((1u << take) - 1);
+            buf[byte] = (uint8_t)((buf[byte] & ~((((1u << take) - 1)) << shift))
+                                  | (piece << shift));
+            p += take;
+            n -= take;
+        }
+    }
+};
+
+}  // namespace hca
+
+// Pack a run of encoded frames. Layouts mirror ops/hca_frame.pack_frame.
+// quantized is int32 [F, C, 8, 128]; hfr_scales int32 [F, C, max(G,1)].
+void cri_hca_pack_frames(
+    int32_t nframes, int32_t frame_size, int32_t channels,
+    int32_t hfr_group_count,
+    const uint8_t* channel_type, const int32_t* coded_count,
+    const int32_t* anl, const int32_t* evb,
+    const uint8_t* sfs, const uint8_t* ress, const uint8_t* intens,
+    const int32_t* hfr_scales, const int32_t* delta_bits,
+    const int32_t* quantized,
+    const uint8_t* q_bits_tab,   // [8,16]
+    const uint8_t* q_val_tab,    // [8,16]
+    const uint8_t* max_bits_tab, // [16]
+    uint8_t* out,                // [F, frame_size]
+    int32_t nthreads) {
+    crc_init();
+    const int C = channels;
+    const int G = hfr_group_count > 0 ? hfr_group_count : 1;
+
+    auto pack_one = [&](int f) {
+        uint8_t* frame = out + (size_t)f * frame_size;
+        std::memset(frame, 0, frame_size);
+        frame[0] = 0xFF;
+        frame[1] = 0xFF;
+        hca::BitWriter bw(frame + 2, frame_size - 2);
+        bw.write((uint32_t)anl[f], 9);
+        bw.write((uint32_t)evb[f], 7);
+        for (int c = 0; c < C; c++) {
+            int cc = coded_count[c];
+            const uint8_t* sf = sfs + ((size_t)f * C + c) * 128;
+            int db = delta_bits[(size_t)f * C + c];
+            bw.write((uint32_t)db, 3);
+            if (db != 0) {
+                if (db == 6) {
+                    for (int i = 0; i < cc; i++) bw.write(sf[i], 6);
+                } else {
+                    bw.write(sf[0], 6);
+                    int max_delta = (1 << (db - 1)) - 1;
+                    int escape = (1 << db) - 1;
+                    for (int i = 1; i < cc; i++) {
+                        int delta = (int)sf[i] - (int)sf[i - 1];
+                        if (delta > max_delta || delta < -max_delta) {
+                            bw.write((uint32_t)escape, db);
+                            bw.write(sf[i], 6);
+                        } else {
+                            bw.write((uint32_t)(max_delta + delta), db);
+                        }
+                    }
+                }
+            }
+            if (channel_type[c] == 2) {
+                const uint8_t* in = intens + ((size_t)f * C + c) * 8;
+                for (int i = 0; i < 8; i++) bw.write(in[i], 4);
+            } else if (hfr_group_count > 0) {
+                const int32_t* hs = hfr_scales + ((size_t)f * C + c) * G;
+                for (int g = 0; g < hfr_group_count; g++)
+                    bw.write((uint32_t)hs[g], 6);
+            }
+        }
+        for (int s = 0; s < 8; s++) {
+            for (int c = 0; c < C; c++) {
+                int cc = coded_count[c];
+                const uint8_t* res = ress + ((size_t)f * C + c) * 128;
+                const int32_t* q = quantized + (((size_t)f * C + c) * 8 + s) * 128;
+                for (int i = 0; i < cc; i++) {
+                    int r = res[i];
+                    int qv = q[i];
+                    if (r == 0) continue;
+                    if (r < 8) {
+                        int bits = q_bits_tab[r * 16 + qv + 8];
+                        bw.write(q_val_tab[r * 16 + qv + 8], bits);
+                    } else if (r < 16) {
+                        int bits = max_bits_tab[r] - 1;
+                        bw.write((uint32_t)(qv < 0 ? -qv : qv), bits);
+                        if (qv != 0) bw.write(qv > 0 ? 0u : 1u, 1);
+                    }
+                }
+            }
+        }
+        uint16_t crc = cri_crc16(frame, frame_size - 2);
+        frame[frame_size - 2] = (uint8_t)(crc >> 8);
+        frame[frame_size - 1] = (uint8_t)crc;
+    };
+
+    int nt = nthreads > 0 ? nthreads : 1;
+    if (nt > 1 && nframes > 8) {
+        std::vector<std::thread> pool;
+        int per = (nframes + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            pool.emplace_back([&, t]() {
+                int lo = t * per, hi = std::min(nframes, (t + 1) * per);
+                for (int f = lo; f < hi; f++) pack_one(f);
+            });
+        }
+        for (auto& th : pool) th.join();
+    } else {
+        for (int f = 0; f < nframes; f++) pack_one(f);
+    }
+}
+
 }  // extern "C"
+

@@ -634,10 +634,15 @@ def encode(wav_bytes: bytes, force_not_looping: bool = False,
 
     quantized = quantize_spectra(info, scaled, resolutions)
 
-    frames = bytearray()
-    for fidx in range(F):
-        frames += hca_frame.pack_frame(
-            info, int(level[fidx]), int(boundary[fidx]),
-            sf[fidx], resolutions[fidx], intensity[fidx],
-            hfr_scales[fidx], delta_bits[fidx], quantized[fidx])
-    return pack_header(info) + bytes(frames)
+    packed = hca_frame.pack_frames_native(
+        info, level, boundary, sf, resolutions, intensity, hfr_scales,
+        delta_bits, quantized)
+    if packed is None:
+        frames = bytearray()
+        for fidx in range(F):
+            frames += hca_frame.pack_frame(
+                info, int(level[fidx]), int(boundary[fidx]),
+                sf[fidx], resolutions[fidx], intensity[fidx],
+                hfr_scales[fidx], delta_bits[fidx], quantized[fidx])
+        packed = bytes(frames)
+    return pack_header(info) + packed

@@ -741,3 +741,50 @@ def score_key(data: bytes, keycode: int, subkey: int = 0,
         total += score
         tested += 1
     return total if tested else -1
+
+
+def pack_frames_native(info: HcaInfo, anl, evb, scalefactors, resolutions,
+                       intensity, hfr_scales, delta_bits, quantized,
+                       nthreads: int = 0):
+    """Batch frame packing via the C++ core. Returns bytes or None.
+
+    Array layouts match what ops/hca_encode_host produces for all frames at
+    once; per-frame behaviour is identical to pack_frame().
+    """
+    import ctypes
+    import os
+
+    from .. import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    F = len(anl)
+    C = info.channels
+    G = max(int(info.hfr_group_count), 1)
+    out = np.zeros((F, info.frame_size), dtype=np.uint8)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+
+    def p(arr, ct):
+        return np.ascontiguousarray(arr).ctypes.data_as(ctypes.POINTER(ct))
+
+    u8, i32 = ctypes.c_uint8, ctypes.c_int32
+    lib.cri_hca_pack_frames(
+        int(F), int(info.frame_size), int(C), int(info.hfr_group_count),
+        p(info.channel_type.astype(np.uint8), u8),
+        p(info.coded_count.astype(np.int32), i32),
+        p(np.asarray(anl, dtype=np.int32), i32),
+        p(np.asarray(evb, dtype=np.int32), i32),
+        p(np.asarray(scalefactors, dtype=np.uint8), u8),
+        p(np.asarray(resolutions, dtype=np.uint8), u8),
+        p(np.asarray(intensity, dtype=np.uint8), u8),
+        p(np.asarray(hfr_scales, dtype=np.int32).reshape(F, C, G), i32),
+        p(np.asarray(delta_bits, dtype=np.int32), i32),
+        p(np.asarray(quantized, dtype=np.int32), i32),
+        p(np.ascontiguousarray(T.QUANTIZE_SPECTRUM_BITS, dtype=np.uint8), u8),
+        p(np.ascontiguousarray(T.QUANTIZE_SPECTRUM_VALUE, dtype=np.uint8), u8),
+        p(np.ascontiguousarray(T.QUANTIZED_SPECTRUM_MAX_BITS, dtype=np.uint8), u8),
+        out.ctypes.data_as(ctypes.POINTER(u8)),
+        int(nthreads))
+    return out.tobytes()

@@ -387,3 +387,28 @@ def encode_batch(wavs: Sequence[bytes], mesh: Optional[Mesh] = None,
     from ..models import adx as adx_model
 
     return [adx_model.encode(w, **adx_kwargs) for w in wavs]
+
+
+def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
+                     force_not_looping: bool = False,
+                     max_workers: int = 0) -> List[bytes]:
+    """Encode many WAVs to HCA concurrently.
+
+    Each stream's encode is already frame-vectorised (numpy) with a threaded
+    C++ packer; streams fan out over a thread pool (the hot paths release
+    the GIL).
+    """
+    import concurrent.futures as cf
+
+    from ..ops import hca_encode_host
+
+    if max_workers <= 0:
+        max_workers = min(len(wavs), os.cpu_count() or 1)
+    if max_workers <= 1 or len(wavs) <= 1:
+        return [hca_encode_host.encode(w, force_not_looping=force_not_looping,
+                                       quality=quality) for w in wavs]
+    with cf.ThreadPoolExecutor(max_workers) as pool:
+        return list(pool.map(
+            lambda w: hca_encode_host.encode(
+                w, force_not_looping=force_not_looping, quality=quality),
+            wavs))

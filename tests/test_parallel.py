@@ -112,3 +112,12 @@ def test_decode_batch_error_isolation(oracle):
     assert isinstance(out[3], Exception)
     with pytest.raises(Exception):
         parallel.decode_batch(mixed, on_error="raise")
+
+
+def test_hca_encode_batch(oracle):
+    from pycricodecs_tpu.utils.wav import write_wav as ww
+    wavs = [ww(make_sine_pcm16(6144, 2, 48000, seed=900 + i), 2, 48000)
+            for i in range(5)]
+    blobs = parallel.hca_encode_batch(wavs, quality=1)
+    for wav, blob in zip(wavs, blobs):
+        assert blob == bytes(oracle.HcaEncode(wav, 0, 1))
