@@ -123,12 +123,13 @@ def _window_overlap_add(dct):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
-                                   "apply_noise", "apply_hfr", "hfr_group_count"))
+                                   "apply_noise", "apply_hfr",
+                                   "hfr_group_count", "use_pallas"))
 def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
                                  noise_mask, hfr_is, hfr_src, hfr_group,
                                  hfr_zero, *, base_band, total_band,
                                  stereo_pairs, apply_noise, apply_hfr,
-                                 hfr_group_count):
+                                 hfr_group_count, use_pallas=False):
     """Spectra -> interleaved PCM16 for a batch of streams.
 
     qc        : int16 [B, F, C, 8, 128] (B streams x F frames)
@@ -191,7 +192,11 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
             spectra = spectra.at[..., p, :, :].set(new_l)
             spectra = spectra.at[..., s, :, :].set(new_r)
 
-    dct = _imdct_butterflies(spectra)                     # [B, F, C, 8, 128]
+    if use_pallas:
+        from . import pallas_kernels
+        dct = pallas_kernels.imdct_pallas(spectra)        # [B, F, C, 8, 128]
+    else:
+        dct = _imdct_butterflies(spectra)                 # [B, F, C, 8, 128]
     # time axis per (stream, channel): [B, C, F*8, 128]
     dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
     wave = _window_overlap_add(dct_t)                     # [B, C, T, 128]

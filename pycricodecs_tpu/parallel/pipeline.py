@@ -245,7 +245,10 @@ def _decode_group(group, infos, results, mesh) -> None:
                       apply_noise=bool(need_noise and noise_mask.any()),
                       apply_hfr=bool(info0.bands_per_hfr_group > 0
                                      and info0.hfr_group_count > 0),
-                      hfr_group_count=int(info0.hfr_group_count))
+                      hfr_group_count=int(info0.hfr_group_count),
+                      # hand-tiled Pallas IMDCT on TPU (bit-exact, ~1.4x the
+                      # XLA fusion); jnp butterflies elsewhere
+                      use_pallas=jax.devices()[0].platform == "tpu")
         args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask) + hfr_args
         if mesh is not None:
             batch_axis = mesh.axis_names[0]
