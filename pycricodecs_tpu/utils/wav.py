@@ -138,14 +138,18 @@ def parse_wav(data: bytes) -> WavFile:
 
 def _to_pcm16(raw: bytes, compression: int, bit_depth: int, sample_size: int) -> np.ndarray:
     if compression == WAVE_FORMAT_IEEE_FLOAT:
+        # float -> int16: value * 0x7FFF at the *source precision* (the
+        # reference multiplies float*int in float), truncated toward zero,
+        # clamped to [-0x8000, 0x7FFF]
         if bit_depth == 32:
-            src = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+            src = np.frombuffer(raw, dtype="<f4")
+            prod = (src * np.float32(0x7FFF)).astype(np.float64)
         elif bit_depth == 64:
             src = np.frombuffer(raw, dtype="<f8")
+            prod = src * np.float64(0x7FFF)
         else:
             raise WavError("PCM Bitdepth does not match compression type.")
-        # float -> int16: value * 0x7FFF, truncated toward zero, clamped.
-        vals = np.trunc(src * 0x7FFF)
+        vals = np.trunc(prod)
         return np.clip(vals, -0x8000, 0x7FFF).astype(np.int16)
     if bit_depth < 1 or bit_depth > 32 or sample_size < 1 or sample_size > 4:
         raise WavError("PCM Bitdepth does not match compression type.")

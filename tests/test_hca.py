@@ -223,3 +223,13 @@ def test_decode_range_seek(oracle):
     ref_slice = full_pcm[offset + 128: offset + 4 * 1024]
     # skip the first 128 samples (missing overlap history, as in hca.h:90-92)
     assert np.array_equal(part[128:4 * 1024], ref_slice)
+
+
+@pytest.mark.parametrize("channels", [3, 4, 5, 6, 7, 8])
+def test_multichannel_hca_vs_reference(oracle, channels):
+    wav = _wav(samples=12288, channels=channels, seed=channels)
+    from pycricodecs_tpu.ops import hca_encode_host
+    ours = hca_encode_host.encode(wav, quality=1)
+    ref = bytes(oracle.HcaEncode(wav, 0, 1))
+    assert ours == ref
+    assert hcamod.decode(ref) == oracle.HcaDecode(ref, _hdr_size(ref), 0, 0)
