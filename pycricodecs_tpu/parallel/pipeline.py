@@ -394,16 +394,36 @@ def encode_batch(wavs: Sequence[bytes], mesh: Optional[Mesh] = None,
 
 def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
                      force_not_looping: bool = False,
-                     max_workers: int = 0) -> List[bytes]:
+                     max_workers: int = 0, device: bool = False) -> List[bytes]:
     """Encode many WAVs to HCA concurrently.
 
-    Each stream's encode is already frame-vectorised (numpy) with a threaded
-    C++ packer; streams fan out over a thread pool (the hot paths release
-    the GIL).
+    device=True runs the numeric pipeline on the accelerator
+    (ops/hca_encode_device, byte-identical output): streams are grouped by
+    (channels, sample_rate) and each group encodes as one jitted dispatch.
+    Otherwise each stream's encode is frame-vectorised numpy with a threaded
+    C++ packer, fanned out over a thread pool.
     """
     import concurrent.futures as cf
 
     from ..ops import hca_encode_host
+
+    if device:
+        from ..utils import wav as wavmod
+        from ..ops import hca_encode_device
+
+        _ensure_compile_cache()
+        groups: dict = {}
+        for i, blob in enumerate(wavs):
+            w = wavmod.parse_wav(bytes(blob))
+            groups.setdefault((w.channels, w.sample_rate), []).append(i)
+        results: List = [None] * len(wavs)
+        for members in groups.values():
+            encoded = hca_encode_device.encode_batch_device(
+                [wavs[i] for i in members], quality=quality,
+                force_not_looping=force_not_looping)
+            for i, blob in zip(members, encoded):
+                results[i] = blob
+        return results
 
     if max_workers <= 0:
         max_workers = min(len(wavs), os.cpu_count() or 1)

@@ -233,3 +233,13 @@ def test_multichannel_hca_vs_reference(oracle, channels):
     ref = bytes(oracle.HcaEncode(wav, 0, 1))
     assert ours == ref
     assert hcamod.decode(ref) == oracle.HcaDecode(ref, _hdr_size(ref), 0, 0)
+
+
+@pytest.mark.parametrize("channels,quality", [(1, 1), (2, 1), (2, 0), (2, 2)])
+def test_device_encoder_matches_reference(oracle, channels, quality):
+    from pycricodecs_tpu.ops import hca_encode_device
+    wavs = [_wav(samples=8192 + 1024 * i, channels=channels, seed=200 + i)
+            for i in range(3)]
+    ours = hca_encode_device.encode_batch_device(wavs, quality=quality)
+    for wav, blob in zip(wavs, ours):
+        assert blob == bytes(oracle.HcaEncode(wav, 0, quality))

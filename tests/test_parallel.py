@@ -121,3 +121,12 @@ def test_hca_encode_batch(oracle):
     blobs = parallel.hca_encode_batch(wavs, quality=1)
     for wav, blob in zip(wavs, blobs):
         assert blob == bytes(oracle.HcaEncode(wav, 0, 1))
+
+
+def test_hca_encode_batch_device(oracle):
+    from pycricodecs_tpu.utils.wav import write_wav as ww
+    wavs = [ww(make_sine_pcm16(5120 + 1024 * i, 2, 48000, seed=950 + i), 2, 48000)
+            for i in range(3)]
+    blobs = parallel.hca_encode_batch(wavs, quality=2, device=True)
+    for wav, blob in zip(wavs, blobs):
+        assert blob == bytes(oracle.HcaEncode(wav, 0, 2))
