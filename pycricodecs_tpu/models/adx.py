@@ -12,8 +12,8 @@ into [blocks, channels, samples] without any serial bit loop.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 

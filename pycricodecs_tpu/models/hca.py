@@ -12,9 +12,6 @@ frames in parallel. Output parity target: bit-exact WAV vs HcaDecode
 """
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 import numpy as np
 
 from ..ops import hca_frame, hca_kernels

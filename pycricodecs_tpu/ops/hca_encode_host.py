@@ -81,7 +81,6 @@ def init_encode(wav: wavmod.WavFile, quality: int, loop_flag: bool) -> EncConfig
     post_samples = 128
 
     scc = wav.num_samples // wav.channels
-    info_samples = scc
 
     bitrate = calculate_bitrate(info.channels, info.sample_rate, quality)
 

@@ -23,7 +23,6 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models import hca as hca_model
 from ..ops import hca_frame, hca_kernels
 from ..utils import hca_crypt
 from ..utils import wav as wavmod
@@ -66,10 +65,6 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
 
 def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
-
-
-class _GroupKey(tuple):
-    """Hashable transform-config key used to batch compatible streams."""
 
 
 def _config_key(info: hca_frame.HcaInfo) -> tuple:

@@ -12,8 +12,7 @@ All conversions are vectorised numpy; there is no per-sample Python loop.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 
