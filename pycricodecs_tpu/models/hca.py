@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops import hca_frame, hca_kernels
-from ..ops import hca_tables as T
 from ..utils import hca_crypt
 from ..utils import wav as wavmod
 
