@@ -17,6 +17,8 @@ Entry points:
 from __future__ import annotations
 
 import os
+import time
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import jax
@@ -28,6 +30,24 @@ from ..utils import hca_crypt
 from ..utils import wav as wavmod
 
 SAMPLES_PER_FRAME = 1024
+
+
+@dataclass
+class DecodeStats:
+    """Per-call pipeline observability (SURVEY.md §5): stage timings + counts."""
+    streams: int = 0
+    groups: int = 0
+    frames: int = 0
+    failed_streams: int = 0
+    bytes_in: int = 0
+    samples_out: int = 0
+    unpack_seconds: float = 0.0
+    device_seconds: float = 0.0   # dispatch + H2D (async overlap included)
+    fetch_seconds: float = 0.0    # device->host transfers
+    total_seconds: float = 0.0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
 
 
 _cache_ready = False
@@ -79,7 +99,8 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
                  subkeys: Optional[Sequence[int]] = None,
                  mesh: Optional[Mesh] = None,
                  return_arrays: bool = False,
-                 on_error: str = "raise") -> List[bytes]:
+                 on_error: str = "raise",
+                 stats: Optional[DecodeStats] = None) -> List[bytes]:
     """Decode many HCA streams in device batches.
 
     Streams are grouped by transform configuration; each group is unpacked
@@ -96,6 +117,7 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
     if on_error not in ("raise", "isolate"):
         raise ValueError("on_error must be 'raise' or 'isolate'")
     _ensure_compile_cache()
+    t_start = time.perf_counter()
     infos = []
     failures: dict = {}
     for i, blob in enumerate(blobs):
@@ -122,16 +144,16 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
     results: List = [None] * len(blobs)
     for group in groups.values():
         if on_error == "raise":
-            _decode_group(group, infos, results, mesh)
+            _decode_group(group, infos, results, mesh, stats)
             continue
         try:
-            _decode_group(group, infos, results, mesh)
+            _decode_group(group, infos, results, mesh, stats)
         except Exception:  # noqa: BLE001
             # a stream in this group is corrupt: fall back to per-stream
             # decode so one bad member doesn't take down its group
             for idx in group:
                 try:
-                    _decode_group([idx], infos, results, mesh)
+                    _decode_group([idx], infos, results, mesh, stats)
                 except Exception as exc:  # noqa: BLE001
                     failures[idx] = exc
 
@@ -155,10 +177,19 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
             out.append(wavmod.write_wav(
                 item.reshape(-1), info.channels, info.sample_rate,
                 looping=looping, loop_start=loop_start, loop_end=loop_end))
+    if stats is not None:
+        stats.streams += len(blobs)
+        stats.groups += len(groups)
+        stats.failed_streams += len(failures)
+        stats.bytes_in += sum(len(b) for b in blobs)
+        stats.frames += sum(e[0].frame_count for e in infos if e is not None)
+        stats.samples_out += sum(
+            int(np.size(r)) for r in results if r is not None)
+        stats.total_seconds += time.perf_counter() - t_start
     return out
 
 
-def _decode_group(group, infos, results, mesh) -> None:
+def _decode_group(group, infos, results, mesh, stats=None) -> None:
     info0 = infos[group[0]][0]
     C = info0.channels
     fmax = max(infos[i][0].frame_count for i in group)
@@ -196,6 +227,8 @@ def _decode_group(group, infos, results, mesh) -> None:
 
     pending = []  # (device_out, [(batch_row, stream_idx), ...])
     start = 0
+    t_unpack = 0.0
+    t_device = 0.0
     for csize in chunk_sizes:
         members = group[start:start + csize]
         start += csize
@@ -220,6 +253,7 @@ def _decode_group(group, infos, results, mesh) -> None:
             noise_sci = np.zeros((1,) * 5, dtype=np.uint8)
             noise_mask = np.zeros((1,) * 5, dtype=bool)
 
+        t0 = time.perf_counter()
         for b, idx in enumerate(members):
             info, blob, hs = infos[idx]
             frames = blob[hs:hs + info.frame_count * info.frame_size]
@@ -233,6 +267,7 @@ def _decode_group(group, infos, results, mesh) -> None:
                 noise_mask=noise_mask[b] if need_noise else noise_mask,
                 random_state=1)
             hca_frame.unpack_frames(info, frames, out=dest)
+        t_unpack += time.perf_counter() - t0
 
         config = dict(base_band=int(info0.base_band_count),
                       total_band=int(info0.total_band_count),
@@ -260,9 +295,12 @@ def _decode_group(group, infos, results, mesh) -> None:
                 shardings.append(NamedSharding(mesh, P()))
             args = tuple(jax.device_put(a, s)
                          for a, s in zip(args, shardings))
+        t0 = time.perf_counter()
         out_dev = hca_kernels.hca_decode_transform_batched(*args, **config)
+        t_device += time.perf_counter() - t0
         pending.append((out_dev, list(enumerate(members))))
 
+    t0 = time.perf_counter()
     for out_dev, members in pending:
         out = np.asarray(out_dev)
         for b, idx in members:
@@ -274,6 +312,10 @@ def _decode_group(group, infos, results, mesh) -> None:
             full = np.zeros((samples, info.channels), dtype=np.int16)
             full[:pcm.shape[0]] = pcm
             results[idx] = full
+    if stats is not None:
+        stats.unpack_seconds += t_unpack
+        stats.device_seconds += t_device
+        stats.fetch_seconds += time.perf_counter() - t0
 
 
 def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,

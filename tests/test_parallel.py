@@ -130,3 +130,13 @@ def test_hca_encode_batch_device(oracle):
     blobs = parallel.hca_encode_batch(wavs, quality=2, device=True)
     for wav, blob in zip(wavs, blobs):
         assert blob == bytes(oracle.HcaEncode(wav, 0, 2))
+
+
+def test_decode_stats(oracle):
+    blobs = _tracks(oracle, 3)
+    stats = parallel.pipeline.DecodeStats()
+    parallel.decode_batch(blobs, stats=stats)
+    d = stats.as_dict()
+    assert d["streams"] == 3 and d["groups"] == 1 and d["failed_streams"] == 0
+    assert d["frames"] > 0 and d["samples_out"] > 0
+    assert d["total_seconds"] > 0
