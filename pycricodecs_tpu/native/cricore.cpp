@@ -136,18 +136,71 @@ uint32_t cri_layla_compress(const uint8_t* src, uint32_t src_len,
         return true;
     };
 
+    // Greedy backward matcher accelerated with 3-byte hash chains over the
+    // candidate positions (exactly the reference's choices: longest match,
+    // earliest candidate). Chains are kept in DESCENDING position order;
+    // since n only decreases, candidates above the window (i >= n+3+0x2000)
+    // expire permanently and are pruned from the head; the in-window chain
+    // segment is collected and scanned in ascending order like the
+    // reference's brute-force loop.
+    const uint32_t HASH_BITS = 16;
+    const uint32_t HASH_SIZE = 1u << HASH_BITS;
+    std::vector<int32_t> head(HASH_SIZE, -1);
+    std::vector<int32_t> nxt(src_len, -1);
+    auto hash3 = [&](uint32_t p) {
+        uint32_t v = (uint32_t)src[p] | ((uint32_t)src[p - 1] << 8)
+                     | ((uint32_t)src[p - 2] << 16);
+        return (v * 2654435761u) >> (32 - HASH_BITS);
+    };
+    // insert ascending so each bucket ends up descending from the head
+    for (uint32_t p = 0x102; p < src_len; p++) {
+        uint32_t h = hash3(p);
+        nxt[p] = head[h];
+        head[h] = (int32_t)p;
+    }
+    std::vector<uint32_t> cands;
+    cands.reserve(0x2000);
+
     int64_t n = (int64_t)src_len - 1;
     while (n >= 0x100) {
-        // search window: positions i in [n+3, n+3+0x2000) clamped to src_len
         uint32_t j = (uint32_t)std::min<int64_t>(n + 3 + 0x2000, src_len);
         uint32_t best_len = 0, best_off = 0;
-        for (uint32_t i = (uint32_t)n + 3; i < j; i++) {
-            uint32_t k = 0;
-            uint32_t kmax = (uint32_t)(n - 0x100);
-            while (k <= kmax && src[n - k] == src[i - k]) k++;
-            if (k > best_len) {
-                best_off = (uint32_t)(i - n - 3);
-                best_len = k;
+        uint32_t kmax = (uint32_t)(n - 0x100);
+        if (kmax >= 2) {  // only matches of length >= 3 can win
+            uint32_t h = hash3((uint32_t)n);
+            // permanently drop candidates above the (monotonically
+            // shrinking) window
+            while (head[h] != -1 && (uint32_t)head[h] >= j)
+                head[h] = nxt[head[h]];
+            cands.clear();
+            for (int32_t i = head[h]; i != -1 && i > (int64_t)n + 2;
+                 i = nxt[i])
+                cands.push_back((uint32_t)i);
+            for (auto it = cands.rbegin(); it != cands.rend(); ++it) {
+                uint32_t cand = *it;
+                if (best_len) {
+                    if (cand < best_len
+                        || src[n - best_len] != src[cand - best_len])
+                        continue;
+                }
+                uint32_t k = 0;
+                while (k <= kmax && src[n - k] == src[cand - k]) k++;
+                if (k > best_len) {
+                    best_off = cand - (uint32_t)n - 3;
+                    best_len = k;
+                    if (best_len > kmax) break;  // maximal possible
+                }
+            }
+            if (best_len < 3) best_len = 0;  // literal, same as reference
+        } else {
+            // short tail near the 0x100 boundary: brute force (tiny)
+            for (uint32_t i = (uint32_t)n + 3; i < j; i++) {
+                uint32_t k = 0;
+                while (k <= kmax && src[n - k] == src[i - k]) k++;
+                if (k > best_len) {
+                    best_off = i - (uint32_t)n - 3;
+                    best_len = k;
+                }
             }
         }
         if (best_len < 3) {

@@ -55,3 +55,17 @@ def test_incompressible_roundtrip():
     noisy = bytes(rng.integers(0, 256, 8192).astype(np.uint8))
     comp = crilayla.compress(noisy)
     assert crilayla.decompress(comp) == noisy
+
+
+def test_hash_matcher_matches_reference_medium(oracle):
+    """The hash-chain matcher preserves the reference's exact greedy choices
+    on a larger mixed payload (the reference's O(n*window) search allows only
+    a modest size here)."""
+    rng = np.random.default_rng(11)
+    text = (b"structured segment with repeating tokens " * 400)
+    noise = bytes(rng.integers(0, 256, 12000).astype(np.uint8))
+    data = (text + noise + text[:5000] + noise[:3000])
+    ours = crilayla.compress(data)
+    ref = bytes(oracle.CriLaylaCompress(data))
+    assert ours == ref
+    assert crilayla.decompress(ours) == data
