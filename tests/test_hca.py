@@ -243,3 +243,46 @@ def test_device_encoder_matches_reference(oracle, channels, quality):
     ours = hca_encode_device.encode_batch_device(wavs, quality=quality)
     for wav, blob in zip(wavs, ours):
         assert blob == bytes(oracle.HcaEncode(wav, 0, quality))
+
+
+def _make_v1_dec_header(info_src: bytes) -> bytes:
+    """Rewrite a mono v2.0 'comp' header as a v1.1 'dec' header.
+
+    Exercises the dec-chunk parse path and the non-zero ATH curve (v1.1
+    defaults ath_type=1, hca.cpp:754-757).
+    """
+    from pycricodecs_tpu.utils.crc import crc16
+    hs = _hdr_size(info_src)
+    src = info_src[:hs]
+    # source comp fields
+    frame_size = int.from_bytes(src[28:30], "big")
+    total_band = src[34]
+    base_band = src[35]
+    out = bytearray()
+    out += b"HCA\x00" + (0x0101).to_bytes(2, "big")
+    out += (0).to_bytes(2, "big")  # header size patched below
+    out += src[8:24]               # fmt chunk verbatim
+    dec = bytearray(b"dec\x00")
+    dec += frame_size.to_bytes(2, "big")
+    dec += bytes([1, 15])                       # min/max resolution
+    dec += bytes([total_band - 1, base_band - 1])
+    dec += bytes([(1 << 4) | 0])                # track_count=1, config=0
+    dec += bytes([0])                           # stereo_type 0
+    out += dec
+    out += b"pad\x00"
+    hs_new = len(out) + 2
+    out[6:8] = hs_new.to_bytes(2, "big")
+    out += crc16(bytes(out)).to_bytes(2, "big")
+    return bytes(out) + info_src[hs:]
+
+
+def test_v1_dec_chunk_with_ath_matches_reference(oracle):
+    hca_v2 = bytes(oracle.HcaEncode(_wav(channels=1, seed=91), 0, 0))
+    hca_v1 = _make_v1_dec_header(hca_v2)
+    ref = oracle.HcaDecode(hca_v1, _hdr_size(hca_v1), 0, 0)
+    ours = hcamod.decode(hca_v1)
+    assert ours == ref
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    info = parse_header(hca_v1[:_hdr_size(hca_v1)])
+    assert info.version == 0x0101 and info.ath_type == 1
+    assert info.ath.any(), "v1.1 must use a non-zero ATH curve"
