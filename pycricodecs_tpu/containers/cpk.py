@@ -96,23 +96,36 @@ class CPK:
                 with open(os.path.join(target_dir, filename), "wb") as fh:
                     fh.write(data)
         elif "ITOC" in self.tables:
-            toc_l = self.tables["ITOC"]["DataL"][0]
-            toc_h = self.tables["ITOC"]["DataH"][0]
             align = self.tables["CPK"]["Align"][0]
             offset = self.tables["CPK"]["ContentOffset"][0]
-            self.stream.seek(offset, 0)
             base = dirname or (self.filename.rsplit(".")[0] if self.filename else "")
             if base:
                 os.makedirs(base, exist_ok=True)
-            for file_id in sorted(toc_h["ID"] + toc_l["ID"]):
-                table = toc_h if file_id in toc_h["ID"] else toc_l
-                idx = table["ID"].index(file_id)
-                data = self._read_entry(table["FileSize"][idx],
-                                        table["ExtractSize"][idx])
+            pos = offset
+            for file_id, size, extract_size in self._itoc_entries():
+                self.stream.seek(pos, 0)
+                data = self._read_entry(size, extract_size)
                 with open(os.path.join(base, str(file_id)), "wb") as fh:
                     fh.write(data)
-                if table["FileSize"][idx] % align != 0:
-                    self.stream.seek(align - table["FileSize"][idx] % align, 1)
+                pos += size + ((align - size % align) if size % align else 0)
+
+    def _itoc_entries(self):
+        """Ordered (id, file_size, extract_size) from the ITOC DataL/DataH
+        sub-tables, honouring the FilesL/FilesH counts (the builder emits a
+        dummy row in an otherwise-empty table; the reference extractor trips
+        over it when a real ID 0 exists, cpk.py:118-129)."""
+        itoc = self.tables["ITOC"]
+        entries = []
+        for sub, count_key in (("DataL", "FilesL"), ("DataH", "FilesH")):
+            if sub not in itoc:
+                continue
+            table = itoc[sub][0]
+            count = itoc.get(count_key, [len(table["ID"])])[0]
+            for idx in range(min(count, len(table["ID"]))):
+                entries.append((table["ID"][idx], table["FileSize"][idx],
+                                table["ExtractSize"][idx]))
+        entries.sort(key=lambda e: e[0])
+        return entries
 
     def extract_file(self, filename, dirname: str = "") -> None:
         """Extract a single member by name (TOC) or integer ID (ITOC)."""
@@ -132,20 +145,13 @@ class CPK:
                 fh.write(data)
         elif "ITOC" in self.tables:
             file_id = int(filename)
-            toc_l = self.tables["ITOC"]["DataL"][0]
-            toc_h = self.tables["ITOC"]["DataH"][0]
             align = self.tables["CPK"]["Align"][0]
             offset = self.tables["CPK"]["ContentOffset"][0]
-            if file_id not in toc_l["ID"] and file_id not in toc_h["ID"]:
-                raise ValueError("Given ID does not exist in the given CPK.")
             pos = offset
-            for fid in sorted(toc_h["ID"] + toc_l["ID"]):
-                table = toc_h if fid in toc_h["ID"] else toc_l
-                idx = table["ID"].index(fid)
+            for fid, size, extract_size in self._itoc_entries():
                 if fid == file_id:
                     self.stream.seek(pos, 0)
-                    data = self._read_entry(table["FileSize"][idx],
-                                            table["ExtractSize"][idx])
+                    data = self._read_entry(size, extract_size)
                     base = dirname or (self.filename.rsplit(".")[0]
                                        if self.filename else "")
                     if base:
@@ -153,9 +159,8 @@ class CPK:
                     with open(os.path.join(base, str(file_id)), "wb") as fh:
                         fh.write(data)
                     return
-                pos += table["FileSize"][idx]
-                if table["FileSize"][idx] % align != 0:
-                    pos += align - table["FileSize"][idx] % align
+                pos += size + ((align - size % align) if size % align else 0)
+            raise ValueError("Given ID does not exist in the given CPK.")
 
 
 def _sort_key(name: str) -> str:

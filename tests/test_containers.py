@@ -274,3 +274,57 @@ def test_usm_extract_to_files(tmp_path):
     assert len(names) == 2  # video + one audio track
     meta = usm.get_metadata()
     assert any("CRIUSF_DIR_STREAM" in d for d in meta)
+
+
+def test_usm_two_audio_tracks(tmp_path):
+    ivf_blob = _fake_ivf()
+    wav_a = write_wav(make_sine_pcm16(12000, 2, 48000, seed=21), 2, 48000)
+    wav_b = write_wav(make_sine_pcm16(12000, 2, 48000, seed=22), 2, 48000)
+    builder = USMBuilder(ivf_blob, audio=[wav_a, wav_b], audio_codec="hca")
+    usm = USM(builder.build())
+    usm.demux()
+    assert "@SFA_0" in usm.output and "@SFA_1" in usm.output
+    assert bytes(usm.output["@SFA_0"]) == builder.streams[0].get_hca()
+    assert bytes(usm.output["@SFA_1"]) == builder.streams[1].get_hca()
+
+
+def test_cpk_itoc_extract_file(tmp_path):
+    d = tmp_path / "ids"
+    d.mkdir()
+    rng = np.random.default_rng(8)
+    payloads = {}
+    for i in range(4):
+        blob = bytes(rng.integers(0, 255, 600 + 900 * i).astype(np.uint8))
+        (d / str(i)).write_bytes(blob)
+        payloads[i] = blob
+    cpk_path = tmp_path / "ids.cpk"
+    CPKBuilder(str(d), str(cpk_path), CpkMode=0)
+    cpk = CPK(str(cpk_path))
+    cpk.extract_file(2, str(tmp_path / "one"))
+    assert (tmp_path / "one" / "2").read_bytes() == payloads[2]
+    out = tmp_path / "all"
+    cpk.extract(str(out))
+    for i, blob in payloads.items():
+        assert (out / str(i)).read_bytes() == blob
+
+
+def test_acb_with_sibling_awb(oracle, tmp_path):
+    from pycricodecs_tpu.containers.awb import build_afs2
+    from pycricodecs_tpu.containers.chunk import UTFTypeValues as TV
+    from pycricodecs_tpu.containers.utf import UTFBuilder
+    tracks = _make_hca_tracks(oracle, 2)
+    (tmp_path / "bank.awb").write_bytes(build_afs2(tracks))
+    header = [{
+        "Name": (TV.string, "bank"),
+        "AwbFile": (TV.bytes, b""),
+        "WaveformTable": (TV.bytes, bytes(UTFBuilder([
+            {"MemoryAwbId": (TV.ushort, i), "EncodeType": (TV.uchar, 2),
+             "Streaming": (TV.uchar, 0)} for i in range(2)],
+            table_name="Waveform").parse())),
+    }]
+    acb_path = tmp_path / "bank.acb"
+    acb_path.write_bytes(bytes(UTFBuilder(header, table_name="Header").parse()))
+    acb = ACB(str(acb_path))
+    members = list(acb.awb.getfiles())
+    assert len(members) == 2
+    assert members[0][:len(tracks[0])] == tracks[0]
