@@ -26,14 +26,18 @@ def decompress(data: bytes) -> bytes:
     decompress_size = int.from_bytes(data[8:12], "little")
     compressed_size = int.from_bytes(data[12:16], "little")
     payload = data[16:]
+    if compressed_size + 256 > len(payload):
+        raise ValueError("Truncated CRILAYLA blob")
     lib = native.load()
     out = np.zeros(decompress_size + 256, dtype=np.uint8)
     src = np.frombuffer(payload, dtype=np.uint8)
     if lib is not None:
-        lib.cri_layla_decompress(
+        rc = lib.cri_layla_decompress(
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             compressed_size, decompress_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc < 0:
+            raise ValueError("Malformed CRILAYLA stream")
         return out.tobytes()
     return _decompress_py(payload, compressed_size, decompress_size)
 
@@ -49,6 +53,8 @@ def _decompress_py(payload: bytes, compressed_size: int,
     def get(n):
         nonlocal pos, acc, nbits
         while nbits < n:
+            if pos < 0:
+                raise ValueError("Malformed CRILAYLA stream")
             acc = (acc << 8) | payload[pos]
             pos -= 1
             nbits += 8
@@ -76,6 +82,8 @@ def _decompress_py(payload: bytes, compressed_size: int,
                             if byte != 255:
                                 break
             r = w + offset + 3
+            if r >= len(out):
+                raise ValueError("Malformed CRILAYLA stream")
             length += 3
             while length and w >= base:
                 out[w] = out[r]

@@ -49,7 +49,7 @@ def load():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.cri_crc16.restype = ctypes.c_uint16
         lib.cri_crc16.argtypes = [u8p, ctypes.c_uint32]
-        lib.cri_layla_decompress.restype = ctypes.c_uint32
+        lib.cri_layla_decompress.restype = ctypes.c_int64
         lib.cri_layla_decompress.argtypes = [u8p, ctypes.c_uint32,
                                              ctypes.c_uint32, u8p]
         lib.cri_layla_compress.restype = ctypes.c_uint32

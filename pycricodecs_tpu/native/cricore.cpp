@@ -71,17 +71,22 @@ struct RevBitReader {
 
 // Decompress the LZ stream. src points at the compressed payload (after the
 // 16-byte header); dst must hold decompress_size + 256 bytes. Returns bytes
-// produced in the LZ region.
-uint32_t cri_layla_decompress(const uint8_t* src, uint32_t compressed_size,
-                              uint32_t decompress_size, uint8_t* dst) {
+// produced in the LZ region, or -1 on a malformed/hostile stream (bit reader
+// underrun or back-reference outside the output buffer — the reference
+// crashes on such inputs).
+int64_t cri_layla_decompress(const uint8_t* src, uint32_t compressed_size,
+                             uint32_t decompress_size, uint8_t* dst) {
     // raw 256-byte prefix sits after the compressed stream; it becomes the
     // head of the output
     std::memcpy(dst, src + compressed_size, 256);
     uint8_t* out_base = dst + 256;
+    uint8_t* out_end = out_base + decompress_size;
     uint8_t* w = out_base + decompress_size - 1;  // write backward
     layla::RevBitReader br(src + compressed_size - 1);
+    const uint8_t* src_begin = src;
 
     while (w >= out_base) {
+        if (br.p < src_begin - 1) return -1;  // bitstream underrun
         if (br.get(1) == 0) {
             *w-- = (uint8_t)br.get(8);
         } else {
@@ -101,12 +106,13 @@ uint32_t cri_layla_decompress(const uint8_t* src, uint32_t compressed_size,
                 }
             }
             const uint8_t* r = w + offset + 3;
+            if (r >= out_end) return -1;  // back-reference past buffer end
             len += 3;
             while (len-- && w >= out_base)
                 *w-- = *r--;
         }
     }
-    return decompress_size;
+    return (int64_t)decompress_size;
 }
 
 // Compress src[0..src_len) with the reference's greedy backward matcher.

@@ -111,3 +111,12 @@ def test_multichannel_vs_reference(oracle, channels):
     # higher channels carry higher-frequency sines (harder for 4-bit ADPCM),
     # and 6/8ch headers clip the decoder history (format quirk): loose bound
     assert np.sqrt(np.mean((a - b) ** 2)) < 4000.0
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_mode2_filters_vs_reference(oracle, filt):
+    wav = _wav_bytes(samples=2048, channels=2, seed=30 + filt)
+    ours = adxmod.encode(wav, encoding_mode=2, filter_=filt)
+    ref = oracle.AdxEncode(wav, 4, 0x12, 2, 0x1F4, filt, 4, False)
+    assert ours == ref
+    assert _outcome(adxmod.decode, ours) == _outcome(oracle.AdxDecode, bytes(ref))

@@ -328,3 +328,25 @@ def test_acb_with_sibling_awb(oracle, tmp_path):
     members = list(acb.awb.getfiles())
     assert len(members) == 2
     assert members[0][:len(tracks[0])] == tracks[0]
+
+
+def test_usm_encrypted_adx_audio_roundtrip(oracle_py, tmp_path):
+    key = 0xFEDCBA9876543210
+    ivf_blob = _fake_ivf()
+    wav = write_wav(make_sine_pcm16(16000, 2, 32000, seed=31), 2, 32000)
+    usm_bytes = USMBuilder(ivf_blob, audio=[wav], key=key,
+                           audio_codec="adx", encryptAudio=True).build()
+    path = tmp_path / "enc_adx.usm"
+    path.write_bytes(usm_bytes)
+    ours = USM(str(path), key=key)
+    ours.demux()
+    audio = bytes(ours.output["@SFA_0"])
+    assert audio[:2] == b"\x80\x00"  # decrypted ADX header
+    ref = oracle_py.USM(str(path), key=key)
+    ref.demux()
+    assert {k: bytes(v) for k, v in ours.output.items()} == \
+        {k: bytes(v) for k, v in ref.output.items()}
+    # decrypted audio decodes
+    from pycricodecs_tpu.models import adx as adxmod
+    from pycricodecs_tpu.models.adx import parse_adx_header
+    parse_adx_header(audio, strict_cri_check=False)
