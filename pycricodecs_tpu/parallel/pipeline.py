@@ -225,7 +225,13 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
     hfr_args = (np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
                 np.asarray(hfr.group_of), np.int32(hfr.zero_band))
 
-    pending = []  # (device_out, [(batch_row, stream_idx), ...])
+    # Device->host copies ride a slow link on remote backends, so each
+    # chunk's fetch is handed to a worker thread the moment it is dispatched:
+    # the host unpack + H2D of chunk i+1 overlaps the PCM copy-back of chunk
+    # i instead of serialising behind it.
+    import concurrent.futures as _cf
+    fetch_pool = _cf.ThreadPoolExecutor(max_workers=2)
+    pending = []  # (fetched_future, [(batch_row, stream_idx), ...])
     start = 0
     t_unpack = 0.0
     t_device = 0.0
@@ -298,11 +304,12 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
         t0 = time.perf_counter()
         out_dev = hca_kernels.hca_decode_transform_batched(*args, **config)
         t_device += time.perf_counter() - t0
-        pending.append((out_dev, list(enumerate(members))))
+        pending.append((fetch_pool.submit(np.asarray, out_dev),
+                        list(enumerate(members))))
 
     t0 = time.perf_counter()
-    for out_dev, members in pending:
-        out = np.asarray(out_dev)
+    for fut, members in pending:
+        out = fut.result()
         for b, idx in members:
             info = infos[idx][0]
             samples = (info.frame_count * SAMPLES_PER_FRAME
@@ -312,6 +319,7 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
             full = np.zeros((samples, info.channels), dtype=np.int16)
             full[:pcm.shape[0]] = pcm
             results[idx] = full
+    fetch_pool.shutdown(wait=True)
     if stats is not None:
         stats.unpack_seconds += t_unpack
         stats.device_seconds += t_device
