@@ -57,13 +57,21 @@ def main():
 
     best = 0.0
     for _ in range(3):
+        stats = parallel.DecodeStats()
         t0 = time.perf_counter()
-        out = parallel.decode_batch(blobs)
+        out = parallel.decode_batch(blobs, stats=stats)
         elapsed = time.perf_counter() - t0
         assert len(out) == n_streams
         best = max(best, audio_seconds / elapsed)
-        print(f"  run: {elapsed:.3f}s -> {audio_seconds/elapsed:.1f}x realtime",
-              file=sys.stderr)
+        print(f"  run: {elapsed:.3f}s -> {audio_seconds/elapsed:.1f}x realtime"
+              f" (unpack {stats.unpack_seconds:.2f}s dispatch+H2D"
+              f" {stats.device_seconds:.2f}s D2H-bound tail"
+              f" {stats.fetch_seconds:.2f}s)", file=sys.stderr)
+    pcm_bytes = sum(len(o) for o in out)
+    print(f"stage breakdown: PCM out {pcm_bytes/1e6:.0f}MB; the tunnelled"
+          f" TPU's ~40-50MB/s device->host link is the end-to-end bound"
+          f" (device compute is <1% of wallclock; see README 'performance')",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "hca_bank_decode_audio_sec_per_sec_per_chip",

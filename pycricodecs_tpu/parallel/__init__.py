@@ -1,6 +1,7 @@
 """Batched + multi-chip decode/encode pipelines."""
-from .pipeline import (adx_decode_batch, decode_acb, decode_awb, decode_batch,
-                       encode_batch, hca_encode_batch, make_mesh)
+from .pipeline import (DecodeStats, adx_decode_batch, decode_acb, decode_awb,
+                       decode_batch, encode_batch, hca_encode_batch, make_mesh)
 
-__all__ = ["decode_batch", "decode_awb", "decode_acb", "adx_decode_batch",
-           "encode_batch", "hca_encode_batch", "make_mesh"]
+__all__ = ["DecodeStats", "decode_batch", "decode_awb", "decode_acb",
+           "adx_decode_batch", "encode_batch", "hca_encode_batch",
+           "make_mesh"]
