@@ -33,6 +33,7 @@ def _mutate(rng, blob: bytes):
 
 
 def _fuzz(rng, parse, blob):
+    parse(blob)  # the unmutated corpus must parse (guards vacuous passes)
     for _ in range(N_MUTATIONS):
         mutated = _mutate(rng, blob)
         try:
@@ -50,8 +51,10 @@ def test_fuzz_hca_decode(oracle):
 
 def test_fuzz_adx_decode():
     rng = np.random.default_rng(1)
-    wav = write_wav(make_sine_pcm16(2048, 1, 48000, seed=2), 1, 48000)
-    blob = adxmod.encode(wav)
+    # quiet signal: keeps the first block's scale < 0x100 so the corpus
+    # passes the reference's 7-char CRI check (see models/adx.py:149-156)
+    pcm = (make_sine_pcm16(2048, 1, 48000, seed=2) // 64).astype(np.int16)
+    blob = adxmod.encode(write_wav(pcm, 1, 48000))
     _fuzz(rng, adxmod.decode, blob)
 
 
@@ -88,3 +91,49 @@ def test_fuzz_cpk(tmp_path):
     CPKBuilder(str(d), str(tmp_path / "a.cpk"), CpkMode=1)
     blob = (tmp_path / "a.cpk").read_bytes()
     _fuzz(rng, CPK, blob)
+
+def test_fuzz_acb():
+    from pycricodecs_tpu.containers.acb import ACB, ACBBuilder
+    rng = np.random.default_rng(6)
+    blob = ACBBuilder([b"track one data" * 20, b"track two data" * 20],
+                      name="fuzzbank").build()
+
+    def parse(b):
+        acb = ACB(b)
+        list(acb.awb.getfiles())
+        acb.cue_names()
+    _fuzz(rng, parse, blob)
+
+
+def test_fuzz_ivf():
+    from pycricodecs_tpu.containers.ivf import IVF, build_ivf
+    rng = np.random.default_rng(7)
+    blob = build_ivf([b"frame-a" * 40, b"frame-b" * 55], fps_num=30, fps_den=1)
+    _fuzz(rng, lambda b: list(IVF(b).get_frames()), blob)
+
+
+def test_fuzz_usm_demux(tmp_path):
+    from pycricodecs_tpu.containers.ivf import build_ivf
+    from pycricodecs_tpu.containers.usm import USMBuilder
+    rng = np.random.default_rng(8)
+    ivf_blob = build_ivf([b"\x82I\x83B" + b"v" * 200, b"w" * 300],
+                         fps_num=30, fps_den=1)
+    blob = USMBuilder(ivf_blob, key=0x1234567890AB).build()
+
+    def parse(b):
+        u = USM(b)
+        u.demux()
+    _fuzz(rng, parse, blob)
+
+
+def test_fuzz_hca_crypt():
+    rng = np.random.default_rng(9)
+    wav = write_wav(make_sine_pcm16(2048, 1, 48000, seed=3), 1, 48000)
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    blob = hca_encode_host.encode(wav, quality=2)
+    hs = parse_header(blob).header_size
+
+    def parse(b):
+        hcamod.crypt(b, True, hs, 56, 0xCF222F1FE0748978)
+    _fuzz(rng, parse, blob)
