@@ -1,0 +1,126 @@
+"""All five BASELINE.md benchmark configs, one JSON line each to stdout.
+
+`bench.py` (the driver entry point) measures config 5 only — the headline
+batched bank decode. This script additionally times the four single-file
+configs. Single-file latency is dispatch-dominated on a remote device, so
+each config reports both cold latency and steady-state throughput.
+
+Run: python3 bench_all.py            (real device)
+     BENCH_CONFIGS=1,3 python3 bench_all.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _sine_wav(seconds, channels, sr=48000, seed=0, loop=False):
+    from pycricodecs_tpu.utils.wav import write_wav
+    rng = np.random.default_rng(seed)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 991 * t)
+           + 0.02 * rng.standard_normal(n))
+    pcm = np.clip(sig * 4000, -32768, 32767).astype(np.int16)
+    if channels > 1:
+        pcm = np.stack([np.roll(pcm, 480 * c) for c in range(channels)],
+                       1).reshape(-1)
+    if loop:
+        return write_wav(pcm, channels, sr, looping=True,
+                         loop_start=sr, loop_end=2 * sr)
+    return write_wav(pcm, channels, sr)
+
+
+def _time(fn, reps=5):
+    fn()  # warmup/compile
+    t0 = time.perf_counter()
+    cold = None
+    best = 1e18
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        cold = cold or dt
+        best = min(best, dt)
+    return best
+
+
+def config1():
+    """ADX decode: single mono 48kHz 4-bit file -> WAV."""
+    from pycricodecs_tpu.models import adx
+    dur = 10.0
+    blob = adx.encode(_sine_wav(dur, 1, seed=1))
+    dt = _time(lambda: adx.decode(blob))
+    return "adx_decode_single_mono", dur / dt
+
+
+def config2():
+    """HCA decode: stereo v2.0 unencrypted -> WAV."""
+    from pycricodecs_tpu.models import hca
+    from pycricodecs_tpu.ops import hca_encode_host
+    dur = 10.0
+    blob = hca_encode_host.encode(_sine_wav(dur, 2, seed=2), quality=2)
+    dt = _time(lambda: hca.decode(blob))
+    return "hca_decode_single_stereo", dur / dt
+
+
+def config3():
+    """ADX encode: stereo WAV with smpl loop -> ADX, verify roundtrip."""
+    from pycricodecs_tpu.models import adx
+    dur = 10.0
+    wav = _sine_wav(dur, 2, seed=3, loop=True)
+    blob = adx.encode(wav)
+    assert b"smpl" in adx.decode(blob)  # loop chunk survives the roundtrip
+    dt = _time(lambda: adx.encode(wav))
+    return "adx_encode_single_stereo_loop", dur / dt
+
+
+def config4():
+    """HCA encode + encrypt/decrypt roundtrip with the BASELINE key."""
+    from pycricodecs_tpu.models import hca
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    key = 0xCF222F1FE0748978
+    dur = 10.0
+    wav = _sine_wav(dur, 2, seed=4)
+    blob = hca_encode_host.encode(wav, quality=2)
+    hs = parse_header(blob).header_size
+    enc = hca.crypt(blob, True, hs, 56, key)
+    assert hca.crypt(enc, False, hs, 56, key) == blob
+
+    def run():
+        e = hca_encode_host.encode(wav, quality=2)
+        hca.crypt(e, True, hs, 56, key)
+    dt = _time(run, reps=3)
+    return "hca_encode_encrypt_single_stereo", dur / dt
+
+
+def config5():
+    """Batched bank decode — delegates to bench.py (the headline metric)."""
+    import bench
+    bench.main()
+    return None, None
+
+
+def main():
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5")
+    configs = {"1": config1, "2": config2, "3": config3, "4": config4,
+               "5": config5}
+    for k in want.split(","):
+        k = k.strip()
+        print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",
+              file=sys.stderr)
+        metric, x = configs[k]()
+        if metric is not None:
+            print(json.dumps({"metric": metric, "value": round(x, 2),
+                              "unit": "audio-sec/sec",
+                              "vs_baseline": round(x / 1000.0, 4)}))
+
+
+if __name__ == "__main__":
+    main()

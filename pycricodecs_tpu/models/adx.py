@@ -11,12 +11,14 @@ into [blocks, channels, samples] without any serial bit loop.
 """
 from __future__ import annotations
 
+import ctypes
 import math
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
+from .. import native
 from ..ops import adx_kernels
 from ..utils import wav as wavmod
 from ..utils.bitio import unpack_fixed_codes, pack_fixed_codes
@@ -157,13 +159,8 @@ def parse_adx_header(data: bytes, strict_cri_check: bool = True) -> AdxHeader:
     return h
 
 
-def _decode_arrays_host(data: bytes, h: AdxHeader):
-    """Demux the block stream to dense kernel inputs.
-
-    Returns (codes, scales, c0, c1, h1, h2): int32 [C, N] lanes plus initial
-    history [C] — the layout consumed by ops/adx_kernels and the batched
-    pipeline (parallel.adx_decode_batch).
-    """
+def _payload_blocks(data: bytes, h: AdxHeader) -> np.ndarray:
+    """Slice the raw block stream to [nblocks, C, block_size] (EOF-trimmed)."""
     spb = h.samples_per_block
     base = h.data_offset + 4
     blocks_total = math.ceil(h.sample_count / spb) if h.sample_count else 0
@@ -180,6 +177,59 @@ def _decode_arrays_host(data: bytes, h: AdxHeader):
     if eof.any():
         nblocks = int(np.argmax(eof))
         payload = payload[:nblocks]
+    return payload
+
+
+def _history_init(h: AdxHeader):
+    if h.version == 4 and h.history is not None:
+        return (h.history[:, 0].astype(np.int32),
+                h.history[:, 1].astype(np.int32))
+    return (np.zeros(h.channels, dtype=np.int32),
+            np.zeros(h.channels, dtype=np.int32))
+
+
+def _decode_blocks_native(data: bytes, h: AdxHeader):
+    """Full single-call C++ decode: returns interleaved [N, C] int16 or None.
+
+    Equivalent to _decode_arrays_host + the lane scan, but skips the numpy
+    demux and per-sample coefficient replication entirely.
+    """
+    lib = native.load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(_payload_blocks(data, h))
+    nblocks = payload.shape[0]
+    spb = h.samples_per_block
+    out = np.empty((nblocks * spb, h.channels), dtype=np.int16)
+    if nblocks == 0:
+        return out
+    if h.encoding_mode == 2:
+        c0v, c1v = 0, 0
+    else:
+        c0v, c1v = calculate_coefficients(h.highpass_frequency, h.sample_rate)
+    h1, h2 = _history_init(h)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.cri_adx_decode_blocks(
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(nblocks), np.int32(h.channels), np.int32(h.block_size),
+        np.int32(h.bit_depth), np.int32(h.encoding_mode),
+        np.int32(c0v), np.int32(c1v),
+        STATIC_COEFFICIENTS.ctypes.data_as(i32p),
+        np.ascontiguousarray(h1).ctypes.data_as(i32p),
+        np.ascontiguousarray(h2).ctypes.data_as(i32p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), np.int32(0))
+    return out
+
+
+def _decode_arrays_host(data: bytes, h: AdxHeader):
+    """Demux the block stream to dense kernel inputs.
+
+    Returns (codes, scales, c0, c1, h1, h2): int32 [C, N] lanes plus initial
+    history [C] — the layout consumed by ops/adx_kernels and the batched
+    pipeline (parallel.adx_decode_batch).
+    """
+    payload = _payload_blocks(data, h)
+    spb = h.samples_per_block
 
     scale_raw = (payload[:, :, 0].astype(np.int32) << 8) | payload[:, :, 1]
     codes = unpack_fixed_codes(payload[:, :, 2:], h.bit_depth)  # [B, C, spb]
@@ -214,16 +264,11 @@ def _decode_arrays_host(data: bytes, h: AdxHeader):
     c0_l = lanes(c0)
     c1_l = lanes(c1)
 
-    if h.version == 4 and h.history is not None:
-        h1 = h.history[:, 0].astype(np.int32)
-        h2 = h.history[:, 1].astype(np.int32)
-    else:
-        h1 = np.zeros(h.channels, dtype=np.int32)
-        h2 = np.zeros(h.channels, dtype=np.int32)
+    h1, h2 = _history_init(h)
     return codes_l, scales_l, c0_l, c1_l, h1, h2
 
 
-def _decode_arrays(data: bytes, h: AdxHeader, use_jax: bool) -> np.ndarray:
+def _decode_arrays(data: bytes, h: AdxHeader, use_jax) -> np.ndarray:
     """Demux and run the ADPCM kernel. Returns [C, N] int16."""
     codes_l, scales_l, c0_l, c1_l, h1, h2 = _decode_arrays_host(data, h)
     if codes_l.shape[1] == 0:
@@ -231,20 +276,34 @@ def _decode_arrays(data: bytes, h: AdxHeader, use_jax: bool) -> np.ndarray:
     if use_jax:
         out = np.asarray(adx_kernels.adx_decode_scan(codes_l, scales_l, c0_l, c1_l, h1, h2))
     else:
-        out = adx_kernels.adx_decode_numpy(codes_l, scales_l, c0_l, c1_l, h1, h2)
+        out = adx_kernels.adx_decode_host(codes_l, scales_l, c0_l, c1_l, h1, h2)
     return out
 
 
-def decode(data: bytes, use_jax: bool = True) -> bytes:
-    """ADX -> WAV (PCM16), mirroring CriCodecs.AdxDecode output bytes."""
+def decode(data: bytes, use_jax=None) -> bytes:
+    """ADX -> WAV (PCM16), mirroring CriCodecs.AdxDecode output bytes.
+
+    use_jax=None (default) auto-selects: the native C++ lane scan for a
+    single file (device dispatch latency would dominate), the device scan
+    when forced with use_jax=True. Banks should use
+    parallel.adx_decode_batch, which amortises the scan across lanes.
+    All paths are bit-exact with each other and the reference.
+    """
+    if use_jax is None:
+        use_jax = False
     data = bytes(data)
     h = parse_adx_header(data)
-    pcm_ch = _decode_arrays(data, h, use_jax)  # [C, N]
-    # Interleave and truncate/pad to the header sample count.
     n = h.sample_count
     interleaved = np.zeros(n * h.channels, dtype=np.int16)
-    have = min(n, pcm_ch.shape[1])
-    interleaved.reshape(n, h.channels)[:have] = pcm_ch[:, :have].T
+    pcm_il = None if use_jax else _decode_blocks_native(data, h)  # [N, C]
+    if pcm_il is not None:
+        have = min(n, pcm_il.shape[0])
+        interleaved.reshape(n, h.channels)[:have] = pcm_il[:have]
+    else:
+        pcm_ch = _decode_arrays(data, h, use_jax)  # [C, N]
+        # Interleave and truncate/pad to the header sample count.
+        have = min(n, pcm_ch.shape[1])
+        interleaved.reshape(n, h.channels)[:have] = pcm_ch[:, :have].T
     return wavmod.write_wav(interleaved, h.channels, h.sample_rate,
                             looping=h.looping, loop_start=h.loop_start_sample,
                             loop_end=h.loop_end_sample)
@@ -259,8 +318,15 @@ def _get_next_multiple(value: int, multiple: int) -> int:
 def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
            encoding_mode: int = 3, highpass_frequency: int = 0x1F4,
            filter_: int = 0, version: int = 4, force_not_looping: bool = False,
-           use_jax: bool = True) -> bytes:
-    """WAV -> ADX, mirroring CriCodecs.AdxEncode (adx.cpp:416-506)."""
+           use_jax=None) -> bytes:
+    """WAV -> ADX, mirroring CriCodecs.AdxEncode (adx.cpp:416-506).
+
+    use_jax=None (default) auto-selects the native C++ encoder for single
+    files (bit-exact with the device scan); use_jax=True forces the device
+    path. Banks should use parallel.encode_batch.
+    """
+    if use_jax is None:
+        use_jax = False
     wav = wavmod.parse_wav(bytes(data))
     channels = wav.channels
     sample_rate = wav.sample_rate
@@ -320,30 +386,47 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
 
     c0a = np.full(channels, c0, dtype=np.int32)
     c1a = np.full(channels, c1, dtype=np.int32)
-    if use_jax:
-        codes, scale_raw, zero = adx_kernels.adx_encode_scan(
-            blocks.astype(np.int32), c0a, c1a, h1.astype(np.int32), h2.astype(np.int32),
-            spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth)
-        codes = np.asarray(codes)
-        scale_raw = np.asarray(scale_raw)
-        zero = np.asarray(zero)
+    lib = None if use_jax else native.load()
+    if lib is not None and frames > 0:
+        # full single-call C++ path: PCM -> raw block stream
+        pcm16 = np.ascontiguousarray(per_ch[:, :frames * spb],
+                                     dtype=np.int16)
+        payload = np.empty((frames, channels, block_size), dtype=np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.cri_adx_encode_blocks(
+            pcm16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            np.int32(frames), np.int32(channels), np.int32(block_size),
+            np.int32(bit_depth), np.int32(encoding_mode), np.int32(filter_),
+            np.int32(c0), np.int32(c1),
+            np.ascontiguousarray(h1, dtype=np.int32).ctypes.data_as(i32p),
+            np.ascontiguousarray(h2, dtype=np.int32).ctypes.data_as(i32p),
+            payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int32(0))
     else:
-        codes, scale_raw, zero = adx_kernels.adx_encode_numpy(
-            blocks, c0a, c1a, h1, h2,
-            spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth)
+        if use_jax:
+            codes, scale_raw, zero = adx_kernels.adx_encode_scan(
+                blocks.astype(np.int32), c0a, c1a, h1.astype(np.int32), h2.astype(np.int32),
+                spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth)
+            codes = np.asarray(codes)
+            scale_raw = np.asarray(scale_raw)
+            zero = np.asarray(zero)
+        else:
+            codes, scale_raw, zero = adx_kernels.adx_encode_host(
+                blocks, c0a, c1a, h1, h2,
+                spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth)
 
-    if encoding_mode == 2:
-        scale_field = np.where(zero, 0, (filter_ << 13) | (scale_raw & 0x1FFF))
-    else:
-        scale_field = np.where(zero, 0, scale_raw & 0xFFFF)
+        if encoding_mode == 2:
+            scale_field = np.where(zero, 0, (filter_ << 13) | (scale_raw & 0x1FFF))
+        else:
+            scale_field = np.where(zero, 0, scale_raw & 0xFFFF)
 
-    # Assemble the block stream: [frames, channels, block_size]
-    payload = np.zeros((frames, channels, block_size), dtype=np.uint8)
-    sf = scale_field.astype(np.int64) & 0xFFFF  # [C, F]
-    payload[:, :, 0] = (sf >> 8).T
-    payload[:, :, 1] = (sf & 0xFF).T
-    packed = pack_fixed_codes(np.moveaxis(codes, 0, 1), bit_depth)  # [F, C, data_block]
-    payload[:, :, 2:] = packed
+        # Assemble the block stream: [frames, channels, block_size]
+        payload = np.zeros((frames, channels, block_size), dtype=np.uint8)
+        sf = scale_field.astype(np.int64) & 0xFFFF  # [C, F]
+        payload[:, :, 0] = (sf >> 8).T
+        payload[:, :, 1] = (sf & 0xFF).T
+        packed = pack_fixed_codes(np.moveaxis(codes, 0, 1), bit_depth)  # [F, C, data_block]
+        payload[:, :, 2:] = packed
 
     # Header (adx.cpp:359-379, 479-489)
     header_size = 20 + 6

@@ -56,5 +56,26 @@ def load():
         lib.cri_layla_compress.argtypes = [u8p, ctypes.c_uint32, u8p,
                                            ctypes.c_uint32]
         lib.cri_hca_unpack_frames.restype = ctypes.c_int32
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.cri_adx_decode_scan.restype = None
+        lib.cri_adx_decode_scan.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int64, i16p, ctypes.c_int32]
+        lib.cri_adx_encode_scan.restype = None
+        lib.cri_adx_encode_scan.argtypes = [
+            i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32]
+        lib.cri_adx_decode_blocks.restype = None
+        lib.cri_adx_decode_blocks.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i16p, ctypes.c_int32]
+        lib.cri_adx_encode_blocks.restype = None
+        lib.cri_adx_encode_blocks.argtypes = [
+            i16p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32]
         _lib = lib
         return _lib

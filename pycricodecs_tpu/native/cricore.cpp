@@ -675,5 +675,348 @@ void cri_hca_pack_frames(
     }
 }
 
+
+// ---------------------------------------------------------------------------
+// ADX block-ADPCM serial recurrences
+//
+// Host fast path for single files / small batches where the TPU lax.scan's
+// dispatch latency dominates (the batched TPU path in ops/adx_kernels.py is
+// preferred for banks). Bit-exact mirrors of adx_decode_numpy /
+// adx_encode_numpy in ops/adx_kernels.py (themselves parity-verified against
+// the reference decoder adx.cpp:189-213 and encoder adx.cpp:215-273). All
+// arithmetic in int64 with C truncation semantics, matching the numpy mirror.
+// ---------------------------------------------------------------------------
+
+static inline int64_t adx_clamp16(int64_t v) {
+    return v > 0x7FFF ? 0x7FFF : (v < -0x8000 ? -0x8000 : v);
+}
+
+// Decode lanes [L, N]: out[l, t] = clamp(q*s + (c0*p1 >> 12) + (c1*p2 >> 12)).
+// Lanes are independent; threads split the lane axis.
+void cri_adx_decode_scan(const int32_t* codes, const int32_t* scales,
+                         const int32_t* c0, const int32_t* c1,
+                         const int32_t* h1, const int32_t* h2,
+                         int32_t L, int64_t N, int16_t* out,
+                         int32_t nthreads) {
+    auto run = [&](int32_t lo, int32_t hi) {
+        for (int32_t l = lo; l < hi; ++l) {
+            const int32_t* q = codes + (size_t)l * N;
+            const int32_t* s = scales + (size_t)l * N;
+            const int32_t* a0 = c0 + (size_t)l * N;
+            const int32_t* a1 = c1 + (size_t)l * N;
+            int16_t* o = out + (size_t)l * N;
+            int64_t p1 = h1[l], p2 = h2[l];
+            for (int64_t t = 0; t < N; ++t) {
+                int64_t v = (int64_t)q[t] * s[t]
+                            + (((int64_t)a0[t] * p1) >> 12)
+                            + (((int64_t)a1[t] * p2) >> 12);
+                v = adx_clamp16(v);
+                p2 = p1;
+                p1 = v;
+                o[t] = (int16_t)v;
+            }
+        }
+    };
+    int nt = nthreads > 0 ? nthreads
+                          : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > L) nt = L;
+    if (nt <= 1) { run(0, L); return; }
+    std::vector<std::thread> pool;
+    int32_t per = (L + nt - 1) / nt;
+    for (int i = 0; i < nt; ++i) {
+        int32_t lo = i * per, hi = std::min(L, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
+
+static inline int64_t adx_tdiv(int64_t a, int64_t b) {
+    // C division already truncates toward zero
+    return a / b;
+}
+
+// Encode lanes: pcm [L, B, spb] -> codes [L, B, spb], scale_raw [L, B],
+// zero [L, B]. Mirrors adx_encode_numpy exactly (two passes per block:
+// residual min/max against original history, then quantisation with
+// simulated-decoder feedback; zero blocks carry original history).
+void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
+                         const int32_t* c1v, const int32_t* h1v,
+                         const int32_t* h2v, int32_t L, int32_t B,
+                         int32_t spb, int32_t encoding_mode,
+                         int32_t bit_depth, int32_t* codes,
+                         int32_t* scale_raw_out, uint8_t* zero_out,
+                         int32_t nthreads) {
+    const int64_t limit = ((int64_t)1 << (bit_depth - 1)) - 1;
+    auto run = [&](int32_t lo, int32_t hi) {
+        for (int32_t l = lo; l < hi; ++l) {
+            const int64_t a0 = c0v[l], a1 = c1v[l];
+            int64_t h1 = h1v[l], h2 = h2v[l];
+            for (int32_t b = 0; b < B; ++b) {
+                const int32_t* blk = pcm + ((size_t)l * B + b) * spb;
+                int32_t* cod = codes + ((size_t)l * B + b) * spb;
+                // pass 1: residuals vs original-sample prediction
+                int64_t mn = 0, mx = 0;
+                int64_t p1 = h1, p2 = h2;
+                for (int32_t t = 0; t < spb; ++t) {
+                    int64_t r = (((int64_t)blk[t] << 12) - a0 * p1 - a1 * p2)
+                                >> 12;
+                    if (r < mn) mn = r;
+                    if (r > mx) mx = r;
+                    p2 = p1;
+                    p1 = blk[t];
+                }
+                bool zero = (mn == 0 && mx == 0);
+                int64_t scale = std::max(adx_tdiv(mx, limit),
+                                         adx_tdiv(mn, -(limit + 1)));
+                if (scale > 0x1000) scale = 0x1000;
+                int64_t scale_raw, scale_eff;
+                if (encoding_mode == 4) {
+                    int64_t power = 0;
+                    if (scale >= 1) {
+                        int64_t v = scale;
+                        while (v > 1) { v >>= 1; ++power; }
+                        ++power;  // floor(log2(scale)) + 1
+                    }
+                    scale_eff = (int64_t)1 << power;
+                    scale_raw = 12 - power;
+                } else if (encoding_mode == 2) {
+                    scale_raw = scale & 0x1FFF;
+                    scale_eff = scale;
+                } else {
+                    scale_raw = scale;
+                    scale_eff = scale;
+                }
+                if (scale_eff < 1) scale_eff = 1;
+                // pass 2: quantise with decoder feedback
+                int64_t q1 = h1, q2 = h2;
+                for (int32_t t = 0; t < spb; ++t) {
+                    int64_t d = (((int64_t)blk[t] << 12) - a0 * q1 - a1 * q2)
+                                >> 12;
+                    d = d > 0 ? d + (scale_eff >> 1) : d - (scale_eff >> 1);
+                    d = adx_tdiv(d, scale_eff);
+                    if (d < -limit - 1) d = -limit - 1;
+                    if (d > limit) d = limit;
+                    int64_t sim = (((d << 12) * scale_eff) + a0 * q1
+                                   + a1 * q2) >> 12;
+                    sim = adx_clamp16(sim);
+                    q2 = q1;
+                    q1 = sim;
+                    cod[t] = (int32_t)d;
+                }
+                if (zero) {
+                    for (int32_t t = 0; t < spb; ++t) cod[t] = 0;
+                    scale_raw = 0;
+                    h1 = blk[spb - 1];
+                    h2 = spb >= 2 ? blk[spb - 2] : h1;
+                } else {
+                    h1 = q1;
+                    h2 = q2;
+                }
+                scale_raw_out[(size_t)l * B + b] = (int32_t)scale_raw;
+                zero_out[(size_t)l * B + b] = zero ? 1 : 0;
+            }
+        }
+    };
+    int nt = nthreads > 0 ? nthreads
+                          : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > L) nt = L;
+    if (nt <= 1) { run(0, L); return; }
+    std::vector<std::thread> pool;
+    int32_t per = (L + nt - 1) / nt;
+    for (int i = 0; i < nt; ++i) {
+        int32_t lo = i * per, hi = std::min(L, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
+
+
+// ---------------------------------------------------------------------------
+// ADX full block paths: raw block stream <-> PCM16, entirely in C++.
+//
+// Single-file fast paths equivalent to (and verified against) the composition
+// of the host demux in models/adx.py::_decode_arrays_host with the lane scans
+// above — the dense-lane variants remain the kernel layout used by the
+// batched TPU pipeline. Reference behaviour: adx.cpp:189-213 (decode),
+// adx.cpp:215-273 + 416-506 (encode).
+// ---------------------------------------------------------------------------
+
+// payload: [nblocks, C, block_size]; out: interleaved PCM16 [nblocks*spb, C].
+// mode 2 takes coefficients from static_coef[predictor*2(+1)] per block;
+// modes 3/4 use the fixed (c0, c1). Threads split the channel axis (each
+// channel's recurrence is serial over all blocks).
+void cri_adx_decode_blocks(const uint8_t* payload, int32_t nblocks,
+                           int32_t C, int32_t block_size, int32_t bit_depth,
+                           int32_t mode, int32_t c0f, int32_t c1f,
+                           const int32_t* static_coef, const int32_t* h1v,
+                           const int32_t* h2v, int16_t* out,
+                           int32_t nthreads) {
+    const int32_t spb = (block_size - 2) * 8 / bit_depth;
+    const int32_t signbit = 1 << (bit_depth - 1);
+    const int32_t full = 1 << bit_depth;
+    auto run = [&](int32_t c) {
+        int64_t p1 = h1v[c], p2 = h2v[c];
+        for (int32_t b = 0; b < nblocks; ++b) {
+            const uint8_t* blk =
+                payload + ((size_t)b * C + c) * block_size;
+            const int32_t scale_raw = (blk[0] << 8) | blk[1];
+            int64_t scale, a0, a1;
+            if (mode == 4) {
+                scale = (int64_t)1 << ((12 - scale_raw) & 31);
+                a0 = c0f;
+                a1 = c1f;
+            } else if (mode == 2) {
+                const int32_t predictor = scale_raw >> 13;
+                scale = (scale_raw & 0x1FFF) + 1;
+                a0 = static_coef[predictor * 2];
+                a1 = static_coef[predictor * 2 + 1];
+            } else {
+                scale = scale_raw + 1;
+                a0 = c0f;
+                a1 = c1f;
+            }
+            // MSB-first fixed-width code extraction from blk[2..block_size)
+            uint64_t acc = 0;
+            int navail = 0;
+            const uint8_t* p = blk + 2;
+            int16_t* o = out + (size_t)b * spb * C + c;
+            for (int32_t t = 0; t < spb; ++t) {
+                while (navail < bit_depth) {
+                    acc = (acc << 8) | *p++;
+                    navail += 8;
+                }
+                int32_t q =
+                    (int32_t)((acc >> (navail - bit_depth)) & (full - 1));
+                navail -= bit_depth;
+                if (q & signbit) q -= full;
+                int64_t v = q * scale + ((a0 * p1) >> 12) + ((a1 * p2) >> 12);
+                v = adx_clamp16(v);
+                p2 = p1;
+                p1 = v;
+                *o = (int16_t)v;
+                o += C;
+            }
+        }
+    };
+    if (C <= 1 || nthreads == 1) {
+        for (int32_t c = 0; c < C; ++c) run(c);
+        return;
+    }
+    std::vector<std::thread> pool;
+    for (int32_t c = 0; c < C; ++c) pool.emplace_back(run, c);
+    for (auto& th : pool) th.join();
+}
+
+// pcm: deinterleaved [C, nblocks*spb] int16 (already padded to whole blocks);
+// payload out: [nblocks, C, block_size] raw block stream (scale field +
+// MSB-first packed codes). mode 2 ORs (filter << 13) into non-zero scale
+// fields. Threads split the channel axis.
+void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
+                           int32_t block_size, int32_t bit_depth,
+                           int32_t mode, int32_t filter, int32_t c0f,
+                           int32_t c1f, const int32_t* h1v,
+                           const int32_t* h2v, uint8_t* payload,
+                           int32_t nthreads) {
+    const int32_t spb = (block_size - 2) * 8 / bit_depth;
+    const int64_t limit = ((int64_t)1 << (bit_depth - 1)) - 1;
+    auto run = [&](int32_t c) {
+        const int64_t a0 = c0f, a1 = c1f;
+        int64_t h1 = h1v[c], h2 = h2v[c];
+        const int16_t* ch = pcm + (size_t)c * nblocks * spb;
+        std::vector<int32_t> codbuf(spb);
+        int32_t* cod = codbuf.data();
+        for (int32_t b = 0; b < nblocks; ++b) {
+            const int16_t* blk = ch + (size_t)b * spb;
+            int64_t mn = 0, mx = 0, p1 = h1, p2 = h2;
+            for (int32_t t = 0; t < spb; ++t) {
+                int64_t r =
+                    (((int64_t)blk[t] << 12) - a0 * p1 - a1 * p2) >> 12;
+                if (r < mn) mn = r;
+                if (r > mx) mx = r;
+                p2 = p1;
+                p1 = blk[t];
+            }
+            const bool zero = (mn == 0 && mx == 0);
+            int64_t scale =
+                std::max(adx_tdiv(mx, limit), adx_tdiv(mn, -(limit + 1)));
+            if (scale > 0x1000) scale = 0x1000;
+            int64_t scale_raw, scale_eff;
+            if (mode == 4) {
+                int64_t power = 0;
+                if (scale >= 1) {
+                    int64_t v = scale;
+                    while (v > 1) { v >>= 1; ++power; }
+                    ++power;
+                }
+                scale_eff = (int64_t)1 << power;
+                scale_raw = 12 - power;
+            } else if (mode == 2) {
+                scale_raw = scale & 0x1FFF;
+                scale_eff = scale;
+            } else {
+                scale_raw = scale;
+                scale_eff = scale;
+            }
+            if (scale_eff < 1) scale_eff = 1;
+            int64_t q1 = h1, q2 = h2;
+            for (int32_t t = 0; t < spb; ++t) {
+                int64_t d =
+                    (((int64_t)blk[t] << 12) - a0 * q1 - a1 * q2) >> 12;
+                d = d > 0 ? d + (scale_eff >> 1) : d - (scale_eff >> 1);
+                d = adx_tdiv(d, scale_eff);
+                if (d < -limit - 1) d = -limit - 1;
+                if (d > limit) d = limit;
+                int64_t sim =
+                    (((d << 12) * scale_eff) + a0 * q1 + a1 * q2) >> 12;
+                sim = adx_clamp16(sim);
+                q2 = q1;
+                q1 = sim;
+                cod[t] = (int32_t)d;
+            }
+            int64_t field;
+            if (zero) {
+                for (int32_t t = 0; t < spb; ++t) cod[t] = 0;
+                field = 0;
+                h1 = blk[spb - 1];
+                h2 = spb >= 2 ? blk[spb - 2] : h1;
+            } else {
+                field = mode == 2
+                            ? ((int64_t)filter << 13) | (scale_raw & 0x1FFF)
+                            : (scale_raw & 0xFFFF);
+                h1 = q1;
+                h2 = q2;
+            }
+            uint8_t* pb = payload + ((size_t)b * C + c) * block_size;
+            pb[0] = (uint8_t)((field >> 8) & 0xFF);
+            pb[1] = (uint8_t)(field & 0xFF);
+            // MSB-first fixed-width packing into pb[2..block_size)
+            uint64_t acc = 0;
+            int nbits = 0;
+            uint8_t* w = pb + 2;
+            const uint32_t mask = (1u << bit_depth) - 1;
+            for (int32_t t = 0; t < spb; ++t) {
+                acc = (acc << bit_depth) | ((uint32_t)cod[t] & mask);
+                nbits += bit_depth;
+                while (nbits >= 8) {
+                    *w++ = (uint8_t)((acc >> (nbits - 8)) & 0xFF);
+                    nbits -= 8;
+                }
+            }
+            if (nbits > 0) *w++ = (uint8_t)((acc << (8 - nbits)) & 0xFF);
+        }
+    };
+    if (C <= 1 || nthreads == 1) {
+        for (int32_t c = 0; c < C; ++c) run(c);
+        return;
+    }
+    std::vector<std::thread> pool;
+    for (int32_t c = 0; c < C; ++c) pool.emplace_back(run, c);
+    for (auto& th : pool) th.join();
+}
+
 }  // extern "C"
 

@@ -92,6 +92,35 @@ int main() {
         printf("  hca unpack (64 zero frames, 8 threads) OK\n");
     }
 
+    // ADX lane scans: encode random PCM, decode it back, both threaded
+    {
+        const int32_t L = 4, B = 50, spb = 32;
+        std::vector<int32_t> pcm((size_t)L * B * spb);
+        for (auto& v : pcm) v = (int32_t)(int16_t)rng();
+        std::vector<int32_t> c0(L, 0x1CB1), c1(L, -0x0D4C);
+        std::vector<int32_t> h1(L, 0), h2(L, 0);
+        std::vector<int32_t> codes((size_t)L * B * spb);
+        std::vector<int32_t> sraw((size_t)L * B);
+        std::vector<uint8_t> zero((size_t)L * B);
+        cri_adx_encode_scan(pcm.data(), c0.data(), c1.data(), h1.data(),
+                            h2.data(), L, B, spb, 3, 4, codes.data(),
+                            sraw.data(), zero.data(), 4);
+        const int64_t N = (int64_t)B * spb;
+        std::vector<int32_t> scales((size_t)L * N), dc0((size_t)L * N),
+            dc1((size_t)L * N);
+        for (int32_t l = 0; l < L; ++l)
+            for (int64_t t = 0; t < N; ++t) {
+                scales[l * N + t] = sraw[l * B + t / spb] + 1;
+                dc0[l * N + t] = c0[l];
+                dc1[l * N + t] = c1[l];
+            }
+        std::vector<int16_t> out((size_t)L * N);
+        cri_adx_decode_scan(codes.data(), scales.data(), dc0.data(),
+                            dc1.data(), h1.data(), h2.data(), L, N,
+                            out.data(), 4);
+        printf("  adx encode+decode scans (4 lanes, 4 threads) OK\n");
+    }
+
     std::vector<uint8_t> rows(64 * 512);
     for (auto& b : rows) b = (uint8_t)rng();
     std::vector<uint16_t> crcs(64);

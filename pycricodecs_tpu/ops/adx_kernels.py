@@ -61,6 +61,68 @@ def adx_decode_scan(codes, scales, c0, c1, h1, h2):
     return out.T
 
 
+def adx_decode_host(codes, scales, c0, c1, h1, h2):
+    """Host fast path: native C++ lane scan when available, numpy otherwise.
+
+    Bit-exact with adx_decode_scan; preferred for single files / small
+    batches where device dispatch latency dominates (the batched TPU scan
+    wins on banks).
+    """
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    if lib is None or codes.size == 0:
+        return adx_decode_numpy(codes, scales, c0, c1, h1, h2)
+    scales = np.ascontiguousarray(scales, dtype=np.int32)
+    c0 = np.ascontiguousarray(c0, dtype=np.int32)
+    c1 = np.ascontiguousarray(c1, dtype=np.int32)
+    h1 = np.ascontiguousarray(h1, dtype=np.int32)
+    h2 = np.ascontiguousarray(h2, dtype=np.int32)
+    L, N = codes.shape
+    out = np.empty((L, N), dtype=np.int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.cri_adx_decode_scan(
+        codes.ctypes.data_as(i32p), scales.ctypes.data_as(i32p),
+        c0.ctypes.data_as(i32p), c1.ctypes.data_as(i32p),
+        h1.ctypes.data_as(i32p), h2.ctypes.data_as(i32p),
+        np.int32(L), np.int64(N),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), np.int32(0))
+    return out
+
+
+def adx_encode_host(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
+                    bit_depth):
+    """Host fast path for adx_encode_scan: native C++ when available."""
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    if lib is None or pcm.size == 0:
+        return adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, spb=spb,
+                                encoding_mode=encoding_mode,
+                                bit_depth=bit_depth)
+    c0 = np.ascontiguousarray(c0, dtype=np.int32)
+    c1 = np.ascontiguousarray(c1, dtype=np.int32)
+    h1 = np.ascontiguousarray(h1_init, dtype=np.int32)
+    h2 = np.ascontiguousarray(h2_init, dtype=np.int32)
+    L, B, _ = pcm.shape
+    codes = np.empty((L, B, spb), dtype=np.int32)
+    scale_raw = np.empty((L, B), dtype=np.int32)
+    zero = np.empty((L, B), dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.cri_adx_encode_scan(
+        pcm.ctypes.data_as(i32p), c0.ctypes.data_as(i32p),
+        c1.ctypes.data_as(i32p), h1.ctypes.data_as(i32p),
+        h2.ctypes.data_as(i32p), np.int32(L), np.int32(B), np.int32(spb),
+        np.int32(encoding_mode), np.int32(bit_depth),
+        codes.ctypes.data_as(i32p), scale_raw.ctypes.data_as(i32p),
+        zero.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), np.int32(0))
+    return codes, scale_raw, zero.astype(bool)
+
+
 def adx_decode_numpy(codes, scales, c0, c1, h1, h2):
     """Bit-exact numpy mirror of adx_decode_scan (host fallback / oracle)."""
     codes = np.asarray(codes, dtype=np.int64)
