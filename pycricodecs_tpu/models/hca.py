@@ -48,8 +48,15 @@ def decode_range(data: bytes, start_frame: int, end_frame: int = -1,
 
 
 def decode_frames_to_pcm(info: hca_frame.HcaInfo, frames: bytes,
-                         random_state: int = 1) -> np.ndarray:
-    """Decode raw frame data to interleaved PCM16 [total_samples, channels]."""
+                         random_state: int = 1,
+                         use_jax: bool = None) -> np.ndarray:
+    """Decode raw frame data to interleaved PCM16 [total_samples, channels].
+
+    use_jax=None auto-selects the native C++ transform for a single stream
+    (device dispatch latency would dominate); True forces the device kernel.
+    Both are bit-exact with each other. Banks go through
+    parallel.decode_batch, which keeps the batched device path.
+    """
     unp = hca_frame.unpack_frames(info, frames, random_state=random_state)
     hfr = hca_kernels.build_hfr_map(
         info.total_band_count, info.base_band_count, info.stereo_band_count,
@@ -58,17 +65,21 @@ def decode_frames_to_pcm(info: hca_frame.HcaInfo, frames: bytes,
         if info.stereo_band_count > 0 else ()
     apply_noise = bool(info.min_resolution == 0 and unp.noise_mask.any())
     apply_hfr = bool(info.bands_per_hfr_group > 0 and info.hfr_group_count > 0)
-    out = hca_kernels.hca_decode_transform(
-        unp.qc, unp.scalefactors, unp.resolutions, unp.intensity,
-        unp.noise_src, unp.noise_sci, unp.noise_mask,
-        np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
-        np.asarray(hfr.group_of), np.int32(hfr.zero_band),
-        base_band=int(info.base_band_count),
-        total_band=int(info.total_band_count),
-        stereo_pairs=pairs, apply_noise=apply_noise, apply_hfr=apply_hfr,
-        hfr_group_count=int(info.hfr_group_count))
-    out = np.asarray(out)  # [F, 8, 128, C]
-    return out.reshape(-1, info.channels)
+    args = (unp.qc, unp.scalefactors, unp.resolutions, unp.intensity,
+            unp.noise_src, unp.noise_sci, unp.noise_mask,
+            np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+            np.asarray(hfr.group_of), np.int32(hfr.zero_band))
+    config = dict(base_band=int(info.base_band_count),
+                  total_band=int(info.total_band_count),
+                  stereo_pairs=pairs, apply_noise=apply_noise,
+                  apply_hfr=apply_hfr,
+                  hfr_group_count=int(info.hfr_group_count))
+    out = None
+    if not use_jax:
+        out = hca_kernels.hca_decode_transform_host(*args, **config)
+    if out is None:
+        out = np.asarray(hca_kernels.hca_decode_transform(*args, **config))
+    return out.reshape(-1, info.channels)  # [F, 8, 128, C] -> samples x C
 
 
 def decode(data: bytes, key: int = 0, subkey: int = 0) -> bytes:

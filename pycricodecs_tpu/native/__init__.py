@@ -22,8 +22,11 @@ _tried = False
 
 def _build() -> bool:
     try:
-        cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-               "-std=c++17", _SRC, "-o", _SO, "-lpthread"]
+        # -ffp-contract=off: the HCA decode transform must round every fp32
+        # mul/add separately to stay bit-exact with the XLA kernel (FMA
+        # contraction perturbs ~0.1% of samples by 1 LSB)
+        cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fPIC",
+               "-shared", "-std=c++17", _SRC, "-o", _SO, "-lpthread"]
         res = subprocess.run(cmd, capture_output=True, timeout=300)
         return res.returncode == 0 and os.path.exists(_SO)
     except Exception:
@@ -77,5 +80,15 @@ def load():
             i16p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.cri_hca_decode_transform.restype = None
+        lib.cri_hca_decode_transform.argtypes = [
+            i16p, u8p, u8p, u8p, i32p, u8p, u8p,          # qc..noise_mask
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, ctypes.c_int32,                          # pairs, npairs
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, i32p, i32p, ctypes.c_int32,               # hfr maps
+            f32p, f32p, f32p, f32p, f32p, f32p, f32p,      # tables
+            i16p]
         _lib = lib
         return _lib

@@ -1018,5 +1018,202 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
     for (auto& th : pool) th.join();
 }
 
+
+// ---------------------------------------------------------------------------
+// HCA single-stream decode transform (dequant -> noise -> HFR -> intensity
+// stereo -> IMDCT -> windowed overlap-add -> PCM16).
+//
+// Host fast path for single files, numerically identical to the JAX kernel
+// ops/hca_kernels.py::hca_decode_transform_batched (same fp32 op order,
+// single-rounded mul/add — the build uses -ffp-contract=off so no FMA
+// contraction; reference behaviour hca.cpp:1207-1233, 1906-1972). All tables
+// are passed in from ops/hca_tables.py, keeping one source of truth.
+// ---------------------------------------------------------------------------
+
+static inline int16_t hca_pcm16(float v) {
+    // matches jnp convert-to-int32-then-clip (saturating, truncate toward 0)
+    const float sc = v * 32768.0f;
+    if (sc >= 32767.0f) return 32767;
+    if (sc <= -32768.0f) return -32768;
+    if (sc != sc) return 0;  // NaN guard (unreachable on valid streams)
+    return (int16_t)(int32_t)sc;
+}
+
+void cri_hca_decode_transform(
+    const int16_t* qc,          // [F, C, 8, 128]
+    const uint8_t* sf,          // [F, C, 128]
+    const uint8_t* res,         // [F, C, 128]
+    const uint8_t* inten,       // [F, C, 8]
+    const int32_t* noise_src,   // [F, C, 8, 128] (apply_noise only)
+    const uint8_t* noise_sci,   // [F, C, 8, 128]
+    const uint8_t* noise_mask,  // [F, C, 8, 128]
+    int32_t F, int32_t C, int32_t base_band, int32_t total_band,
+    const int32_t* pairs, int32_t npairs,  // (primary, secondary) pairs
+    int32_t apply_noise, int32_t apply_hfr, int32_t hfr_group_count,
+    const uint8_t* hfr_is, const int32_t* hfr_src, const int32_t* hfr_group,
+    int32_t hfr_zero,
+    const float* scaling64, const float* range16, const float* conv128,
+    const float* iratio16, const float* imdct_sin, const float* imdct_cos,
+    const float* window128,
+    int16_t* out) {             // [F, 8, 128, C] interleaved
+    std::vector<uint8_t> is_secondary(C, 0);
+    for (int32_t i = 0; i < npairs; ++i) is_secondary[pairs[2 * i + 1]] = 1;
+
+    // per-channel spectra for the current frame + per-channel OLA carry
+    std::vector<float> spec((size_t)C * 8 * 128);
+    std::vector<float> base(128);
+    std::vector<float> prev_dct((size_t)C * 128, 0.0f);
+
+    for (int32_t f = 0; f < F; ++f) {
+        // --- per-channel dequant + noise + HFR -------------------------
+        for (int32_t c = 0; c < C; ++c) {
+            const size_t fc = (size_t)f * C + c;
+            const uint8_t* sfr = sf + fc * 128;
+            const uint8_t* rsr = res + fc * 128;
+            float gain[128];
+            for (int k = 0; k < 128; ++k)
+                gain[k] = scaling64[sfr[k]] * range16[rsr[k]];
+            for (int32_t t = 0; t < 8; ++t) {
+                float* sp = spec.data() + ((size_t)c * 8 + t) * 128;
+                const int16_t* q = qc + (fc * 8 + t) * 128;
+                for (int k = 0; k < 128; ++k)
+                    sp[k] = gain[k] * (float)q[k];
+                if (apply_noise) {
+                    const size_t off = (fc * 8 + t) * 128;
+                    std::memcpy(base.data(), sp, 128 * sizeof(float));
+                    for (int k = 0; k < 128; ++k)
+                        if (noise_mask[off + k])
+                            sp[k] = conv128[noise_sci[off + k]]
+                                    * base[noise_src[off + k]];
+                }
+                if (apply_hfr && !is_secondary[c]) {
+                    for (int k = 0; k < 128; ++k) {
+                        if (hfr_is[k]) {
+                            const int32_t g = hfr_group[k];
+                            const int32_t gsc =
+                                sfr[128 - hfr_group_count + g];
+                            int32_t sci = gsc - (int32_t)sfr[hfr_src[k]] + 63;
+                            if (sci < 0) sci = 0;
+                            sp[k] = conv128[sci] * sp[hfr_src[k]];
+                        }
+                    }
+                    if (hfr_zero >= 0 && hfr_zero < 128) sp[hfr_zero] = 0.0f;
+                }
+            }
+        }
+        // --- intensity stereo -------------------------------------------
+        for (int32_t i = 0; i < npairs; ++i) {
+            const int32_t pch = pairs[2 * i], sch = pairs[2 * i + 1];
+            for (int32_t t = 0; t < 8; ++t) {
+                const float rl =
+                    iratio16[inten[((size_t)f * C + sch) * 8 + t]];
+                const float rr = 2.0f - rl;
+                float* lp = spec.data() + ((size_t)pch * 8 + t) * 128;
+                float* rp = spec.data() + ((size_t)sch * 8 + t) * 128;
+                for (int k = base_band; k < total_band; ++k) {
+                    const float l = lp[k];
+                    lp[k] = l * rl;
+                    rp[k] = l * rr;
+                }
+            }
+        }
+        // --- IMDCT + overlap-add + PCM16 --------------------------------
+        // All 8 subframes of a channel run through identical butterfly
+        // stages, so the hot loops operate on [128][8] panels: each spectral
+        // line carries an 8-wide lane of subframes (one 256-bit SIMD vector)
+        // and gcc auto-vectorizes every stage.
+        for (int32_t c = 0; c < C; ++c) {
+            float* carry = prev_dct.data() + (size_t)c * 128;
+            alignas(32) float va[128][8], vb[128][8];
+            const float* spc = spec.data() + (size_t)c * 8 * 128;
+            for (int k = 0; k < 128; ++k)
+                for (int t = 0; t < 8; ++t)
+                    va[k][t] = spc[t * 128 + k];
+            float (*x)[8] = va;
+            float (*y)[8] = vb;
+            // part 1: add/sub tree (count1 groups of count2 pairs)
+            {
+                int count1 = 1, count2 = 64;
+                for (int st = 0; st < 7; ++st) {
+                    for (int g = 0; g < count1; ++g) {
+                        const int base_i = g * count2 * 2;
+                        for (int j = 0; j < count2; ++j) {
+                            const float* a = x[base_i + 2 * j];
+                            const float* b = x[base_i + 2 * j + 1];
+                            float* yo1 = y[base_i + j];
+                            float* yo2 = y[base_i + count2 + j];
+                            for (int u = 0; u < 8; ++u) {
+                                yo1[u] = a[u] + b[u];
+                                yo2[u] = a[u] - b[u];
+                            }
+                        }
+                    }
+                    std::swap(x, y);
+                    count1 <<= 1;
+                    count2 >>= 1;
+                }
+            }
+            // part 2: twiddle stages
+            {
+                int count1 = 64, count2 = 1;
+                for (int st = 0; st < 7; ++st) {
+                    const float* sn = imdct_sin + st * 64;
+                    const float* cs = imdct_cos + st * 64;
+                    for (int g = 0; g < count1; ++g) {
+                        const int base_i = g * 2 * count2;
+                        for (int j = 0; j < count2; ++j) {
+                            const float* a = x[base_i + j];
+                            const float* b = x[base_i + count2 + j];
+                            const float w1 = sn[g * count2 + j];
+                            const float w2 = cs[g * count2 + j];
+                            float* yo1 = y[base_i + j];
+                            float* yo2 = y[base_i + 2 * count2 - 1 - j];
+                            for (int u = 0; u < 8; ++u) {
+                                yo1[u] = a[u] * w1 - b[u] * w2;
+                                yo2[u] = a[u] * w2 + b[u] * w1;
+                            }
+                        }
+                    }
+                    std::swap(x, y);
+                    count1 >>= 1;
+                    count2 <<= 1;
+                }
+            }
+            // overlap-add: wave[k]    = w[k]*dct[64+k]    + prev[k]
+            //              wave[64+k] = w[64+k]*dct[127-k] - prev[64+k]
+            // where prev[k] = w[127-k]*pdct[63-k], prev[64+k] = w[63-k]*pdct[k]
+            for (int32_t t = 0; t < 8; ++t) {
+                int16_t* o = out + (((size_t)f * 8 + t) * 128) * C + c;
+                if (t == 0) {
+                    for (int k = 0; k < 64; ++k) {
+                        const float v = window128[k] * x[64 + k][0]
+                                        + window128[127 - k] * carry[63 - k];
+                        o[(size_t)k * C] = hca_pcm16(v);
+                    }
+                    for (int k = 0; k < 64; ++k) {
+                        const float v = window128[64 + k] * x[127 - k][0]
+                                        - window128[63 - k] * carry[k];
+                        o[(size_t)(64 + k) * C] = hca_pcm16(v);
+                    }
+                } else {
+                    for (int k = 0; k < 64; ++k) {
+                        const float v =
+                            window128[k] * x[64 + k][t]
+                            + window128[127 - k] * x[63 - k][t - 1];
+                        o[(size_t)k * C] = hca_pcm16(v);
+                    }
+                    for (int k = 0; k < 64; ++k) {
+                        const float v =
+                            window128[64 + k] * x[127 - k][t]
+                            - window128[63 - k] * x[k][t - 1];
+                        o[(size_t)(64 + k) * C] = hca_pcm16(v);
+                    }
+                }
+            }
+            for (int k = 0; k < 128; ++k) carry[k] = x[k][7];
+        }
+    }
+}
+
 }  // extern "C"
 

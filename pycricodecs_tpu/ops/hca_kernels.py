@@ -218,6 +218,75 @@ def hca_decode_transform(qc, sf, res, intensity, noise_src, noise_sci,
     return out[0]
 
 
+def hca_decode_transform_host(qc, sf, res, intensity, noise_src, noise_sci,
+                              noise_mask, hfr_is, hfr_src, hfr_group,
+                              hfr_zero, *, base_band, total_band,
+                              stereo_pairs, apply_noise, apply_hfr,
+                              hfr_group_count):
+    """Single-stream C++ decode transform; returns [F, 8, 128, C] int16 or
+    None when the native core is unavailable.
+
+    Numerically identical to hca_decode_transform (same fp32 op order; the
+    native build disables FMA contraction). Preferred for single files where
+    device dispatch latency dominates; the batched device kernel remains the
+    path for banks.
+    """
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    if lib is None:
+        return None
+    qc = np.ascontiguousarray(qc, dtype=np.int16)
+    F, C = qc.shape[0], qc.shape[1]
+    out = np.empty((F, 8, 128, C), dtype=np.int16)
+    if F == 0:
+        return out
+    sf = np.ascontiguousarray(sf, dtype=np.uint8)
+    res = np.ascontiguousarray(res, dtype=np.uint8)
+    intensity = np.ascontiguousarray(intensity, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def f32(a):
+        return np.ascontiguousarray(a, dtype=np.float32).ctypes.data_as(f32p)
+
+    if apply_noise:
+        nsrc = np.ascontiguousarray(noise_src, dtype=np.int32)
+        nsci = np.ascontiguousarray(noise_sci, dtype=np.uint8)
+        nmask = np.ascontiguousarray(noise_mask, dtype=np.uint8)
+        noise_args = (nsrc.ctypes.data_as(i32p), nsci.ctypes.data_as(u8p),
+                      nmask.ctypes.data_as(u8p))
+    else:
+        noise_args = (None, None, None)
+    pairs = np.ascontiguousarray(
+        np.asarray(stereo_pairs, dtype=np.int32).reshape(-1))
+    hfr_is = np.ascontiguousarray(np.asarray(hfr_is), dtype=np.uint8)
+    hfr_src = np.ascontiguousarray(hfr_src, dtype=np.int32)
+    hfr_group = np.ascontiguousarray(hfr_group, dtype=np.int32)
+    # keep table buffers alive across the call
+    tables = [np.ascontiguousarray(a, dtype=np.float32) for a in
+              (T.SCALING_TABLE, T.RANGE_TABLE, T.SCALE_CONVERSION_TABLE,
+               T.INTENSITY_RATIO_TABLE, T.IMDCT_SIN, T.IMDCT_COS,
+               T.IMDCT_WINDOW)]
+    lib.cri_hca_decode_transform(
+        qc.ctypes.data_as(i16p), sf.ctypes.data_as(u8p),
+        res.ctypes.data_as(u8p), intensity.ctypes.data_as(u8p),
+        *noise_args,
+        np.int32(F), np.int32(C), np.int32(base_band), np.int32(total_band),
+        pairs.ctypes.data_as(i32p) if pairs.size else None,
+        np.int32(len(stereo_pairs)),
+        np.int32(1 if apply_noise else 0), np.int32(1 if apply_hfr else 0),
+        np.int32(hfr_group_count),
+        hfr_is.ctypes.data_as(u8p), hfr_src.ctypes.data_as(i32p),
+        hfr_group.ctypes.data_as(i32p), np.int32(hfr_zero),
+        *(t.ctypes.data_as(f32p) for t in tables),
+        out.ctypes.data_as(i16p))
+    return out
+
+
 def stereo_pairs_of(channel_type: np.ndarray) -> Tuple[Tuple[int, int], ...]:
     """(primary, secondary) channel index pairs (adjacent by construction)."""
     pairs = []
