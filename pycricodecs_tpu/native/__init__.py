@@ -81,6 +81,34 @@ def load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32]
         f32p = ctypes.POINTER(ctypes.c_float)
+        lib.cri_hca_search_levels.restype = ctypes.c_int32
+        lib.cri_hca_search_levels.argtypes = [
+            i32p, f32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            i32p, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            u8p, u8p, f32p, f32p, u8p,
+            i32p, i32p, ctypes.c_int32]
+        lib.cri_hca_intensity_stereo.restype = None
+        lib.cri_hca_intensity_stereo.argtypes = [
+            f32p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, u8p, ctypes.c_int32, f32p]
+        lib.cri_hca_scalefactors_scale.restype = None
+        lib.cri_hca_scalefactors_scale.argtypes = [
+            f32p, ctypes.c_int32, ctypes.c_int32, i32p,
+            f32p, f32p, ctypes.c_float, i32p, f32p]
+        lib.cri_hca_resolution_quantize.restype = None
+        lib.cri_hca_resolution_quantize.argtypes = [
+            i32p, f32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, u8p, f32p, i32p, i32p]
+        lib.cri_hca_delta_lengths.restype = None
+        lib.cri_hca_delta_lengths.argtypes = [
+            i32p, ctypes.c_int32, ctypes.c_int32, i32p, u8p,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p]
+        lib.cri_hca_mdct.restype = None
+        lib.cri_hca_mdct.argtypes = [
+            i16p, ctypes.c_int32, ctypes.c_int32,
+            f32p, f32p, f32p, i32p, f32p]
         lib.cri_hca_decode_transform.restype = None
         lib.cri_hca_decode_transform.argtypes = [
             i16p, u8p, u8p, u8p, i32p, u8p, u8p,          # qc..noise_mask

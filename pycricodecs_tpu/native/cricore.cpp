@@ -7,6 +7,7 @@
 //
 // Build: g++ -O3 -march=native -fPIC -shared cricore.cpp -o libcricore.so
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <algorithm>
 #include <thread>
@@ -1211,6 +1212,496 @@ void cri_hca_decode_transform(
                 }
             }
             for (int k = 0; k < 128; ++k) carry[k] = x[k][7];
+        }
+    }
+}
+
+
+// ---------------------------------------------------------------------------
+// HCA encoder rate-control searches (BinarySearchLevel / BinarySearchBoundary
+// + the top-band-zeroing fallback), per frame, threaded across frames.
+//
+// Mirrors ops/hca_encode_host.py::calc_used_bits / binary_search_level /
+// binary_search_boundary / calc_delta_lengths exactly (reference behaviour
+// hca.cpp:2708-2866). The numpy implementations re-evaluate every frame on
+// every bisection step; here each frame runs its own search to convergence.
+// ---------------------------------------------------------------------------
+
+namespace hcaenc {
+
+struct Tables {
+    const uint8_t* curve;      // SCALE_TO_RESOLUTION_CURVE [59]
+    const uint8_t* max_bits;   // QUANTIZED_SPECTRUM_MAX_BITS [16]
+    const float* dead_zone;    // QUANTIZER_DEAD_ZONE [16]
+    const float* inv_step;     // QUANTIZER_INVERSE_STEP_SIZE [16]
+    const uint8_t* qbits;      // QUANTIZE_SPECTRUM_BITS [8][16]
+};
+
+static inline int32_t resolution_enc(int64_t sfv, int64_t noise,
+                                     const uint8_t* curve) {
+    if (sfv == 0) return 0;
+    int64_t c = noise - (5 * sfv) / 2 + 2;
+    if (c < 0) c = 0;
+    if (c > 58) c = 58;
+    return curve[c];
+}
+
+// Per-band bit cost for every possible resolution 0..15 (the only input the
+// spectra contribute to CalculateUsedBits, hca.cpp:2763-2790). Precomputed
+// once per frame so each bisection step is a table walk.
+static void band_costs(const float* panels,  // [C, 128, 8]
+                       const int32_t* coded_count, int32_t C,
+                       const Tables& tb,
+                       int32_t* cost) {      // [C, 128, 16]
+    for (int32_t c = 0; c < C; ++c) {
+        const int32_t cc = coded_count[c];
+        for (int32_t k = 0; k < cc; ++k) {
+            const float* lane = panels + ((size_t)c * 128 + k) * 8;
+            int32_t* ck = cost + ((size_t)c * 128 + k) * 16;
+            for (int32_t res = 0; res < 8; ++res) {
+                const float ssi = tb.inv_step[res];
+                const float shift_up = ssi + 1.0f;
+                const int64_t shift_down =
+                    (int64_t)std::trunc((double)ssi + 0.5 - 8.0);
+                const uint8_t* qb = tb.qbits + (size_t)res * 16;
+                int32_t bits = 0;
+                for (int32_t t = 0; t < 8; ++t) {
+                    int64_t q = (int64_t)std::truncf(lane[t] * ssi + shift_up)
+                                - shift_down;
+                    if (q < 0) q = 0;
+                    if (q > 15) q = 15;
+                    bits += qb[q];
+                }
+                ck[res] = bits;
+            }
+            for (int32_t res = 8; res < 16; ++res) {
+                const float dz = tb.dead_zone[res];
+                int32_t extra = 0;
+                for (int32_t t = 0; t < 8; ++t)
+                    extra += std::fabs(lane[t]) >= dz;
+                ck[res] = 8 * ((int32_t)tb.max_bits[res] - 1) + extra;
+            }
+        }
+    }
+}
+
+// CalculateUsedBits via the precomputed per-band cost table.
+static int64_t used_bits(const int32_t* sf,      // [C, 128]
+                         const int32_t* cost,    // [C, 128, 16]
+                         const int32_t* header_len,  // [C]
+                         const int32_t* coded_count, int32_t C,
+                         int64_t noise_level, int64_t eval_boundary,
+                         const Tables& tb) {
+    int64_t length = 16 + 16 + 16;
+    for (int32_t c = 0; c < C; ++c) {
+        length += header_len[c];
+        const int32_t cc = coded_count[c];
+        const int32_t* sfc = sf + (size_t)c * 128;
+        const int32_t* cstc = cost + (size_t)c * 128 * 16;
+        for (int32_t k = 0; k < cc; ++k) {
+            const int64_t noise =
+                k < eval_boundary ? noise_level - 1 : noise_level;
+            const int32_t res = resolution_enc(sfc[k], noise, tb.curve);
+            length += cstc[(size_t)k * 16 + res];
+        }
+    }
+    return length;
+}
+
+// CalculateOptimalDeltaLength + header length for one frame/channel
+// (hca.cpp:2708-2750; mirrors calc_delta_lengths).
+static void delta_length(const int32_t* sfc, int32_t cc, int32_t chan_type,
+                         int32_t hfr_group_count, int32_t stereo_secondary,
+                         int32_t* delta_bits_out, int32_t* header_len_out) {
+    bool empty = true;
+    for (int32_t k = 0; k < cc; ++k)
+        if (sfc[k] != 0) { empty = false; break; }
+    if (empty) {
+        *delta_bits_out = 0;
+        int64_t hl = 3;
+        if (chan_type == stereo_secondary) hl += 32;
+        else if (hfr_group_count > 0) hl += 6 * hfr_group_count;
+        *header_len_out = (int32_t)hl;
+        return;
+    }
+    int64_t min_len = 3 + 6 * (int64_t)cc;
+    int64_t min_bits = 6;
+    for (int64_t db = 1; db < 6; ++db) {
+        const int64_t max_delta = ((int64_t)1 << (db - 1)) - 1;
+        int64_t length = 3 + 6;
+        for (int32_t k = 1; k < cc; ++k) {
+            const int64_t d = std::llabs((int64_t)sfc[k] - sfc[k - 1]);
+            length += d > max_delta ? db + 6 : db;
+        }
+        if (length < min_len) { min_len = length; min_bits = db; }
+    }
+    int64_t hl = min_len;
+    if (chan_type == stereo_secondary) hl += 32;
+    else if (hfr_group_count > 0) hl += 6 * hfr_group_count;
+    *delta_bits_out = (int32_t)min_bits;
+    *header_len_out = (int32_t)hl;
+}
+
+}  // namespace hcaenc
+
+// Runs the per-frame rate-control: level search, top-band-zeroing fallback
+// (mutates sf/delta_bits/header_len), and boundary search. Returns 0, or -1
+// if any frame cannot fit (parity: "Unknown Encoding error").
+int32_t cri_hca_search_levels(
+    int32_t* sf,                // [F, C, 128] (mutated by fallback)
+    const float* scaled,        // [F, C, 8, 128]
+    int32_t* delta_bits,        // [F, C] (mutated by fallback)
+    int32_t* header_len,        // [F, C] (mutated by fallback)
+    int32_t F, int32_t C, int64_t avail,
+    const int32_t* coded_count, const uint8_t* channel_type,
+    int32_t stereo_secondary_tag, int32_t hfr_group_count,
+    int32_t base_band, int32_t stereo_band,
+    const uint8_t* curve, const uint8_t* max_bits, const float* dead_zone,
+    const float* inv_step, const uint8_t* qbits,
+    int32_t* level_out, int32_t* boundary_out, int32_t nthreads) {
+    hcaenc::Tables tb{curve, max_bits, dead_zone, inv_step, qbits};
+    std::vector<int32_t> rc(F, 0);
+    auto run = [&](int32_t lo_f, int32_t hi_f) {
+        std::vector<float> panels((size_t)C * 128 * 8);
+        std::vector<int32_t> costs((size_t)C * 128 * 16);
+        for (int32_t f = lo_f; f < hi_f; ++f) {
+            int32_t* sff = sf + (size_t)f * C * 128;
+            const float* scf_raw = scaled + (size_t)f * C * 8 * 128;
+            for (int32_t c = 0; c < C; ++c)
+                for (int32_t k = 0; k < 128; ++k)
+                    for (int32_t t = 0; t < 8; ++t)
+                        panels[((size_t)c * 128 + k) * 8 + t] =
+                            scf_raw[((size_t)c * 8 + t) * 128 + k];
+            hcaenc::band_costs(panels.data(), coded_count, C, tb,
+                               costs.data());
+            const int32_t* scf = costs.data();
+            int32_t* hlf = header_len + (size_t)f * C;
+            int32_t* dbf = delta_bits + (size_t)f * C;
+            // --- BinarySearchLevel (hca.cpp:2792-2807) ------------------
+            auto search_level = [&]() -> int32_t {
+                int64_t low = 0, high = 255, mid_value = 0;
+                while (low != high) {
+                    const int64_t mid = (low + high) / 2;
+                    mid_value = hcaenc::used_bits(sff, scf, hlf, coded_count,
+                                                  C, mid, 0, tb);
+                    if (mid_value > avail) low = mid + 1;
+                    else high = mid;
+                }
+                if (low == 255 && mid_value > avail) return -1;
+                return (int32_t)low;
+            };
+            int32_t level = search_level();
+            // --- fallback: zero top bands until it fits (2816-2828) -----
+            if (level < 0) {
+                int32_t highest = base_band + stereo_band - 1;
+                while (level < 0) {
+                    highest -= 2;
+                    if (highest < 0) { rc[f] = -1; break; }
+                    for (int32_t c = 0; c < C; ++c) {
+                        sff[c * 128 + highest + 1] = 0;
+                        sff[c * 128 + highest + 2] = 0;
+                        hcaenc::delta_length(
+                            sff + (size_t)c * 128, coded_count[c],
+                            channel_type[c], hfr_group_count,
+                            stereo_secondary_tag, dbf + c, hlf + c);
+                    }
+                    level = search_level();
+                }
+                if (rc[f] != 0) continue;
+            }
+            level_out[f] = level;
+            // --- BinarySearchBoundary (hca.cpp:2834-2850) ---------------
+            int32_t boundary = 0;
+            if (level != 0) {
+                int64_t low = 0, high = 127;
+                while (std::llabs(high - low) > 1) {
+                    const int64_t mid = (low + high) / 2;
+                    const int64_t mv = hcaenc::used_bits(
+                        sff, scf, hlf, coded_count, C, level, mid, tb);
+                    if (avail < mv) high = mid - 1;
+                    else low = mid;
+                }
+                if (low == high) {
+                    boundary = low < 127 ? (int32_t)low : -1;
+                } else {
+                    const int64_t hi_val = hcaenc::used_bits(
+                        sff, scf, hlf, coded_count, C, level, high, tb);
+                    boundary = (int32_t)(hi_val > avail ? low : high);
+                }
+                if (boundary < 0) { rc[f] = -1; continue; }
+            }
+            boundary_out[f] = boundary;
+        }
+    };
+    int nt = nthreads > 0 ? nthreads
+                          : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > F) nt = F;
+    if (nt <= 1) {
+        run(0, F);
+    } else {
+        std::vector<std::thread> pool;
+        const int32_t per = (F + nt - 1) / nt;
+        for (int i = 0; i < nt; ++i) {
+            const int32_t lo = i * per, hi = std::min(F, lo + per);
+            if (lo >= hi) break;
+            pool.emplace_back(run, lo, hi);
+        }
+        for (auto& th : pool) th.join();
+    }
+    for (int32_t f = 0; f < F; ++f)
+        if (rc[f] != 0) return -1;
+    return 0;
+}
+
+
+// ---------------------------------------------------------------------------
+// HCA encoder MDCT: PCM16 timeline -> f32 spectra, 8 subframes per panel.
+//
+// Mirrors ops/hca_encode_host.py::run_mdct + dct4 exactly (reference
+// hca.cpp:2470-2559): PcmToFloat, the shifted overlap windows, the DCT-IV
+// first butterfly + 6 stages, shuffle, * 0.125f. Same fp32 op order
+// (-ffp-contract=off). dct4_sin/dct4_cos are the flat twiddle buffers from
+// ops/hca_tables.py (table for `bits` starts at (1 << bits) - 1).
+// ---------------------------------------------------------------------------
+
+void cri_hca_mdct(const int16_t* timeline,  // [C, F*1024]
+                  int32_t C, int32_t F, const float* window128,
+                  const float* dct4_sin, const float* dct4_cos,
+                  const int32_t* shuffle,   // [128]
+                  float* out) {             // [F, C, 8, 128]
+    const float inv = 1.0f / 32768.0f;
+    const float* sin7 = dct4_sin + 127;
+    const float* cos7 = dct4_cos + 127;
+    const int64_t Tn = (int64_t)F * 8;
+    alignas(32) float va[128][8], vb[128][8];
+    std::vector<float> prev(128, 0.0f);  // previous subframe's wave
+    std::vector<float> wave(128);
+    for (int32_t c = 0; c < C; ++c) {
+        std::fill(prev.begin(), prev.end(), 0.0f);
+        const int16_t* tl = timeline + (size_t)c * Tn * 128;
+        for (int32_t f = 0; f < F; ++f) {
+            // scratch windows for the 8 subframes of this frame -> panels
+            for (int32_t t = 0; t < 8; ++t) {
+                const int16_t* pc = tl + ((size_t)f * 8 + t) * 128;
+                for (int k = 0; k < 128; ++k) wave[k] = (float)pc[k] * inv;
+                for (int k = 0; k < 64; ++k) {
+                    const float a = window128[63 - k] * (-wave[64 + k]);
+                    const float b = (-window128[64 + k]) * wave[63 - k];
+                    va[k][t] = a - b;
+                }
+                for (int k = 0; k < 64; ++k) {
+                    const float cc2 = window128[k] * prev[k];
+                    const float dd = (-window128[127 - k]) * prev[127 - k];
+                    va[64 + k][t] = cc2 - dd;
+                }
+                std::swap(wave, prev);
+            }
+            // DCT-IV first butterfly: temp[2i] = a*cos+b*sin,
+            // temp[2i+1] = a*sin-b*cos with a=x[2i], b=x[127-2i]
+            for (int i = 0; i < 64; ++i) {
+                const float* a = va[2 * i];
+                const float* b = va[127 - 2 * i];
+                const float cw = cos7[i], sw = sin7[i];
+                float* e = vb[2 * i];
+                float* o = vb[2 * i + 1];
+                for (int u = 0; u < 8; ++u) {
+                    e[u] = a[u] * cw + b[u] * sw;
+                    o[u] = a[u] * sw - b[u] * cw;
+                }
+            }
+            // 6 in-place stages on vb
+            for (int stage = 0; stage < 6; ++stage) {
+                const int block_count = 1 << stage;
+                const int bhs_bits = 5 - stage;
+                const int bhs = 1 << bhs_bits;
+                const float* sn = dct4_sin + ((1 << bhs_bits) - 1);
+                const float* cs = dct4_cos + ((1 << bhs_bits) - 1);
+                const int blk_len = 128 / block_count;  // = 2 * bhs * 2
+                for (int g = 0; g < block_count; ++g) {
+                    float (*base)[8] = vb + g * blk_len;
+                    for (int j = 0; j < bhs; ++j) {
+                        float* fe = base[2 * j];
+                        float* fo = base[2 * j + 1];
+                        float* be = base[2 * bhs + 2 * j];
+                        float* bo = base[2 * bhs + 2 * j + 1];
+                        const float cw = cs[j], sw = sn[j];
+                        for (int u = 0; u < 8; ++u) {
+                            const float a2 = fe[u] - be[u];
+                            const float b2 = fo[u] - bo[u];
+                            fe[u] = fe[u] + be[u];
+                            fo[u] = fo[u] + bo[u];
+                            be[u] = a2 * cw + b2 * sw;
+                            bo[u] = a2 * sw - b2 * cw;
+                        }
+                    }
+                }
+            }
+            // shuffle + * 0.125f -> out[f][c][t][k]
+            float* of = out + (((size_t)f * C + c) * 8) * 128;
+            for (int k = 0; k < 128; ++k) {
+                const float* src = vb[shuffle[k]];
+                for (int t = 0; t < 8; ++t)
+                    of[(size_t)t * 128 + k] = src[t] * 0.125f;
+            }
+        }
+    }
+}
+
+
+// ---------------------------------------------------------------------------
+// HCA encoder elementwise stages (mirrors ops/hca_encode_host.py:
+// calc_scalefactors + scale_spectra, calc_resolution_enc + quantize_spectra,
+// calc_delta_lengths; reference hca.cpp:2611-2654, 2752-2761, 2878-2892,
+// 2708-2750). Same fp32 op order as numpy (-ffp-contract=off).
+// ---------------------------------------------------------------------------
+
+// peak -> scalefactor -> scaled spectra. clamp_lim is np.float32(0.9999999).
+void cri_hca_scalefactors_scale(const float* spectra,  // [F, C, 8, 128]
+                                int32_t F, int32_t C,
+                                const int32_t* coded_count,
+                                const float* scaling64,
+                                const float* qscaling64, float clamp_lim,
+                                int32_t* sf_out,     // [F, C, 128]
+                                float* scaled_out) { // [F, C, 8, 128]
+    for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
+        const int32_t c = (int32_t)(fc % C);
+        const int32_t cc = coded_count[c];
+        const float* sp = spectra + (size_t)fc * 8 * 128;
+        int32_t* sf = sf_out + (size_t)fc * 128;
+        float* out = scaled_out + (size_t)fc * 8 * 128;
+        for (int k = 0; k < 128; ++k) {
+            if (k >= cc) { sf[k] = 0; continue; }
+            float peak = 0.0f;
+            for (int t = 0; t < 8; ++t) {
+                const float v = std::fabs(sp[t * 128 + k]);
+                if (v > peak) peak = v;
+            }
+            // searchsorted(SCALING_TABLE, peak, side="right"): count <= peak
+            int lo = 0, hi = 64;
+            while (lo < hi) {
+                const int mid = (lo + hi) / 2;
+                if (scaling64[mid] <= peak) lo = mid + 1;
+                else hi = mid;
+            }
+            sf[k] = lo < 63 ? lo : 63;
+        }
+        for (int t = 0; t < 8; ++t) {
+            for (int k = 0; k < 128; ++k) {
+                float v = 0.0f;
+                if (k < cc && sf[k] != 0) {
+                    v = sp[t * 128 + k] * qscaling64[sf[k]];
+                    if (v > clamp_lim) v = clamp_lim;
+                    if (v < -clamp_lim) v = -clamp_lim;
+                }
+                out[t * 128 + k] = v;
+            }
+        }
+    }
+}
+
+// noise-level resolutions + spectrum quantisation.
+void cri_hca_resolution_quantize(const int32_t* sf,   // [F, C, 128]
+                                 const float* scaled, // [F, C, 8, 128]
+                                 const int32_t* level, const int32_t* boundary,
+                                 int32_t F, int32_t C,
+                                 const int32_t* coded_count,
+                                 const uint8_t* curve, const float* inv_step,
+                                 int32_t* res_out,    // [F, C, 128]
+                                 int32_t* q_out) {    // [F, C, 8, 128]
+    for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
+        const int32_t f = (int32_t)(fc / C);
+        const int32_t c = (int32_t)(fc % C);
+        const int32_t cc = coded_count[c];
+        const int32_t* sfr = sf + (size_t)fc * 128;
+        const float* sc = scaled + (size_t)fc * 8 * 128;
+        int32_t* res = res_out + (size_t)fc * 128;
+        int32_t* q = q_out + (size_t)fc * 8 * 128;
+        for (int k = 0; k < 128; ++k) {
+            if (k >= cc) {
+                res[k] = 0;
+                for (int t = 0; t < 8; ++t) q[t * 128 + k] = 0;
+                continue;
+            }
+            const int64_t noise =
+                k < boundary[f] ? (int64_t)level[f] - 1 : level[f];
+            const int32_t r = hcaenc::resolution_enc(sfr[k], noise, curve);
+            res[k] = r;
+            const float ssi = inv_step[r < 0 ? 0 : (r > 15 ? 15 : r)];
+            const float shift_up = ssi + 1.0f;
+            const int64_t shift_down =
+                (int64_t)std::trunc((double)ssi + 0.5);
+            for (int t = 0; t < 8; ++t)
+                q[t * 128 + k] =
+                    (int32_t)((int64_t)std::truncf(
+                                  sc[t * 128 + k] * ssi + shift_up)
+                              - shift_down);
+        }
+    }
+}
+
+// batch CalculateOptimalDeltaLength + header lengths.
+void cri_hca_delta_lengths(const int32_t* sf,  // [F, C, 128]
+                           int32_t F, int32_t C, const int32_t* coded_count,
+                           const uint8_t* channel_type,
+                           int32_t stereo_secondary_tag,
+                           int32_t hfr_group_count,
+                           int32_t* delta_bits,    // [F, C]
+                           int32_t* header_len) {  // [F, C]
+    for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
+        const int32_t c = (int32_t)(fc % C);
+        hcaenc::delta_length(sf + (size_t)fc * 128, coded_count[c],
+                             channel_type[c], hfr_group_count,
+                             stereo_secondary_tag,
+                             delta_bits + fc, header_len + fc);
+    }
+}
+
+
+// EncodeIntensityStereo (hca.cpp:2561-2609; mirrors
+// ops/hca_encode_host.py::encode_intensity_stereo). Mutates spectra and
+// writes the secondary channel's intensity indices. f32 accumulation in band
+// order; ratio clamps compare in f64 like the numpy path.
+void cri_hca_intensity_stereo(float* spectra,     // [F, C, 8, 128]
+                              uint8_t* intensity,  // [F, C, 8]
+                              int32_t F, int32_t C, int32_t base_band,
+                              int32_t total_band,
+                              const uint8_t* channel_type,
+                              int32_t stereo_primary_tag,
+                              const float* bounds14) {
+    const double sqrt2_2 = std::sqrt(2.0) / 2.0;
+    for (int32_t c = 0; c + 1 < C; ++c) {
+        if (channel_type[c] != stereo_primary_tag) continue;
+        for (int32_t f = 0; f < F; ++f) {
+            float* l = spectra + (((size_t)f * C + c) * 8) * 128;
+            float* r = spectra + (((size_t)f * C + c + 1) * 8) * 128;
+            uint8_t* qo = intensity + ((size_t)f * C + c + 1) * 8;
+            for (int32_t t = 0; t < 8; ++t) {
+                float* lt = l + (size_t)t * 128;
+                float* rt = r + (size_t)t * 128;
+                float e_l = 0.0f, e_r = 0.0f, e_t = 0.0f;
+                for (int32_t k = base_band; k < total_band; ++k) {
+                    e_l = e_l + std::fabs(lt[k]);
+                    e_r = e_r + std::fabs(rt[k]);
+                    e_t = e_t + std::fabs(lt[k] + rt[k]);
+                }
+                e_t = e_t * 2.0f;
+                const float e_lr = e_r + e_l;
+                const float stored = (2.0f * e_l) / e_lr;
+                float ratio = e_lr / e_t;
+                if ((double)ratio < 0.5) ratio = 0.5f;
+                if ((double)ratio > sqrt2_2) ratio = (float)sqrt2_2;
+                int32_t quant = 1;
+                for (int32_t k = 1; k < 13; ++k)
+                    quant += bounds14[k] >= stored;  // NaN compares false
+                const bool has_energy = e_r > 0.0f || e_l > 0.0f;
+                if (!has_energy) { quant = 0; ratio = 1.0f; }
+                qo[t] = (uint8_t)quant;
+                for (int32_t k = base_band; k < total_band; ++k) {
+                    lt[k] = (lt[k] + rt[k]) * ratio;
+                    rt[k] = 0.0f;
+                }
+            }
         }
     }
 }

@@ -121,6 +121,82 @@ int main() {
         printf("  adx encode+decode scans (4 lanes, 4 threads) OK\n");
     }
 
+    // HCA encoder/decoder native stages on synthetic data (bounds + UB)
+    {
+        const int32_t F = 4, C = 2;
+        std::vector<int16_t> timeline((size_t)C * F * 1024);
+        for (auto& v : timeline) v = (int16_t)rng();
+        std::vector<float> win(128), dsin(255), dcos(255);
+        for (int i = 0; i < 128; i++) win[i] = 0.5f;
+        for (int i = 0; i < 255; i++) { dsin[i] = 0.3f; dcos[i] = 0.7f; }
+        std::vector<int32_t> shuffle(128);
+        for (int i = 0; i < 128; i++) shuffle[i] = 127 - i;
+        std::vector<float> spectra((size_t)F * C * 8 * 128);
+        cri_hca_mdct(timeline.data(), C, F, win.data(), dsin.data(),
+                     dcos.data(), shuffle.data(), spectra.data());
+        std::vector<uint8_t> inten((size_t)F * C * 8, 0);
+        uint8_t ctype[2] = {1, 2};
+        std::vector<float> bounds(14, 0.6f);
+        cri_hca_intensity_stereo(spectra.data(), inten.data(), F, C, 8, 100,
+                                 ctype, 1, bounds.data());
+        std::vector<int32_t> coded(C, 100);
+        std::vector<float> scaling(64), qscaling(64);
+        for (int i = 0; i < 64; i++) {
+            scaling[i] = (float)i * 0.1f;
+            qscaling[i] = 1.0f / (1.0f + i);
+        }
+        std::vector<int32_t> sf((size_t)F * C * 128);
+        std::vector<float> scaled((size_t)F * C * 8 * 128);
+        cri_hca_scalefactors_scale(spectra.data(), F, C, coded.data(),
+                                   scaling.data(), qscaling.data(),
+                                   0.9999999f, sf.data(), scaled.data());
+        std::vector<uint8_t> curve(59), mb(16), qb(8 * 16, 2);
+        for (int i = 0; i < 59; i++) curve[i] = (uint8_t)(i * 15 / 58);
+        for (int i = 0; i < 16; i++) mb[i] = (uint8_t)(i / 2 + 1);
+        std::vector<float> dz(16, 0.1f), ssi(16);
+        for (int i = 0; i < 16; i++) ssi[i] = (float)(1 << (i / 2));
+        std::vector<int32_t> db((size_t)F * C), hl((size_t)F * C);
+        cri_hca_delta_lengths(sf.data(), F, C, coded.data(), ctype, 2, 3,
+                              db.data(), hl.data());
+        std::vector<int32_t> level(F), boundary(F);
+        int rc2 = cri_hca_search_levels(
+            sf.data(), scaled.data(), db.data(), hl.data(), F, C,
+            0x100 * 8, coded.data(), ctype, 2, 3, 8, 100 - 8,
+            curve.data(), mb.data(), dz.data(), ssi.data(), qb.data(),
+            level.data(), boundary.data(), 2);
+        (void)rc2;
+        std::vector<int32_t> res((size_t)F * C * 128);
+        std::vector<int32_t> quant((size_t)F * C * 8 * 128);
+        cri_hca_resolution_quantize(sf.data(), scaled.data(), level.data(),
+                                    boundary.data(), F, C, coded.data(),
+                                    curve.data(), ssi.data(), res.data(),
+                                    quant.data());
+        // decode transform on the quantised data
+        std::vector<int16_t> qc((size_t)F * C * 8 * 128);
+        for (size_t i = 0; i < qc.size(); i++)
+            qc[i] = (int16_t)(quant[i] & 0xF);
+        std::vector<uint8_t> sfu((size_t)F * C * 128), rsu((size_t)F * C * 128);
+        for (size_t i = 0; i < sfu.size(); i++) {
+            sfu[i] = (uint8_t)(sf[i] & 63);
+            rsu[i] = (uint8_t)(res[i] & 15);
+        }
+        std::vector<float> range16(16, 0.5f), conv128(128, 0.9f),
+            ir16(16, 1.2f), isin(7 * 64, 0.4f), icos(7 * 64, 0.8f);
+        std::vector<uint8_t> hfr_is(128, 0);
+        std::vector<int32_t> hfr_src(128), hfr_grp(128, 0);
+        for (int i = 0; i < 128; i++) hfr_src[i] = i;
+        for (int i = 108; i < 120; i++) { hfr_is[i] = 1; hfr_src[i] = i - 100; }
+        int32_t prs[2] = {0, 1};
+        std::vector<int16_t> pcm((size_t)F * 8 * 128 * C);
+        cri_hca_decode_transform(
+            qc.data(), sfu.data(), rsu.data(), inten.data(),
+            nullptr, nullptr, nullptr, F, C, 8, 100, prs, 1, 0, 1, 8,
+            hfr_is.data(), hfr_src.data(), hfr_grp.data(), 119,
+            scaling.data(), range16.data(), conv128.data(), ir16.data(),
+            isin.data(), icos.data(), win.data(), pcm.data());
+        printf("  hca native encode/decode stages OK\n");
+    }
+
     std::vector<uint8_t> rows(64 * 512);
     for (auto& b : rows) b = (uint8_t)rng();
     std::vector<uint16_t> crcs(64);

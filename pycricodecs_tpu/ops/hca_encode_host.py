@@ -209,8 +209,13 @@ def run_mdct(timeline: np.ndarray) -> np.ndarray:
     """PCM16 [C, F*1024] -> spectra f32 [F, C, 8, 128].
 
     Mirrors PcmToFloat + mdct_transform + DCT4 (hca.cpp:2470-2559) with exact
-    fp32 op order; the inter-subframe overlap is a one-step shift.
+    fp32 op order; the inter-subframe overlap is a one-step shift. Prefers
+    the C++ panel implementation (cricore.cpp::cri_hca_mdct, bit-identical);
+    numpy fallback below.
     """
+    native_out = _run_mdct_native(timeline)
+    if native_out is not None:
+        return native_out
     C, total = timeline.shape
     Tn = total // 128
     wave = (timeline.astype(f32) * f32(1.0 / 32768.0)).astype(f32)
@@ -231,6 +236,34 @@ def run_mdct(timeline: np.ndarray) -> np.ndarray:
     spectra = dct4(scratch)
     F = Tn // SUBFRAMES
     return np.moveaxis(spectra.reshape(C, F, 8, 128), 0, 1)
+
+
+def _run_mdct_native(timeline: np.ndarray):
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    if lib is None:
+        return None
+    C, total = timeline.shape
+    F = total // 1024
+    timeline = np.ascontiguousarray(timeline, dtype=np.int16)
+    out = np.empty((F, C, 8, 128), dtype=f32)
+    if F == 0:
+        return out
+    win = np.ascontiguousarray(T.IMDCT_WINDOW, f32)
+    dsin = np.ascontiguousarray(T.DCT4_SIN_FLAT, f32)
+    dcos = np.ascontiguousarray(T.DCT4_COS_FLAT, f32)
+    shuf = np.ascontiguousarray(T.SHUFFLE_TABLE, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.cri_hca_mdct(
+        timeline.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        np.int32(C), np.int32(F),
+        win.ctypes.data_as(f32p), dsin.ctypes.data_as(f32p),
+        dcos.ctypes.data_as(f32p),
+        shuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(f32p))
+    return out
 
 
 def dct4(x: np.ndarray) -> np.ndarray:
@@ -281,6 +314,17 @@ def encode_intensity_stereo(info, spectra, intensity):
     spectra [F, C, 8, 128], intensity u8 [F, C, 8].
     """
     if info.stereo_band_count <= 0:
+        return
+    lib = _native_lib()
+    if lib is not None and spectra.flags.c_contiguous \
+            and spectra.dtype == f32 and spectra.shape[0] > 0:
+        ctype = np.ascontiguousarray(info.channel_type, dtype=np.uint8)
+        bounds = np.ascontiguousarray(T.INTENSITY_RATIO_BOUNDS, f32)
+        lib.cri_hca_intensity_stereo(
+            _f32p(spectra), _u8p(intensity),
+            np.int32(spectra.shape[0]), np.int32(info.channels),
+            np.int32(info.base_band_count), np.int32(info.total_band_count),
+            _u8p(ctype), np.int32(T.STEREO_PRIMARY), _f32p(bounds))
         return
     F = spectra.shape[0]
     bounds = T.INTENSITY_RATIO_BOUNDS
@@ -535,6 +579,130 @@ def quantize_spectra(info, scaled, resolutions):
     return q
 
 
+def _native_lib():
+    from .. import native
+    return native.load()
+
+
+def _i32p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _f32p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _scalefactors_scale_native(info, spectra):
+    """C++ fused calc_scalefactors + scale_spectra; None if unavailable."""
+    lib = _native_lib()
+    if lib is None or spectra.shape[0] == 0:
+        return None
+    import ctypes
+    spectra = np.ascontiguousarray(spectra, dtype=f32)
+    F, C = spectra.shape[0], spectra.shape[1]
+    sf = np.empty((F, C, 128), dtype=np.int32)
+    scaled = np.empty((F, C, 8, 128), dtype=f32)
+    coded = np.ascontiguousarray(info.coded_count, dtype=np.int32)
+    scaling = np.ascontiguousarray(T.SCALING_TABLE, f32)
+    qscaling = np.ascontiguousarray(T.QUANTIZER_SCALING_TABLE, f32)
+    lib.cri_hca_scalefactors_scale(
+        _f32p(spectra), np.int32(F), np.int32(C), _i32p(coded),
+        _f32p(scaling), _f32p(qscaling), ctypes.c_float(f32(0.9999999)),
+        _i32p(sf), _f32p(scaled))
+    return sf, scaled
+
+
+def _resolution_quantize_native(info, sf, scaled, level, boundary):
+    """C++ fused calc_resolution_enc + quantize_spectra; None if absent."""
+    lib = _native_lib()
+    if lib is None or sf.shape[0] == 0:
+        return None
+    scaled = np.ascontiguousarray(scaled, dtype=f32)
+    F, C = sf.shape[0], sf.shape[1]
+    res = np.empty((F, C, 128), dtype=np.int32)
+    q = np.empty((F, C, 8, 128), dtype=np.int32)
+    coded = np.ascontiguousarray(info.coded_count, dtype=np.int32)
+    curve = np.ascontiguousarray(T.SCALE_TO_RESOLUTION_CURVE, np.uint8)
+    ssi = np.ascontiguousarray(T.QUANTIZER_INVERSE_STEP_SIZE, f32)
+    level = np.ascontiguousarray(level, dtype=np.int32)
+    boundary = np.ascontiguousarray(boundary, dtype=np.int32)
+    lib.cri_hca_resolution_quantize(
+        _i32p(np.ascontiguousarray(sf, dtype=np.int32)), _f32p(scaled),
+        _i32p(level), _i32p(boundary), np.int32(F), np.int32(C),
+        _i32p(coded), _u8p(curve), _f32p(ssi), _i32p(res), _i32p(q))
+    return res, q
+
+
+def _delta_lengths_native(info, sf):
+    lib = _native_lib()
+    if lib is None or sf.shape[0] == 0:
+        return None
+    F, C = sf.shape[0], sf.shape[1]
+    db = np.empty((F, C), dtype=np.int32)
+    hl = np.empty((F, C), dtype=np.int32)
+    coded = np.ascontiguousarray(info.coded_count, dtype=np.int32)
+    ctype = np.ascontiguousarray(info.channel_type, dtype=np.uint8)
+    lib.cri_hca_delta_lengths(
+        _i32p(np.ascontiguousarray(sf, dtype=np.int32)), np.int32(F),
+        np.int32(C), _i32p(coded), _u8p(ctype), np.int32(T.STEREO_SECONDARY),
+        np.int32(info.hfr_group_count), _i32p(db), _i32p(hl))
+    return db, hl
+
+
+def _search_levels_native(info, sf, scaled, delta_bits, header_len, avail):
+    """C++ per-frame rate-control (cricore.cpp::cri_hca_search_levels).
+
+    Mutates sf/delta_bits/header_len in place exactly like the numpy
+    fallback path; returns (level, boundary) or None when unavailable.
+    """
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    if lib is None or sf.shape[0] == 0:
+        return None
+    assert sf.dtype == np.int32 and sf.flags.c_contiguous
+    scaled = np.ascontiguousarray(scaled, dtype=f32)
+    assert delta_bits.dtype == np.int32 and header_len.dtype == np.int32
+    F, C = sf.shape[0], sf.shape[1]
+    level = np.zeros(F, dtype=np.int32)
+    boundary = np.zeros(F, dtype=np.int32)
+    coded = np.ascontiguousarray(info.coded_count, dtype=np.int32)
+    ctype = np.ascontiguousarray(info.channel_type, dtype=np.uint8)
+    tables = [np.ascontiguousarray(T.SCALE_TO_RESOLUTION_CURVE, np.uint8),
+              np.ascontiguousarray(T.QUANTIZED_SPECTRUM_MAX_BITS, np.uint8),
+              np.ascontiguousarray(T.QUANTIZER_DEAD_ZONE, f32),
+              np.ascontiguousarray(T.QUANTIZER_INVERSE_STEP_SIZE, f32),
+              np.ascontiguousarray(T.QUANTIZE_SPECTRUM_BITS, np.uint8)]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def ptr(a):
+        return a.ctypes.data_as(
+            f32p if a.dtype == np.float32 else
+            (u8p if a.dtype == np.uint8 else i32p))
+
+    rc = lib.cri_hca_search_levels(
+        ptr(sf), ptr(scaled), ptr(delta_bits), ptr(header_len),
+        np.int32(F), np.int32(C), np.int64(avail),
+        ptr(coded), ptr(ctype), np.int32(T.STEREO_SECONDARY),
+        np.int32(info.hfr_group_count), np.int32(info.base_band_count),
+        np.int32(info.stereo_band_count),
+        *(ptr(t) for t in tables),
+        ptr(level), ptr(boundary), np.int32(0))
+    if rc != 0:
+        raise hca_frame.HcaError("Unknown Encoding error.")
+    return level, boundary
+
+
 def pack_header(info: hca_frame.HcaInfo) -> bytes:
     """PackHeader (hca.cpp:3109-3164): HCA v2.0 header bytes."""
     out = bytearray(info.header_size)
@@ -588,50 +756,66 @@ def encode(wav_bytes: bytes, force_not_looping: bool = False,
     spectra = run_mdct(timeline)                     # [F, C, 8, 128]
     intensity = np.zeros((F, C, 8), dtype=np.uint8)
     encode_intensity_stereo(info, spectra, intensity)
-    sf = calc_scalefactors(info, spectra)            # [F, C, 128]
-    scaled = scale_spectra(info, spectra, sf)
+    ss = _scalefactors_scale_native(info, spectra)
+    if ss is not None:
+        sf, scaled = ss
+    else:
+        sf = calc_scalefactors(info, spectra)        # [F, C, 128]
+        scaled = scale_spectra(info, spectra, sf)
     hfr_scales = calc_hfr_scales(info, cfg, spectra, scaled, sf)
-    delta_bits, header_len = calc_delta_lengths(info, sf)
+    dl = _delta_lengths_native(info, sf)
+    if dl is not None:
+        delta_bits, header_len = dl
+    else:
+        delta_bits, header_len = calc_delta_lengths(info, sf)
 
     avail = np.int64(info.frame_size * 8)
-    level = binary_search_level(info, sf, scaled, header_len, avail)
+    searched = _search_levels_native(info, sf, scaled, delta_bits,
+                                     header_len, avail)
+    if searched is not None:
+        level, boundary = searched
+    else:
+        level = binary_search_level(info, sf, scaled, header_len, avail)
 
-    # fallback: zero top bands until the frame fits (hca.cpp:2816-2828)
-    if (level < 0).any():
-        for fidx in np.nonzero(level < 0)[0]:
-            highest = info.base_band_count + info.stereo_band_count - 1
-            while level[fidx] < 0:
-                highest -= 2
-                if highest < 0:
-                    raise hca_frame.HcaError("Unknown Encoding error.")
-                sf[fidx, :, highest + 1] = 0
-                sf[fidx, :, highest + 2] = 0
-                db1, hl1 = calc_delta_lengths(info, sf[fidx:fidx + 1])
-                delta_bits[fidx] = db1[0]
-                header_len[fidx] = hl1[0]
-                level[fidx] = binary_search_level(
-                    info, sf[fidx:fidx + 1], scaled[fidx:fidx + 1],
-                    header_len[fidx:fidx + 1], avail)[0]
+        # fallback: zero top bands until the frame fits (hca.cpp:2816-2828)
+        if (level < 0).any():
+            for fidx in np.nonzero(level < 0)[0]:
+                highest = info.base_band_count + info.stereo_band_count - 1
+                while level[fidx] < 0:
+                    highest -= 2
+                    if highest < 0:
+                        raise hca_frame.HcaError("Unknown Encoding error.")
+                    sf[fidx, :, highest + 1] = 0
+                    sf[fidx, :, highest + 2] = 0
+                    db1, hl1 = calc_delta_lengths(info, sf[fidx:fidx + 1])
+                    delta_bits[fidx] = db1[0]
+                    header_len[fidx] = hl1[0]
+                    level[fidx] = binary_search_level(
+                        info, sf[fidx:fidx + 1], scaled[fidx:fidx + 1],
+                        header_len[fidx:fidx + 1], avail)[0]
 
-    # evaluation boundary (hca.cpp:2852-2866)
-    boundary = np.zeros(F, dtype=np.int32)
-    nz = level != 0
-    if nz.any():
-        b = binary_search_boundary(info, sf[nz], scaled[nz], header_len[nz],
-                                   avail, level[nz])
-        if (b < 0).any():
-            raise hca_frame.HcaError("Unknown Encoding error.")
-        boundary[nz] = b
+        # evaluation boundary (hca.cpp:2852-2866)
+        boundary = np.zeros(F, dtype=np.int32)
+        nz = level != 0
+        if nz.any():
+            b = binary_search_boundary(info, sf[nz], scaled[nz],
+                                       header_len[nz], avail, level[nz])
+            if (b < 0).any():
+                raise hca_frame.HcaError("Unknown Encoding error.")
+            boundary[nz] = b
 
-    # resolutions (hca.cpp:2868-2876)
-    band = np.arange(128)
-    noise = np.where(band[None, None, :] < boundary[:, None, None],
-                     level[:, None, None] - 1, level[:, None, None])
-    resolutions = calc_resolution_enc(sf.astype(np.int64), noise)
-    for c in range(C):
-        resolutions[:, c, info.coded_count[c]:] = 0
-
-    quantized = quantize_spectra(info, scaled, resolutions)
+    # resolutions (hca.cpp:2868-2876) + quantisation
+    rq = _resolution_quantize_native(info, sf, scaled, level, boundary)
+    if rq is not None:
+        resolutions, quantized = rq
+    else:
+        band = np.arange(128)
+        noise = np.where(band[None, None, :] < boundary[:, None, None],
+                         level[:, None, None] - 1, level[:, None, None])
+        resolutions = calc_resolution_enc(sf.astype(np.int64), noise)
+        for c in range(C):
+            resolutions[:, c, info.coded_count[c]:] = 0
+        quantized = quantize_spectra(info, scaled, resolutions)
 
     packed = hca_frame.pack_frames_native(
         info, level, boundary, sf, resolutions, intensity, hfr_scales,
