@@ -10,6 +10,9 @@ for bitstream work. The public API mirrors the reference package:
 plus new batched/sharded entry points under ``pycricodecs_tpu.parallel``.
 """
 from .containers.acb import ACB, ACBBuilder
+from .containers.chunk import (AWBType, CPKChunkHeaderType, CriHcaQuality,
+                               HCAType, USMChunckHeaderType, UTFType,
+                               UTFTypeValues, VideoType)
 from .containers.awb import AWB, AWBBuilder
 from .containers.cpk import CPK, CPKBuilder
 from .containers.ivf import IVF
@@ -21,5 +24,7 @@ from .models import crilayla
 
 __all__ = ["ADX", "HCA", "CPK", "CPKBuilder", "USM", "USMBuilder", "UTF",
            "UTFBuilder", "ACB", "ACBBuilder", "AWB", "AWBBuilder", "IVF",
-           "crilayla"]
+           "crilayla", "USMChunckHeaderType", "CPKChunkHeaderType",
+           "UTFType", "AWBType", "HCAType", "VideoType", "UTFTypeValues",
+           "CriHcaQuality"]
 __version__ = "0.1.0"

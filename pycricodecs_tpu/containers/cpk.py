@@ -46,6 +46,10 @@ class CPK:
             CPK=UTF(self.stream.read(0x800 - CPKChunkHeader.size)).table)
         self._check_tocs()
 
+    def checkTocs(self) -> None:
+        """Drop-in alias for the reference's checkTocs (cpk.py:45)."""
+        return self._check_tocs()
+
     def _check_tocs(self) -> None:
         cpk = self.tables["CPK"]
         specs = [("TocOffset", "TocSize", "TOC"),

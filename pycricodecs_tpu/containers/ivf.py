@@ -37,6 +37,11 @@ class IVF:
             time_base_numerator=tbn, FrameCount=num_frames, Reserved=reserved)
         self.stream.seek(header_len, 0)
 
+    def loadfile(self) -> None:
+        """Drop-in alias for the reference's loadfile (ivf.py:21)."""
+        self.stream.seek(0)
+        return self._load()
+
     def get_frames(self) -> Generator:
         """Yield (size+12, timestamp, index, frame-with-12B-header, keyframe)."""
         for i in range(self.ivf["FrameCount"]):

@@ -165,6 +165,24 @@ class USM:
         self.stream.seek(0)
         self.demuxed = False
 
+    def init_key(self, key) -> None:
+        """Drop-in alias (usm.py:47): set/replace the crypt key."""
+        self.decrypt = True
+        self.videomask1, self.videomask2, self.audiomask = init_key(key)
+
+    def VideoMask(self, memObj):
+        """Drop-in alias (usm.py:279): decrypt a @SFV payload in place."""
+        return video_mask_decrypt(bytearray(memObj), self.videomask1,
+                                  self.videomask2)
+
+    def AudioMask(self, memObj):
+        """Drop-in alias (usm.py:313): de/encrypt a @SFA payload."""
+        return audio_mask(bytes(memObj), self.audiomask)
+
+    def load_file(self) -> None:
+        """Drop-in alias (usm.py:121): (re)demux the stream."""
+        self.demux()
+
     def demux(self) -> None:
         self.stream.seek(0)
         self._fileinfo = []

@@ -229,6 +229,10 @@ class HCA:
 
     # -- public API ---------------------------------------------------------
 
+    def Pyparse_header(self) -> None:
+        """Drop-in alias for the reference's header (re)parse (hca.py:78)."""
+        return self._parse()
+
     def info(self) -> dict:
         if self.filetype == "hca":
             return self.hca

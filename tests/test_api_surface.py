@@ -1,0 +1,69 @@
+"""API-surface parity: every public name the reference package exposes must
+exist here with at least the same public methods, so a PyCriCodecs user can
+switch imports without code changes (SURVEY.md §2.2 P1-P15)."""
+import inspect
+
+import pytest
+
+import pycricodecs_tpu
+
+
+def _public_methods(cls):
+    out = set()
+    for name, member in inspect.getmembers(cls):
+        if name.startswith("_"):
+            continue
+        if callable(member) or isinstance(member, property):
+            out.add(name)
+    return out
+
+
+def test_reference_exports_exist(oracle_py):
+    ref_names = [n for n in dir(oracle_py) if not n.startswith("_")]
+    stdlib_leaks = {"Enum", "Struct", "FileIO", "BytesIO", "Generator"}
+    missing = [n for n in ref_names
+               if inspect.isclass(getattr(oracle_py, n))
+               and n not in stdlib_leaks
+               and not hasattr(pycricodecs_tpu, n)]
+    assert not missing, f"missing reference classes: {missing}"
+
+
+# The reference exposes every internal helper as a public method (it uses no
+# underscore convention); replicating parse_type3/write_columns/... verbatim
+# would couple us to its internals. This is the *documented + plausibly-used*
+# surface a drop-in user can rely on (reference README + class usage).
+DOCUMENTED_SURFACE = {
+    "ADX": ["decode", "encode"],
+    "HCA": ["decode", "encode", "encrypt", "decrypt", "info", "get_frames",
+            "get_header", "get_hca", "Pyparse_header"],
+    "CPK": ["extract", "extract_file", "checkTocs"],
+    "CPKBuilder": [],  # builds on construction (reference parity)
+    "UTF": ["get_payload"],
+    "UTFBuilder": ["parse"],
+    "AWB": ["getfiles", "extract"],
+    "AWBBuilder": ["build"],
+    "ACB": ["extract"],
+    "USM": ["demux", "extract", "get_metadata", "init_key", "VideoMask",
+            "AudioMask", "load_file"],
+    "USMBuilder": ["build", "get_usm"],
+    "IVF": ["get_frames", "info", "loadfile"],
+}
+
+
+def test_documented_class_surface():
+    gaps = {}
+    for name, methods in DOCUMENTED_SURFACE.items():
+        cls = getattr(pycricodecs_tpu, name)
+        missing = [m for m in methods if not hasattr(cls, m)]
+        if missing:
+            gaps[name] = missing
+    assert not gaps, f"method gaps vs documented surface: {gaps}"
+
+
+def test_cricodecs_module_functions(oracle):
+    """The 7 C-extension entry points exist in our compat module."""
+    from pycricodecs_tpu import cricodecs
+    ref_fns = [n for n in dir(oracle) if not n.startswith("_")
+               and callable(getattr(oracle, n))]
+    missing = [n for n in ref_fns if not hasattr(cricodecs, n)]
+    assert not missing, f"missing CriCodecs functions: {missing}"
