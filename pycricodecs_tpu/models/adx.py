@@ -274,7 +274,8 @@ def _decode_arrays(data: bytes, h: AdxHeader, use_jax) -> np.ndarray:
     if codes_l.shape[1] == 0:
         return np.zeros((h.channels, 0), dtype=np.int16)
     if use_jax:
-        out = np.asarray(adx_kernels.adx_decode_scan(codes_l, scales_l, c0_l, c1_l, h1, h2))
+        out = np.asarray(adx_kernels.adx_decode_scan_blocked(
+            codes_l, scales_l, c0_l, c1_l, h1, h2, spb=h.samples_per_block))
     else:
         out = adx_kernels.adx_decode_host(codes_l, scales_l, c0_l, c1_l, h1, h2)
     return out

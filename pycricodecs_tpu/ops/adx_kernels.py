@@ -61,6 +61,41 @@ def adx_decode_scan(codes, scales, c0, c1, h1, h2):
     return out.T
 
 
+@partial(jax.jit, static_argnames=("spb",))
+def adx_decode_scan_blocked(codes, scales, c0, c1, h1, h2, *, spb):
+    """Blocked decode scan: one lax.scan step per ADX *block*, the spb
+    samples inside a block unrolled in the body.
+
+    Numerically identical to adx_decode_scan (same per-sample op order), but
+    the scan length drops from blocks*spb to blocks — a 10s stream is ~460
+    steps instead of ~15k, which is what a TPU scan wants. Inputs are the
+    same per-sample [L, N] lane arrays (scales/coefficients constant within
+    a block); returns int16 [L, N].
+    """
+    L, N = codes.shape
+    nb = N // spb
+    q_blocks = codes.reshape(L, nb, spb)
+    s_blocks = scales.reshape(L, nb, spb)[:, :, 0]
+    a0_blocks = c0.reshape(L, nb, spb)[:, :, 0]
+    a1_blocks = c1.reshape(L, nb, spb)[:, :, 0]
+
+    def step(carry, xs):
+        p1, p2 = carry
+        q, s, a0, a1 = xs  # q [L, spb]; s/a0/a1 [L]
+        outs = []
+        for t in range(spb):
+            sample = q[:, t] * s + ((a0 * p1) >> 12) + ((a1 * p2) >> 12)
+            sample = _clamp16(sample)
+            p2 = p1
+            p1 = sample
+            outs.append(sample.astype(jnp.int16))
+        return (p1, p2), jnp.stack(outs, axis=1)  # [L, spb]
+
+    xs = (jnp.moveaxis(q_blocks, 1, 0), s_blocks.T, a0_blocks.T, a1_blocks.T)
+    _, out = jax.lax.scan(step, (h1, h2), xs)     # [nb, L, spb]
+    return jnp.moveaxis(out, 0, 1).reshape(L, N)
+
+
 def adx_decode_host(codes, scales, c0, c1, h1, h2):
     """Host fast path: native C++ lane scan when available, numpy otherwise.
 
