@@ -194,12 +194,17 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
 
     if use_pallas:
         from . import pallas_kernels
-        dct = pallas_kernels.imdct_pallas(spectra)        # [B, F, C, 8, 128]
+        # fused kernel: IMDCT + final permutation + windowed overlap-add in
+        # one VMEM-resident pass (carry rides scratch across time tiles)
+        spec_t = jnp.moveaxis(spectra, 2, 1).reshape(B * C, F * 8, 128)
+        interp = jax.devices()[0].platform != "tpu"
+        wave = pallas_kernels.imdct_ola_pallas(
+            spec_t, interpret=interp).reshape(B, C, F * 8, 128)
     else:
         dct = _imdct_butterflies(spectra)                 # [B, F, C, 8, 128]
-    # time axis per (stream, channel): [B, C, F*8, 128]
-    dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
-    wave = _window_overlap_add(dct_t)                     # [B, C, T, 128]
+        # time axis per (stream, channel): [B, C, F*8, 128]
+        dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
+        wave = _window_overlap_add(dct_t)                 # [B, C, T, 128]
 
     scaled = wave * jnp.float32(32768.0)
     ints = jnp.clip(scaled.astype(jnp.int32), -32768, 32767).astype(jnp.int16)

@@ -159,6 +159,119 @@ def imdct_pallas(spectra, interpret=False):
     return out.reshape(shape)
 
 
+def _build_ola_maps():
+    """Static gather matrices + window vectors for fused IMDCT->overlap-add.
+
+    The windowed overlap-add (hca.cpp:1981-2018) reads each subframe's DCT
+    output twice under static lane permutations:
+
+        wave[k]    = w[k]    * dct[64+k]  + w[127-k] * prev[63-k]   (k < 64)
+        wave[64+k] = w[64+k] * dct[127-k] - w[63-k]  * prev[k]
+
+    Lane permutations are not natively expressible in Mosaic, so each becomes
+    a 0/1 matrix multiply (every output draws exactly one input scaled by
+    1.0f — bit-exact), composed with the IMDCT kernel's final
+    physical->logical permutation so no separate un-permute pass is needed.
+    The window weights (and the second-half minus sign) stay as per-lane
+    vector multiplies to keep the mul/add rounding order identical to the
+    jnp path.
+    """
+    w = np.asarray(T.IMDCT_WINDOW, dtype=np.float32)
+    src_a = np.empty(LANES, dtype=np.int64)
+    src_b = np.empty(LANES, dtype=np.int64)
+    wa = np.empty(LANES, dtype=np.float32)
+    wb = np.empty(LANES, dtype=np.float32)
+    for k in range(64):
+        src_a[k] = 64 + k
+        wa[k] = w[k]
+        src_a[64 + k] = 127 - k
+        wa[64 + k] = w[64 + k]
+        src_b[k] = 63 - k
+        wb[k] = w[127 - k]
+        src_b[64 + k] = k
+        wb[64 + k] = -w[63 - k]
+    ma = np.zeros((LANES, LANES), dtype=np.float32)
+    mb = np.zeros((LANES, LANES), dtype=np.float32)
+    for l in range(LANES):
+        ma[_PERM[src_a[l]], l] = 1.0   # dct[i] lives on kernel lane _PERM[i]
+        mb[_PERM[src_b[l]], l] = 1.0
+    return ma, mb, wa, wb
+
+
+_MA, _MB, _WA, _WB = _build_ola_maps()
+
+
+def _imdct_ola_kernel(c1_ref, c2_ref, ma_ref, mb_ref, wa_ref, wb_ref,
+                      spec_ref, out_ref, carry_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    x = spec_ref[0]
+    tile = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    for t, d in enumerate(_DISTS):
+        fwd = pltpu.roll(x, -d % LANES, 1)
+        bwd = pltpu.roll(x, d, 1)
+        partner = jnp.where((lane & d) == 0, fwd, bwd)
+        x = c1_ref[t, :] * x + c2_ref[t, :] * partner
+    # exact 0/1 gathers: current-row term and previous-row term
+    ya = jax.lax.dot_general(x, ma_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    yb = jax.lax.dot_general(x, mb_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0)
+    prev = jnp.where(row == 0, carry_ref[:, :], pltpu.roll(yb, 1, 0))
+    out_ref[0] = wa_ref[0] * ya + wb_ref[0] * prev
+    carry_ref[:, :] = yb[tile - 1:tile, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def imdct_ola_pallas(spectra_t, interpret=False):
+    """Fused DCT-IV + windowed overlap-add + final permutation.
+
+    spectra_t: f32 [R, T, 128] — time-major subframe rows per (stream,
+    channel); the one-step OLA carry rides VMEM scratch across the
+    sequential time-tile grid axis (reset at each row's first tile).
+    Returns wave f32 [R, T, 128], bit-exact with
+    _window_overlap_add(_imdct_butterflies(...)).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, Tn, _ = spectra_t.shape
+    t_pad = -(-Tn // TILE) * TILE
+    if t_pad != Tn:
+        spectra_t = jnp.concatenate(
+            [spectra_t,
+             jnp.zeros((R, t_pad - Tn, LANES), spectra_t.dtype)], axis=1)
+    mem_kw = dict(memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda r, j: (0,) * len(shape),
+                                       **mem_kw)
+    out = pl.pallas_call(
+        _imdct_ola_kernel,
+        out_shape=jax.ShapeDtypeStruct((R, t_pad, LANES), jnp.float32),
+        grid=(R, t_pad // TILE),
+        in_specs=[
+            const((14, LANES)), const((14, LANES)),
+            const((LANES, LANES)), const((LANES, LANES)),
+            const((1, LANES)), const((1, LANES)),
+            pl.BlockSpec((1, TILE, LANES), lambda r, j: (r, j, 0), **mem_kw),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, LANES), lambda r, j: (r, j, 0),
+                               **mem_kw),
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(_C1), jnp.asarray(_C2), jnp.asarray(_MA), jnp.asarray(_MB),
+      jnp.asarray(_WA)[None, :], jnp.asarray(_WB)[None, :], spectra_t)
+    return out[:, :Tn]
+
+
 def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu" or \
         os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"

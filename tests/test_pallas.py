@@ -19,3 +19,20 @@ def test_pallas_imdct_nonaligned_rows():
     ref = np.asarray(hca_kernels._imdct_butterflies(spec))
     out = np.asarray(pallas_kernels.imdct_pallas(spec, interpret=True))
     assert np.array_equal(ref.view(np.uint32), out.view(np.uint32))
+
+
+def test_imdct_ola_fused_bit_exact():
+    """Fused IMDCT+overlap-add kernel == jnp reference path, incl. padding
+    and the cross-tile carry (T not a multiple of the tile size)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pycricodecs_tpu.ops import hca_kernels as hk
+    from pycricodecs_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    for R, T in ((1, 8), (3, 40), (2, 300)):
+        x = (rng.standard_normal((R, T, 128)) * 0.5).astype(np.float32)
+        ref = np.asarray(hk._window_overlap_add(
+            hk._imdct_butterflies(jnp.asarray(x))))
+        got = np.asarray(pk.imdct_ola_pallas(jnp.asarray(x), interpret=True))
+        assert np.array_equal(ref, got), (R, T)
