@@ -33,15 +33,23 @@ _SQRT2_2_F32 = np.float32(np.sqrt(2.0) / 2.0)
 
 
 def _mdct(pcm_f, window):
-    """wave [B, C, T, 128] -> spectra via fold + DCT4 (hca.cpp:2529-2553)."""
+    """wave [B, C, T, 128] -> spectra via fold + DCT4 (hca.cpp:2529-2553).
+
+    NOTE: lane reversal uses jnp.take with a reversed index vector, NOT
+    jnp.flip — on the experimental TPU plugin this composition miscompiles
+    with jnp.flip for batch >= 16 (every output wrong; take lowers through
+    a different path and is stable; verified bit-identical at batch 1).
+    """
     half = 64
+    rev = jnp.arange(half - 1, -1, -1)
     prev = jnp.concatenate(
         [jnp.zeros_like(pcm_f[:, :, :1, :]), pcm_f[:, :, :-1, :]], axis=2)
-    a = jnp.flip(window[:half]) * (-pcm_f[..., half:])
-    b = (-window[half:]) * jnp.flip(pcm_f[..., :half], axis=-1)
+    a = jnp.take(window[:half], rev) * (-pcm_f[..., half:])
+    b = (-window[half:]) * jnp.take(pcm_f[..., :half], rev, axis=-1)
     first = a - b
     c = window[:half] * prev[..., :half]
-    d = (-jnp.flip(window[half:])) * jnp.flip(prev[..., half:], axis=-1)
+    d = (-jnp.take(window[half:], rev)) \
+        * jnp.take(prev[..., half:], rev, axis=-1)
     second = c - d
     scratch = jnp.concatenate([first, second], axis=-1)
     return _dct4(scratch)
@@ -54,7 +62,7 @@ def _dct4(x):
     sin7 = jnp.asarray(sin7[:64])
     cos7 = jnp.asarray(cos7[:64])
     a = x[..., 0::2]
-    b = jnp.flip(x, axis=-1)[..., 0::2]  # x[127 - 2k]
+    b = jnp.take(x, jnp.arange(127, -1, -1), axis=-1)[..., 0::2]  # x[127-2k]
     even = a * cos7 + b * sin7
     odd = a * sin7 - b * cos7
     temp = jnp.stack([even, odd], axis=-1).reshape(shape)

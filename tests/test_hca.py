@@ -245,6 +245,18 @@ def test_device_encoder_matches_reference(oracle, channels, quality):
         assert blob == bytes(oracle.HcaEncode(wav, 0, quality))
 
 
+def test_device_encoder_large_batch(oracle):
+    """Batch >= 16: the experimental TPU plugin miscompiled the MDCT fold
+    when lane reversal used jnp.flip (every output wrong at B >= 16);
+    _mdct now uses jnp.take with a reversed index vector. This pins the
+    shape class on every backend."""
+    from pycricodecs_tpu.ops import hca_encode_device
+    wav = _wav(samples=8192, channels=2, seed=300)
+    ref = bytes(oracle.HcaEncode(wav, 0, 2))
+    ours = hca_encode_device.encode_batch_device([wav] * 17, quality=2)
+    assert all(blob == ref for blob in ours)
+
+
 def _make_v1_dec_header(info_src: bytes) -> bytes:
     """Rewrite a mono v2.0 'comp' header as a v1.1 'dec' header.
 
