@@ -105,6 +105,19 @@ def load():
         lib.cri_hca_delta_lengths.argtypes = [
             i32p, ctypes.c_int32, ctypes.c_int32, i32p, u8p,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p]
+        lib.cri_hca_cipher56_batch.restype = None
+        lib.cri_hca_cipher56_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, u8p,
+            ctypes.c_int32]
+        lib.cri_hca_test_frames.restype = None
+        lib.cri_hca_test_frames.argtypes = [
+            u8p, i32p, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            u8p, i32p, u8p, u8p, u8p, u8p,
+            ctypes.POINTER(ctypes.c_int8),
+            i32p, i16p, u8p, u8p, u8p, ctypes.c_int32]
         lib.cri_hca_mdct.restype = None
         lib.cri_hca_mdct.argtypes = [
             i16p, ctypes.c_int32, ctypes.c_int32,

@@ -1706,5 +1706,286 @@ void cri_hca_intensity_stereo(float* spectra,     // [F, C, 8, 128]
     }
 }
 
+
+// ---------------------------------------------------------------------------
+// HCA keycode testing: unpack N (cipher, frame) pairs independently with
+// per-pair status, for batched key search (clHCA_TestBlock front half,
+// hca.cpp:1004-1097; mirrors ops/hca_frame.py::test_block up to the float
+// wave inspection, which runs batched on the device afterwards).
+//
+// statuses: -1 sync/crc/unpack/tail failure, -6 bit-position overrun,
+// 1 = unpacked OK (wave scoring pending), 0 = silent frame (score 0).
+// ---------------------------------------------------------------------------
+
+void cri_hca_test_frames(
+    const uint8_t* frames,    // [nframes, frame_size] raw (encrypted) frames
+    const int32_t* frame_pre, // [nframes] key-independent precheck:
+                              //   0 normal, 1 silent, -1 bad sync/crc
+    int32_t nframes, int32_t frame_size,
+    const uint8_t* ciphers, int32_t nkeys,  // [nkeys, 256]
+    int32_t channels, int32_t version, int32_t hfr_group_count,
+    int32_t min_resolution, int32_t max_resolution,
+    const uint8_t* channel_type, const int32_t* coded_count,
+    const uint8_t* ath, const uint8_t* invert_table,
+    const uint8_t* max_bit_table, const uint8_t* read_bit_table,
+    const int8_t* read_val_table,
+    int32_t* status_out,      // [nkeys, nframes]
+    int16_t* qc, uint8_t* sfs_out, uint8_t* ress_out, uint8_t* intens_out,
+    int32_t nthreads) {       // SoA tensors: [nkeys*nframes, C, ...]
+    crc_init();
+    const int C = channels;
+    const bool v3 = version > 0x0200;
+    const int64_t total = (int64_t)nkeys * nframes;
+
+    auto test_one = [&](int64_t n) {
+        const int64_t k = n / nframes;
+        const int64_t f = n % nframes;
+        const uint8_t* frame = frames + (size_t)f * frame_size;
+        const uint8_t* cipher = ciphers + (size_t)k * 256;
+        int32_t* status = status_out + n;
+        // status-only mode (qc == nullptr): thread-local scratch SoA, used
+        // by the cheap reject pass of the batched key search
+        thread_local std::vector<uint8_t> scratch8;
+        thread_local std::vector<int16_t> scratch16;
+        uint8_t *sfs_f, *res_f, *int_f;
+        int16_t* qc_f;
+        if (qc != nullptr) {
+            sfs_f = sfs_out + (size_t)n * C * 128;
+            res_f = ress_out + (size_t)n * C * 128;
+            int_f = intens_out + (size_t)n * C * 8;
+            qc_f = qc + (size_t)n * C * 8 * 128;
+        } else {
+            scratch8.resize((size_t)C * (128 + 128 + 8));
+            scratch16.resize((size_t)C * 8 * 128);
+            sfs_f = scratch8.data();
+            res_f = sfs_f + (size_t)C * 128;
+            int_f = res_f + (size_t)C * 128;
+            qc_f = scratch16.data();
+        }
+        std::memset(sfs_f, 0, (size_t)C * 128);
+        std::memset(res_f, 0, (size_t)C * 128);
+        std::memset(int_f, 0, (size_t)C * 8);
+        std::memset(qc_f, 0, (size_t)C * 8 * 128 * sizeof(int16_t));
+
+        if (frame_pre[f] != 0) {   // hoisted key-independent checks
+            *status = frame_pre[f] == 1 ? 0 : -1;
+            return;
+        }
+
+        thread_local std::vector<uint8_t> dec;
+        dec.resize(frame_size + 8);
+        for (int i = 0; i < frame_size; i++) dec[i] = cipher[frame[i]];
+        std::memset(dec.data() + frame_size, 0, 8);
+        hca::BitReader br(dec.data(), frame_size);
+        br.skip(16);
+        int anl = br.read(9);
+        int evb = br.read(7);
+        int packed_noise = (anl << 8) - evb;
+
+        for (int c = 0; c < C; c++) {
+            uint8_t* sf = sfs_f + (size_t)c * 128;
+            int ct = channel_type[c];
+            int cs_count = coded_count[c];
+            int extra = 0;
+            int delta_bits = br.read(3);
+            if (!(ct == 2 || hfr_group_count <= 0 || !v3)) {
+                extra = hfr_group_count;
+                cs_count += extra;
+                if (cs_count > 128) { *status = -1; return; }
+            }
+            if (delta_bits >= 6) {
+                for (int i = 0; i < cs_count; i++) sf[i] = (uint8_t)br.read(6);
+            } else if (delta_bits > 0) {
+                int expected = (1 << delta_bits) - 1;
+                int value = br.read(6);
+                sf[0] = (uint8_t)value;
+                for (int i = 1; i < cs_count; i++) {
+                    int delta = br.read(delta_bits);
+                    if (delta == expected) {
+                        value = br.read(6);
+                    } else {
+                        int test = value + (delta - (expected >> 1));
+                        if (test < 0 || test >= 64) { *status = -1; return; }
+                        value = (value - (expected >> 1) + delta) & 0x3F;
+                    }
+                    sf[i] = (uint8_t)value;
+                }
+            }
+            for (int i = 0; i < extra; i++)
+                sf[127 - i] = sf[cs_count - i];
+
+            uint8_t* inten = int_f + (size_t)c * 8;
+            if (ct == 2) {
+                if (!v3) {
+                    int value = br.peek(4);
+                    inten[0] = (uint8_t)value;
+                    if (value < 15) {
+                        br.skip(4);
+                        for (int i = 1; i < 8; i++)
+                            inten[i] = (uint8_t)br.read(4);
+                    }
+                } else {
+                    int value = br.peek(4);
+                    if (value < 15) {
+                        br.skip(4);
+                        int dbits = br.read(2);
+                        inten[0] = (uint8_t)value;
+                        if (dbits == 3) {
+                            for (int i = 1; i < 8; i++)
+                                inten[i] = (uint8_t)br.read(4);
+                        } else {
+                            int bmax = (2 << dbits) - 1;
+                            int bits = dbits + 1;
+                            for (int i = 1; i < 8; i++) {
+                                int delta = br.read(bits);
+                                if (delta == bmax) {
+                                    value = br.read(4);
+                                } else {
+                                    value = value - (bmax >> 1) + delta;
+                                    if (value > 15 || value < 0) {
+                                        *status = -1;
+                                        return;
+                                    }
+                                }
+                                inten[i] = (uint8_t)value;
+                            }
+                        }
+                    } else {
+                        br.skip(4);
+                        for (int i = 0; i < 8; i++) inten[i] = 7;
+                    }
+                }
+            } else if (!v3) {
+                for (int i = 0; i < hfr_group_count; i++)
+                    sf[128 - hfr_group_count + i] = (uint8_t)br.read(6);
+            }
+
+            uint8_t* res = res_f + (size_t)c * 128;
+            int cc = coded_count[c];
+            for (int i = 0; i < cc; i++) {
+                int r = 0;
+                int sv = sf[i];
+                if (sv > 0) {
+                    int noise_level = ath[i] + ((packed_noise + i) >> 8);
+                    int curve_pos = noise_level + 1 - ((5 * sv) >> 1);
+                    if (curve_pos < 0) r = 15;
+                    else if (curve_pos <= 65) r = invert_table[curve_pos];
+                    else r = 0;
+                    if (r > max_resolution) r = max_resolution;
+                    else if (r < min_resolution) r = min_resolution;
+                }
+                res[i] = (uint8_t)r;
+            }
+        }
+
+        for (int sub = 0; sub < 8; sub++) {
+            for (int c = 0; c < C; c++) {
+                const uint8_t* res = res_f + (size_t)c * 128;
+                int16_t* out = qc_f + ((size_t)c * 8 + sub) * 128;
+                int cc = coded_count[c];
+                for (int i = 0; i < cc; i++) {
+                    int r = res[i];
+                    int bits = max_bit_table[r];
+                    uint32_t code = br.read(bits);
+                    if (r > 7) {
+                        int v = (1 - (int)((code & 1) << 1)) * (int)(code >> 1);
+                        if (v == 0) br.skip(-1);
+                        out[i] = (int16_t)v;
+                    } else {
+                        int index = (r << 4) + code;
+                        br.skip((int)read_bit_table[index] - bits);
+                        out[i] = read_val_table[index];
+                    }
+                }
+            }
+        }
+        const int bits_max = frame_size * 8;
+        if (br.pos + 14 > bits_max) { *status = -6; return; }
+        const int byte_start = (br.pos / 8) + (br.pos % 8 ? 1 : 0);
+        for (int i = byte_start; i < frame_size - 2; i++)
+            if (dec[i] != 0) { *status = -1; return; }
+        *status = 1;
+    };
+
+    int nt = nthreads > 0 ? nthreads
+                          : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt <= 1 || total < 8) {
+        for (int64_t n = 0; n < total; n++) test_one(n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    const int64_t per = (total + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+        const int64_t lo = t * per, hi = std::min(total, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back([&, lo, hi]() {
+            for (int64_t n = lo; n < hi; n++) test_one(n);
+        });
+    }
+    for (auto& th : pool) th.join();
+}
+
+
+// Batched HCA cipher-table init, type 56 (hca.cpp:539-617; mirrors
+// utils/hca_crypt._cipher56). keys are the already-subkey-scrambled 64-bit
+// keycodes; out is uint8 [K, 256]. Threaded across keys.
+void cri_hca_cipher56_batch(const uint64_t* keys, int64_t nkeys,
+                            uint8_t* out, int32_t nthreads) {
+    auto init_row = [](uint32_t key, uint8_t* row) {
+        const uint32_t mul = ((key & 1) << 3) | 5;
+        const uint32_t add = (key & 0xE) | 1;
+        key >>= 4;
+        for (int i = 0; i < 16; i++) {
+            key = (key * mul + add) & 0xF;
+            row[i] = (uint8_t)key;
+        }
+    };
+    auto run = [&](int64_t lo, int64_t hi) {
+        uint8_t base[256], base_r[16], base_c[16];
+        for (int64_t k = lo; k < hi; ++k) {
+            uint64_t key = keys[k];
+            if (key != 0) key -= 1;
+            uint8_t kc[7];
+            for (int i = 0; i < 7; i++) kc[i] = (uint8_t)(key >> (8 * i));
+            const uint8_t seed[16] = {
+                kc[1], (uint8_t)(kc[1] ^ kc[6]), (uint8_t)(kc[2] ^ kc[3]),
+                kc[2], (uint8_t)(kc[2] ^ kc[1]), (uint8_t)(kc[3] ^ kc[4]),
+                kc[3], (uint8_t)(kc[3] ^ kc[2]), (uint8_t)(kc[4] ^ kc[5]),
+                kc[4], (uint8_t)(kc[4] ^ kc[3]), (uint8_t)(kc[5] ^ kc[6]),
+                kc[5], (uint8_t)(kc[5] ^ kc[4]), (uint8_t)(kc[6] ^ kc[1]),
+                kc[6]};
+            init_row(kc[0], base_r);
+            for (int r = 0; r < 16; r++) {
+                init_row(seed[r], base_c);
+                const uint8_t nb = (uint8_t)(base_r[r] << 4);
+                for (int c = 0; c < 16; c++)
+                    base[r * 16 + c] = nb | base_c[c];
+            }
+            uint8_t* table = out + (size_t)k * 256;
+            std::memset(table, 0, 256);
+            int x = 0, pos = 1;
+            for (int i = 0; i < 256; i++) {
+                x = (x + 17) & 0xFF;
+                if (base[x] != 0 && base[x] != 0xFF) table[pos++] = base[x];
+            }
+            table[0] = 0;
+            table[0xFF] = 0xFF;
+        }
+    };
+    int nt = nthreads > 0 ? nthreads
+                          : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt <= 1 || nkeys < 1024) { run(0, nkeys); return; }
+    std::vector<std::thread> pool;
+    const int64_t per = (nkeys + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+        const int64_t lo = t * per, hi = std::min(nkeys, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
+
 }  // extern "C"
 

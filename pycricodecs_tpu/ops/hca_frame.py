@@ -17,6 +17,7 @@ from typing import Optional
 import numpy as np
 
 from ..utils.bitio import BitReader, BitWriter
+from ..utils import crc
 from ..utils.crc import crc16
 from ..utils import hca_crypt
 from . import hca_tables as T
@@ -741,6 +742,69 @@ def score_key(data: bytes, keycode: int, subkey: int = 0,
         total += score
         tested += 1
     return total if tested else -1
+
+
+def test_frames_native(info: HcaInfo, frames: bytes, cipher_tables,
+                       want_soa: bool = True):
+    """Batched clHCA_TestBlock front half over (key, frame) pairs.
+
+    frames: nframes * frame_size raw bytes; cipher_tables: uint8 [K, 256].
+    Returns (status i32 [K, F], qc, sfs, ress, intens) with the SoA tensors
+    shaped [K*F, C, ...] (only rows with status == 1 are meaningful), or
+    None when the native core is unavailable. Semantics mirror test_block
+    (reference hca.cpp:1004-1097) minus the float wave inspection, which
+    the caller batches on the device.
+    """
+    import ctypes
+    import os
+
+    from .. import native
+    lib = native.load()
+    if lib is None:
+        return None
+    fs = info.frame_size
+    F = len(frames) // fs
+    K = cipher_tables.shape[0]
+    C = info.channels
+    status = np.zeros((K, F), dtype=np.int32)
+    if want_soa:
+        qc = np.zeros((K * F, C, 8, 128), dtype=np.int16)
+        sfs = np.zeros((K * F, C, 128), dtype=np.uint8)
+        ress = np.zeros((K * F, C, 128), dtype=np.uint8)
+        intens = np.zeros((K * F, C, 8), dtype=np.uint8)
+    else:
+        qc = sfs = ress = intens = None
+    buf = np.frombuffer(frames, dtype=np.uint8, count=F * fs)
+    ciphers = np.ascontiguousarray(cipher_tables, dtype=np.uint8)
+    # key-independent per-frame prechecks, hoisted out of the (key, frame)
+    # loop: silent (score 0), bad sync/CRC (-1)
+    fb = buf.reshape(F, fs)
+    silent = ~(fb[:, 2:fs - 2].any(axis=1))
+    bad = (fb[:, 0] != 0xFF) | (fb[:, 1] != 0xFF) | (crc.crc16_batch(fb) != 0)
+    frame_pre = np.where(silent, 1, np.where(bad, -1, 0)).astype(np.int32)
+
+    def p(arr, ct):
+        if arr is None:
+            return None
+        return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+    u8, i8, i16, i32 = (ctypes.c_uint8, ctypes.c_int8, ctypes.c_int16,
+                        ctypes.c_int32)
+    coded = np.ascontiguousarray(info.coded_count, dtype=np.int32)
+    ctype = np.ascontiguousarray(info.channel_type, dtype=np.uint8)
+    lib.cri_hca_test_frames(
+        p(buf, u8), p(frame_pre, i32), int(F), int(fs), p(ciphers, u8),
+        int(K),
+        int(C), int(info.version), int(info.hfr_group_count),
+        int(info.min_resolution), int(info.max_resolution),
+        p(ctype, u8), p(coded, i32), p(np.ascontiguousarray(info.ath), u8),
+        p(np.ascontiguousarray(T.INVERT_TABLE), u8),
+        p(np.ascontiguousarray(T.MAX_BIT_TABLE), u8),
+        p(np.ascontiguousarray(T.READ_BIT_TABLE), u8),
+        p(np.ascontiguousarray(T.READ_VAL_TABLE), i8),
+        p(status, i32), p(qc, i16), p(sfs, u8), p(ress, u8), p(intens, u8),
+        int(min(os.cpu_count() or 1, 16)))
+    return status, qc, sfs, ress, intens
 
 
 def pack_frames_native(info: HcaInfo, anl, evb, scalefactors, resolutions,

@@ -442,6 +442,126 @@ def adx_decode_batch(blobs: Sequence[bytes], mesh: Optional[Mesh] = None,
     return results
 
 
+def find_key(data: bytes, candidates, subkey: int = 0,
+             max_frames: int = 16) -> np.ndarray:
+    """Score many candidate keycodes against one encrypted HCA stream.
+
+    A capability beyond the reference (which only scores a single key via
+    clHCA_TestBlock): the bitstream half of the test runs per (key, frame)
+    in the threaded C++ core, and all surviving pairs are scored through
+    ONE batched device dispatch of the float decode transform
+    (ops/hca_kernels.hca_decode_wave) — key search is embarrassingly
+    parallel and maps directly onto the stream-batch axis.
+
+    Returns int64 scores aligned with `candidates` (same scale as
+    hca_frame.score_key: -1 = rejected, higher = more plausible). Use
+    `candidates[int(scores.argmax())]` for the best key.
+    """
+    from ..ops import hca_frame, hca_kernels
+    from ..utils import hca_crypt
+
+    data = bytes(data)
+    header_size = int.from_bytes(data[6:8], "big")
+    info = hca_frame.parse_header(data[:header_size])
+    F = min(max_frames, info.frame_count)
+    frames = data[header_size:header_size + F * info.frame_size]
+    F = len(frames) // info.frame_size
+    candidates = list(candidates)
+    K = len(candidates)
+    scores = np.full(K, -1, dtype=np.int64)
+    if K == 0 or F == 0:
+        return scores
+
+    if info.ciph_type == 56:
+        keys_u64 = np.asarray(candidates, dtype=np.uint64)
+        if subkey:
+            factor = np.uint64((((subkey & 0xFFFF) << 16)
+                                | ((~subkey + 2) & 0xFFFF)))
+            with np.errstate(over="ignore"):
+                keys_u64 = keys_u64 * factor   # mod 2^64 (hca.cpp:3309-3311)
+        tables = hca_crypt.cipher_tables_56_batch(keys_u64)
+    else:
+        tables = np.empty((K, 256), dtype=np.uint8)
+        for i, key in enumerate(candidates):
+            tables[i] = hca_crypt.cipher_table(
+                info.ciph_type, hca_crypt.scramble_subkey(int(key), subkey))
+
+    # phase 1: status-only reject over the first frames (no SoA tensors —
+    # at 100k+ candidates the full spectra would be gigabytes); most wrong
+    # keys fail the bitstream checks here
+    reject_frames = frames[:min(2, F) * info.frame_size]
+    pre = hca_frame.test_frames_native(info, reject_frames, tables,
+                                       want_soa=False)
+    if pre is None:  # no toolchain: exact but serial fallback
+        for i, key in enumerate(candidates):
+            scores[i] = hca_frame.score_key(data, int(key), subkey=subkey,
+                                            max_frames=max_frames)
+        return scores
+    alive = (pre[0] >= 0).all(axis=1)                   # [K]
+    alive_idx = np.nonzero(alive)[0]
+    if alive_idx.size == 0:
+        return scores
+
+    # phase 2: full unpack + scoring for the surviving candidates only
+    status, qc, sfs, ress, intens = hca_frame.test_frames_native(
+        info, frames, tables[alive_idx], want_soa=True)
+    Ka = alive_idx.size
+
+    frame_scores = np.zeros((Ka, F), dtype=np.int64)
+    frame_scores[status < 0] = -1
+    live = (status == 1).reshape(-1)
+    n_live = int(live.sum())
+    if n_live:
+        hfr = hca_kernels.build_hfr_map(
+            info.total_band_count, info.base_band_count,
+            info.stereo_band_count, info.bands_per_hfr_group,
+            info.hfr_group_count, info.version)
+        pairs = hca_kernels.stereo_pairs_of(info.channel_type) \
+            if info.stereo_band_count > 0 else ()
+        # bucket the survivor batch to powers of two: every distinct batch
+        # shape is a fresh device compile otherwise
+        n_pad = max(64, 1 << (n_live - 1).bit_length())
+
+        def pad(a):
+            out = np.zeros((n_pad,) + a.shape[1:], dtype=a.dtype)
+            out[:n_live] = a[live]
+            return out
+
+        wave = hca_kernels.hca_decode_wave(
+            pad(qc)[:, None], pad(sfs)[:, None], pad(ress)[:, None],
+            pad(intens)[:, None],
+            np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+            np.asarray(hfr.group_of), np.int32(hfr.zero_band),
+            base_band=int(info.base_band_count),
+            total_band=int(info.total_band_count), stereo_pairs=pairs,
+            apply_hfr=bool(info.bands_per_hfr_group > 0
+                           and info.hfr_group_count > 0),
+            hfr_group_count=int(info.hfr_group_count))
+        wave = np.asarray(wave)[:n_live]  # [N, C, 8, 128]
+        C = info.channels
+        n_samp = 8 * 128
+        clips = (np.abs(wave) > 1.0).reshape(wave.shape[0], -1).sum(axis=1)
+        scaled = np.trunc(wave.astype(np.float64) * 32768.0).astype(np.int64)
+        blank = (np.abs(wave) <= 1.0) & ((scaled == 0) | (scaled == -1))
+        blanks = blank.reshape(wave.shape[0], -1).sum(axis=1)
+        chblank = blank.reshape(wave.shape[0], C, -1).sum(axis=2)
+        sc = np.ones(wave.shape[0], dtype=np.int64)      # default: plausible
+        cl = np.where(clips == 1, 2, clips)
+        sc = np.where(cl > 1, cl, sc)
+        all_blank = blanks == C * n_samp
+        sc = np.where((cl <= 1) & all_blank, 0, sc)
+        if C >= 2:
+            half = (cl <= 1) & ~all_blank \
+                & (chblank[:, 0] == n_samp) & (chblank[:, 1] != n_samp)
+            sc = np.where(half, 3, sc)
+        frame_scores.reshape(-1)[live] = sc
+    rejected = (frame_scores < 0).any(axis=1)
+    alive_scores = frame_scores.sum(axis=1)
+    alive_scores[rejected] = -1
+    scores[alive_idx] = alive_scores
+    return scores
+
+
 def encode_batch(wavs: Sequence[bytes], mesh: Optional[Mesh] = None,
                  **adx_kwargs) -> List[bytes]:
     """Batched ADX encode of WAV inputs (shared jitted kernels per shape)."""

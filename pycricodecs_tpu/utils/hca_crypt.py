@@ -84,6 +84,63 @@ def _cipher56(keycode: int) -> np.ndarray:
     return table
 
 
+def cipher_tables_56_batch(keycodes: np.ndarray) -> np.ndarray:
+    """Batched _cipher56 over K keycodes -> uint8 [K, 256].
+
+    Identical tables to the scalar path (validated in tests); used by the
+    batched key search, where per-key Python table generation would dominate.
+    Prefers the threaded C++ core; vectorised numpy fallback below.
+    """
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    keycodes = np.ascontiguousarray(keycodes, dtype=np.uint64)
+    if lib is not None and keycodes.size:
+        out = np.empty((keycodes.size, 256), dtype=np.uint8)
+        lib.cri_hca_cipher56_batch(
+            keycodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            np.int64(keycodes.size),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), np.int32(0))
+        return out
+    kq = np.asarray(keycodes, dtype=np.uint64).copy()
+    kq[kq != 0] -= np.uint64(1)
+    K = kq.shape[0]
+    kc = ((kq[:, None] >> (np.uint64(8) * np.arange(7, dtype=np.uint64)))
+          & np.uint64(0xFF)).astype(np.int64)          # [K, 7]
+    seed = np.stack([
+        kc[:, 1], kc[:, 1] ^ kc[:, 6], kc[:, 2] ^ kc[:, 3], kc[:, 2],
+        kc[:, 2] ^ kc[:, 1], kc[:, 3] ^ kc[:, 4], kc[:, 3],
+        kc[:, 3] ^ kc[:, 2], kc[:, 4] ^ kc[:, 5], kc[:, 4],
+        kc[:, 4] ^ kc[:, 3], kc[:, 5] ^ kc[:, 6], kc[:, 5],
+        kc[:, 5] ^ kc[:, 4], kc[:, 6] ^ kc[:, 1], kc[:, 6]], axis=1)  # [K,16]
+
+    def rows(keys):                                     # [N] -> [N, 16]
+        mul = ((keys & 1) << 3) | 5
+        add = (keys & 0xE) | 1
+        key = keys >> 4
+        out = np.empty(keys.shape + (16,), dtype=np.int64)
+        for i in range(16):
+            key = (key * mul + add) & 0xF
+            out[..., i] = key
+        return out
+
+    base_r = rows(kc[:, 0])                             # [K, 16]
+    base_c = rows(seed.reshape(-1)).reshape(K, 16, 16)  # [K, 16, 16]
+    base = ((base_r[:, :, None] << 4) | base_c).reshape(K, 256)
+
+    order = (17 * (np.arange(256) + 1)) & 0xFF          # key-independent walk
+    vals = base[:, order]                               # [K, 256]
+    mask = (vals != 0) & (vals != 0xFF)
+    pos = np.cumsum(mask, axis=1)                       # 1-based write slots
+    table = np.zeros((K, 256), dtype=np.uint8)
+    krow = np.repeat(np.arange(K), 256).reshape(K, 256)
+    table[krow[mask], pos[mask]] = vals[mask].astype(np.uint8)
+    table[:, 0] = 0
+    table[:, 0xFF] = 0xFF
+    return table
+
+
 def invert_cipher_table(table: np.ndarray) -> np.ndarray:
     inv = np.zeros(256, dtype=np.uint8)
     inv[table] = np.arange(256, dtype=np.uint8)

@@ -140,3 +140,33 @@ def test_decode_stats(oracle):
     assert d["streams"] == 3 and d["groups"] == 1 and d["failed_streams"] == 0
     assert d["frames"] > 0 and d["samples_out"] > 0
     assert d["total_seconds"] > 0
+
+
+def test_find_key_batched_matches_score_key(oracle):
+    """parallel.find_key == hca_frame.score_key per candidate, and the true
+    key wins. Uses an encrypted stream (cipher type 56) with decoys."""
+    import numpy as np
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models import hca as hcamod
+    from pycricodecs_tpu.ops import hca_frame
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    from pycricodecs_tpu.ops import hca_encode_host
+    from tests.conftest import make_sine_pcm16
+    from pycricodecs_tpu.utils.wav import write_wav
+
+    true_key = 0xCF222F1FE0748978
+    wav = write_wav(make_sine_pcm16(16384, 2, 48000, seed=42), 2, 48000)
+    blob = hca_encode_host.encode(wav, quality=2)
+    hs = parse_header(blob).header_size
+    enc = hcamod.crypt(blob, True, hs, 56, true_key)
+
+    rng = np.random.default_rng(0)
+    candidates = [int(x) for x in rng.integers(1, 1 << 63, 40)]
+    candidates.insert(17, true_key)
+    scores = parallel.find_key(enc, candidates, max_frames=8)
+    assert scores.shape == (41,)
+    assert int(scores.argmax()) == 17
+    # exact agreement with the serial scorer on a sample of candidates
+    for i in (0, 5, 17, 33):
+        assert scores[i] == hca_frame.score_key(enc, candidates[i],
+                                                max_frames=8), i
