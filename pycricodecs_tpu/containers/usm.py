@@ -329,10 +329,17 @@ class USMBuilder:
                  "audio_codec", "streams", "stream_infos", "encryptAudio",
                  "SFA_chunk_size", "base_interval_per_SFA_chunk", "video_codec",
                  "SFV_interval_for_VP9", "audio", "video_filename",
-                 "audio_filenames", "minchk", "minbuf", "avbps", "key", "usm"]
+                 "audio_filenames", "minchk", "minbuf", "avbps", "key", "usm",
+                 "subtitles", "alpObj"]
 
     def __init__(self, video, audio=False, key=False, audio_codec: str = "adx",
-                 encryptAudio: bool = False) -> None:
+                 encryptAudio: bool = False, subtitles=None,
+                 alpha=None) -> None:
+        """Beyond-reference extras: `subtitles` builds an @SBT stream
+        ({langid: [(start_ms, duration_ms, text), ...]} or a plain list for
+        language 0); `alpha` builds an @ALP alpha-video stream from a second
+        IVF/VP9 blob (VideoMask-encrypted when a key is set, like @SFV).
+        Round-trips through USM.demux / sbt_to_srt."""
         if isinstance(video, str):
             videostream = FileIO(video)
             self.video_filename = video
@@ -353,6 +360,18 @@ class USMBuilder:
         self.audio = False
         self.encryptAudio = encryptAudio
         self.key = 0
+        if isinstance(subtitles, (list, tuple)):
+            subtitles = {0: list(subtitles)}
+        self.subtitles = subtitles or None
+        self.alpObj = None
+        if alpha is not None:
+            astream = FileIO(alpha) if isinstance(alpha, str) \
+                else BytesIO(alpha)
+            if astream.read(4) != VideoType.IVF.value:
+                raise NotImplementedError(
+                    "Alpha stream must be IVF/VP9 as well.")
+            astream.seek(0)
+            self.alpObj = IVF(astream)
         if encryptAudio and not key:
             raise ValueError("Cannot encrypt Audio without key.")
         if key:
@@ -490,6 +509,63 @@ class USMBuilder:
                                         b"#CONTENTS END   ===============\x00"))
         return sfv_list
 
+    def _gen_sbt_chunks(self) -> list:
+        """@SBT subtitle chunks: each entry is an SBTChunkHeader
+        (langid, framerate=1000 i.e. milliseconds, frametime, duration,
+        data_size) + NUL-terminated UTF-8 text, matching what sbt_to_srt /
+        the reference's demuxer expect (usm.py:324-361)."""
+        entries = []
+        for langid, items in self.subtitles.items():
+            for start_ms, duration_ms, text in items:
+                entries.append((int(start_ms), int(duration_ms), int(langid),
+                                str(text)))
+        entries.sort(key=lambda e: (e[0], e[2]))
+        chunks = []
+        for start_ms, duration_ms, langid, text in entries:
+            data = text.encode("utf-8") + b"\x00\x00"
+            payload = SBTChunkHeader.pack(langid, 1000, start_ms,
+                                          duration_ms, len(data)) + data
+            pad = (0x20 - len(payload) % 0x20) if len(payload) % 0x20 else 0
+            chunk = USMChunkHeader.pack(
+                USMChunckHeaderType.SBT.value, len(payload) + 0x18 + pad, 0,
+                0x18, pad, 0, 0, 0, 0, start_ms, 1000, 0, 0)
+            chunk += payload
+            chunks.append(chunk.ljust(len(payload) + 0x18 + pad + 0x8,
+                                      b"\x00"))
+        chunks.append(self._end_chunk(
+            USMChunckHeaderType.SBT.value, 0,
+            b"#CONTENTS END   ===============\x00"))
+        return chunks
+
+    def _gen_alp_chunks(self) -> list:
+        """@ALP alpha-video chunks (same framing as @SFV, incl. VideoMask)."""
+        info = self.alpObj.info()
+        self.alpObj.stream.seek(0)
+        framerate = int((info["time_base_denominator"]
+                         / info["time_base_numerator"]) * 100)
+        header = self.alpObj.stream.read(info["HeaderSize"])
+        chunks = []
+        count = 0
+        interval = 0
+        for _size, _ts, _idx, frame, _kf in self.alpObj.get_frames():
+            payload = (header + frame) if count == 0 else frame
+            if self.encrypt:
+                payload = video_mask_encrypt(payload, self.videomask1,
+                                             self.videomask2)
+            pad = (0x20 - len(payload) % 0x20) if len(payload) % 0x20 else 0
+            chunk = USMChunkHeader.pack(
+                USMChunckHeaderType.ALP.value, len(payload) + 0x18 + pad, 0,
+                0x18, pad, 0, 0, 0, 0, interval, framerate, 0, 0)
+            chunk += payload
+            chunks.append(chunk.ljust(len(payload) + 0x18 + pad + 0x8,
+                                      b"\x00"))
+            count += 1
+            interval = int(count * self.SFV_interval_for_VP9)
+        chunks.append(self._end_chunk(
+            USMChunckHeaderType.ALP.value, 0,
+            b"#CONTENTS END   ===============\x00"))
+        return chunks
+
     def _gen_sfa_chunks(self) -> list:
         all_chunks = [[] for _ in self.streams]
         for sidx, stream in enumerate(self.streams):
@@ -551,10 +627,17 @@ class USMBuilder:
         current_interval = 0.0
         target_interval = 0.0
         sfa_count = 0
+        sbt_list = self._gen_sbt_chunks() if self.subtitles else []
+        alp_list = self._gen_alp_chunks() if self.alpObj is not None else []
         out = bytearray(header)
         for i in range(max_len):
             if i < len_sfv:
                 out += sfv_list[i]
+            if i < len(alp_list):
+                out += alp_list[i]
+            if i == 0:
+                for ch in sbt_list:
+                    out += ch
             target_interval += self.SFV_interval_for_VP9
             if self.audio:
                 while current_interval < target_interval:
@@ -614,6 +697,28 @@ class USMBuilder:
                     minbuf=(tv.uint, 27860), minchk=(tv.ushort, 1),
                     stmid=(tv.uint, int.from_bytes(
                         USMChunckHeaderType.SFA.value, "big"))))
+        if self.alpObj is not None:
+            self.alpObj.stream.seek(0, 2)
+            a_filesize = self.alpObj.stream.tell()
+            self.alpObj.stream.seek(0)
+            crid_rows.append(dict(
+                avbps=(tv.uint, self.avbps), chno=(tv.ushort, 0),
+                datasize=(tv.uint, 0), filename=(tv.string, "alpha.ivf"),
+                filesize=(tv.uint, a_filesize), fmtver=(tv.uint, 16777984),
+                minbuf=(tv.uint, self.minbuf), minchk=(tv.ushort, 1),
+                stmid=(tv.uint, int.from_bytes(
+                    USMChunckHeaderType.ALP.value, "big"))))
+            minbuf += self.minbuf
+        if self.subtitles:
+            n_entries = sum(len(v) for v in self.subtitles.values())
+            crid_rows.append(dict(
+                avbps=(tv.uint, 8000), chno=(tv.ushort, 0),
+                datasize=(tv.uint, 0), filename=(tv.string, "subtitles.sbt"),
+                filesize=(tv.uint, n_entries), fmtver=(tv.uint, 16777984),
+                minbuf=(tv.uint, 4096), minchk=(tv.ushort, 1),
+                stmid=(tv.uint, int.from_bytes(
+                    USMChunckHeaderType.SBT.value, "big"))))
+            minbuf += 4096
         crid_rows[0]["avbps"] = (tv.uint, total_avbps)
         crid_rows[0]["minbuf"] = (tv.uint, minbuf)
 

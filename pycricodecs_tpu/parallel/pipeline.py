@@ -73,6 +73,34 @@ def _ensure_compile_cache() -> None:
         pass
 
 
+class trace:
+    """Optional xprof tracing for pipeline calls (SURVEY.md §5).
+
+    with parallel.trace("/tmp/xprof"):
+        parallel.decode_batch(blobs)
+
+    Wraps jax.profiler.trace; view with xprof/tensorboard. No-op if the
+    profiler is unavailable on the backend.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._cm = None
+
+    def __enter__(self):
+        try:
+            self._cm = jax.profiler.trace(self.log_dir)
+            self._cm.__enter__()
+        except Exception:
+            self._cm = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            return self._cm.__exit__(*exc)
+        return False
+
+
 def make_mesh(shape: Optional[Sequence[int]] = None,
               axis_names: Sequence[str] = ("dp", "sp")) -> Mesh:
     """Build a device mesh. Default: all devices on the "dp" (stream) axis."""

@@ -350,3 +350,25 @@ def test_usm_encrypted_adx_audio_roundtrip(oracle_py, tmp_path):
     from pycricodecs_tpu.models import adx as adxmod
     from pycricodecs_tpu.models.adx import parse_adx_header
     parse_adx_header(audio, strict_cri_check=False)
+
+
+def test_usm_builder_subtitles_and_alpha():
+    """Beyond-reference: @SBT subtitle and @ALP alpha-video streams build,
+    demux back byte-exactly (alpha under the video mask), and SBT converts
+    to per-language SRT."""
+    video = _fake_ivf(6)
+    alpha = build_ivf([b"\x82I\x83B" + b"a" * 100, b"b" * 80, b"c" * 60],
+                      fps_num=2997, fps_den=100)
+    subs = {0: [(0, 1500, "Hello world"), (2000, 1000, "Second line")],
+            1: [(0, 1500, "Bonjour le monde")]}
+    key = 0x1234ABCD5678
+    blob = USMBuilder(video, key=key, subtitles=subs, alpha=alpha).build()
+    usm = USM(blob, key=key)
+    usm.demux()
+    assert bytes(usm.output["@SFV_0"]) == video
+    assert bytes(usm.output["@ALP_0"]) == alpha
+    srts = usm.sbt_to_srt(usm.output["@SBT_0"])
+    assert len(srts) == 2
+    assert "00:00:00,000 --> 00:00:01,500" in srts[0]
+    assert "Second line" in srts[0]
+    assert "Bonjour le monde" in srts[1]
