@@ -83,25 +83,37 @@ class CPK:
             return crilayla.decompress(data)
         return data
 
+    @staticmethod
+    def _cell(col, i):
+        """Read row i of a UTF column, normalising constant columns.
+
+        The UTF parser mirrors the reference's table quirk: a column whose
+        rows all share one value is stored as a single-element list holding
+        a tuple (the reference extractor crashes on such archives, e.g. two
+        compressed members that happen to share a compressed size)."""
+        v = col[i % len(col)]
+        return v[0] if isinstance(v, tuple) else v
+
     def extract(self, dirname: str = "") -> None:
         """Extract all files (TOC mode by name, ITOC mode by ID)."""
         if "TOC" in self.tables:
             toc = self.tables["TOC"]
             base = dirname or (self.filename.rsplit(".")[0] if self.filename else "cpk_out")
             for i in range(len(toc["FileName"])):
-                subdir = toc["DirName"][i % len(toc["DirName"])]
+                subdir = self._cell(toc["DirName"], i)
                 target_dir = os.path.join(base, subdir) if subdir else base
                 os.makedirs(target_dir, exist_ok=True)
-                filename = toc["FileName"][i]
+                filename = self._cell(toc["FileName"], i)
                 if len(filename) >= 255:
                     filename = filename[:250] + "_" + str(i)
-                self.stream.seek(0x800 + toc["FileOffset"][i], 0)
-                data = self._read_entry(toc["FileSize"][i], toc["ExtractSize"][i])
+                self.stream.seek(0x800 + self._cell(toc["FileOffset"], i), 0)
+                data = self._read_entry(self._cell(toc["FileSize"], i),
+                                        self._cell(toc["ExtractSize"], i))
                 with open(os.path.join(target_dir, filename), "wb") as fh:
                     fh.write(data)
         elif "ITOC" in self.tables:
-            align = self.tables["CPK"]["Align"][0]
-            offset = self.tables["CPK"]["ContentOffset"][0]
+            align = self._cell(self.tables["CPK"]["Align"], 0)
+            offset = self._cell(self.tables["CPK"]["ContentOffset"], 0)
             base = dirname or (self.filename.rsplit(".")[0] if self.filename else "")
             if base:
                 os.makedirs(base, exist_ok=True)
@@ -125,9 +137,12 @@ class CPK:
                 continue
             table = itoc[sub][0]
             count = itoc.get(count_key, [len(table["ID"])])[0]
+            if isinstance(count, tuple):
+                count = count[0]
             for idx in range(min(count, len(table["ID"]))):
-                entries.append((table["ID"][idx], table["FileSize"][idx],
-                                table["ExtractSize"][idx]))
+                entries.append((self._cell(table["ID"], idx),
+                                self._cell(table["FileSize"], idx),
+                                self._cell(table["ExtractSize"], idx)))
         entries.sort(key=lambda e: e[0])
         return entries
 
@@ -139,18 +154,19 @@ class CPK:
                 raise ValueError("Given filename does not exist inside the provided CPK.")
             idx = toc["FileName"].index(filename)
             base = dirname or (self.filename.rsplit(".")[0] if self.filename else "")
-            subdir = toc["DirName"][idx % len(toc["DirName"])]
+            subdir = self._cell(toc["DirName"], idx)
             target = os.path.join(base, subdir) if subdir else base
             if target:
                 os.makedirs(target, exist_ok=True)
-            self.stream.seek(0x800 + toc["FileOffset"][idx], 0)
-            data = self._read_entry(toc["FileSize"][idx], toc["ExtractSize"][idx])
+            self.stream.seek(0x800 + self._cell(toc["FileOffset"], idx), 0)
+            data = self._read_entry(self._cell(toc["FileSize"], idx),
+                                    self._cell(toc["ExtractSize"], idx))
             with open(os.path.join(target, filename), "wb") as fh:
                 fh.write(data)
         elif "ITOC" in self.tables:
             file_id = int(filename)
-            align = self.tables["CPK"]["Align"][0]
-            offset = self.tables["CPK"]["ContentOffset"][0]
+            align = self._cell(self.tables["CPK"]["Align"], 0)
+            offset = self._cell(self.tables["CPK"]["ContentOffset"], 0)
             pos = offset
             for fid, size, extract_size in self._itoc_entries():
                 if fid == file_id:
