@@ -310,9 +310,12 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
                       apply_hfr=bool(info0.bands_per_hfr_group > 0
                                      and info0.hfr_group_count > 0),
                       hfr_group_count=int(info0.hfr_group_count),
-                      # hand-tiled Pallas IMDCT on TPU (bit-exact, ~1.4x the
-                      # XLA fusion); jnp butterflies elsewhere
-                      use_pallas=jax.devices()[0].platform == "tpu")
+                      # fused Pallas IMDCT+OLA on single-chip TPU (bit-exact,
+                      # faster than the XLA fusion); jnp elsewhere — a
+                      # pallas_call does not partition under a mesh, so
+                      # sharded runs keep the XLA path
+                      use_pallas=(jax.devices()[0].platform == "tpu"
+                                  and mesh is None))
         args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask) + hfr_args
         if mesh is not None:
             batch_axis = mesh.axis_names[0]

@@ -15,7 +15,7 @@ from pycricodecs_tpu.models import hca as hcamod
 from pycricodecs_tpu.utils.wav import write_wav
 from tests.conftest import make_sine_pcm16
 
-N_MUTATIONS = 40
+N_MUTATIONS = 120
 
 
 def _mutate(rng, blob: bytes):
