@@ -491,6 +491,7 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     from ..ops import hca_frame, hca_kernels
     from ..utils import hca_crypt
 
+    _ensure_compile_cache()
     data = bytes(data)
     header_size = int.from_bytes(data[6:8], "big")
     info = hca_frame.parse_header(data[:header_size])

@@ -1,0 +1,52 @@
+"""CLI smoke tests (python -m pycricodecs_tpu ...) through real subprocesses."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pycricodecs_tpu.models import hca as hcamod
+from pycricodecs_tpu.ops import hca_encode_host
+from pycricodecs_tpu.ops.hca_frame import parse_header
+from pycricodecs_tpu.utils.wav import write_wav
+from tests.conftest import make_sine_pcm16
+
+KEY = 0xABCDEF12345
+
+
+def _run(*args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-m", "pycricodecs_tpu", *args],
+                       capture_output=True, text=True, env=env, cwd=cwd,
+                       timeout=600)  # cold persistent-cache compiles
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_cli_encode_decode_info_findkey(tmp_path):
+    wav = write_wav(make_sine_pcm16(8192, 2, 48000, seed=7), 2, 48000)
+    (tmp_path / "in.wav").write_bytes(wav)
+
+    out = _run("encode", "in.wav", "--format", "hca", "--quality", "2",
+               cwd=tmp_path)
+    assert "in.hca" in out
+    blob = (tmp_path / "in.hca").read_bytes()
+    assert blob == hca_encode_host.encode(wav, quality=2)
+
+    out = _run("decode", "in.hca", "-o", "out.wav", cwd=tmp_path)
+    assert (tmp_path / "out.wav").read_bytes() == hcamod.decode(blob)
+
+    out = _run("info", "in.hca", cwd=tmp_path)
+    assert '"HeaderSize"' in out
+
+    hs = parse_header(blob).header_size
+    enc = hcamod.crypt(blob, True, hs, 56, KEY)
+    (tmp_path / "enc.hca").write_bytes(enc)
+    (tmp_path / "cands.txt").write_text("0x1111\n0x%X\n0x2222\n" % KEY)
+    out = _run("find-key", "enc.hca", "--candidates", "cands.txt",
+               cwd=tmp_path)
+    assert "0x00000ABCDEF12345" in out.splitlines()[0]
