@@ -79,13 +79,16 @@ class UTF:
             name_ptr = int.from_bytes(body[pos:pos + 4], "big")
             pos += 4
             const_raw = None
-            if storage == 0x3:
+            if storage in (0x3, 0x7):
+                # 0x70 appears in old CPKs; the reference raises
+                # NotImplementedError (utf.py:73-76).  Community decoders
+                # treat it as a second constant-with-value storage class
+                # ("CONSTANT2"), identical to 0x30 — the value lives in the
+                # column header.  We parse it so old archives extract.
                 code = _struct_code(type_flag)
                 width = calcsize(">" + code)
                 const_raw = unpack(">" + code, body[pos:pos + width])
                 pos += width
-            elif storage == 0x7:
-                raise NotImplementedError("Unsupported 0x70 storage flag.")
             elif storage not in (0x1, 0x5):
                 raise Exception("Unknown storage flag.")
             columns.append((name_ptr, storage, type_flag, const_raw))
@@ -156,7 +159,7 @@ class UTF:
                     table.setdefault(name, []).append(0)
                     const_entries[name] = (type_list[type_flag], None)
         for (name_ptr, storage, type_flag, const_raw) in columns:
-            if storage == 0x3:
+            if storage in (0x3, 0x7):
                 name = str_at(name_ptr)
                 val = fetch(type_flag, const_raw)
                 # quirk parity: the reference's columnar table keeps the raw

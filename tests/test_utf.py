@@ -68,6 +68,34 @@ def test_parse_reference_built(oracle_py):
     assert _norm(UTF(blob).get_payload()) == _norm(oracle_py.UTF(blob).get_payload())
 
 
+def test_storage_flag_0x70_constant2():
+    """0x70 ("CONSTANT2", old CPKs) parses like 0x30; the reference raises."""
+    from struct import calcsize
+
+    blob = bytearray(UTFBuilder(_payload_multi(UTFTypeValues),
+                                table_name="C2").parse())
+    base = UTF(bytes(blob))
+    # walk the column records and flip every 0x30 storage flag to 0x70
+    from pycricodecs_tpu.containers.chunk import UTFChunkHeader
+    num_columns = int.from_bytes(blob[24:26], "big")
+    pos = UTFChunkHeader.size
+    flipped = 0
+    for _ in range(num_columns):
+        flag = blob[pos]
+        storage, tindex = flag >> 4, flag & 0xF
+        if storage == 0x3:
+            blob[pos] = 0x70 | tindex
+            flipped += 1
+        pos += 5
+        if storage == 0x3:
+            pos += calcsize(">" + ("II" if tindex == 0xB
+                                   else "BbHhIiQqfdI"[tindex]))
+    assert flipped, "fixture must contain a constant column"
+    got = UTF(bytes(blob))
+    assert got.table == base.table
+    assert _norm(got.get_payload()) == _norm(base.get_payload())
+
+
 def test_shiftjis_strings(oracle_py):
     def mk(tv):
         return [{"Name": (tv.string, "日本語"), "N": (tv.uint, 1)}]
