@@ -19,12 +19,13 @@ from .containers.ivf import IVF
 from .containers.usm import USM, USMBuilder
 from .containers.utf import UTF, UTFBuilder
 from .models.adx import ADX
+from .models.ahx import AHX
 from .models.hca import HCA
 from .models import crilayla
 
-__all__ = ["ADX", "HCA", "CPK", "CPKBuilder", "USM", "USMBuilder", "UTF",
-           "UTFBuilder", "ACB", "ACBBuilder", "AWB", "AWBBuilder", "IVF",
-           "crilayla", "USMChunckHeaderType", "CPKChunkHeaderType",
+__all__ = ["ADX", "AHX", "HCA", "CPK", "CPKBuilder", "USM", "USMBuilder",
+           "UTF", "UTFBuilder", "ACB", "ACBBuilder", "AWB", "AWBBuilder",
+           "IVF", "crilayla", "USMChunckHeaderType", "CPKChunkHeaderType",
            "UTFType", "AWBType", "HCAType", "VideoType", "UTFTypeValues",
            "CriHcaQuality"]
 __version__ = "0.1.0"

@@ -1,0 +1,293 @@
+"""AHX codec: MPEG-2 LSF Layer II audio in an ADX-style CRI container.
+
+Beyond-parity capability: the reference package recognises @AHX USM chunks
+(PyCriCodecs/chunk.py:22) and its ADX decoder explicitly rejects AHX files
+("AHX file provided, unsupported", adx.cpp error -2), but it cannot decode or
+create them.  SofDec1-era USMs carry their audio as @AHX, so demuxed streams
+were dead ends.  This module decodes and encodes them.
+
+Container layout (matches AHX files in the wild / vgmstream's parser):
+ADX header magic 0x80 0x00, u16 BE data offset, encoding type 0x10 or 0x11
+(instead of ADPCM's 2/3/4), block size 0, bit depth 0, 1 channel, u32 sample
+rate, u32 total samples, "(c)CRI" ending at data start; then standard MPEG
+Layer II frames (MPEG-2 LSF mono for type 0x11).  The byte stream after the
+header is plain MPEG audio, so `decode_mp2`/`encode_mp2` below double as a
+general .mp2 codec (MPEG-1 and MPEG-2 LSF, all layer-II modes).
+
+Correctness is tested against two independent system oracles: streams made by
+libtwolame decode bit-identically (<= 1 int16 LSB) to libmpg123's output, and
+our encoded streams are accepted and decoded by libmpg123 (tests/test_ahx.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ops import mp2_frame, mp2_kernels, mp2_tables
+from ..utils import wav as wavmod
+
+CRI_STRING = b"(c)CRI"
+AHX_TYPES = (0x10, 0x11)
+_SNR_DB = None  # lazy per-class SNR cache
+
+
+def decode_mp2(data: bytes, offset: int = 0, device: bool = True,
+               max_frames: Optional[int] = None
+               ) -> Tuple[np.ndarray, int]:
+    """Decode consecutive MPEG Layer II frames -> (int16 [C, N], sample_rate).
+
+    device=True runs dequant + the one-matmul synthesis on the accelerator
+    (float32); device=False uses the float64 numpy reference.
+    """
+    st = mp2_frame.unpack(data, offset, max_frames)
+    if device:
+        try:
+            pcm = mp2_kernels.decode_transform_device(st.codes, st.levels,
+                                                      st.sfidx)
+            return pcm, st.header.sample_rate
+        except Exception:
+            pass  # no usable device -> numpy reference below
+    sb = mp2_kernels.dequantize_np(st.codes, st.levels, st.sfidx)
+    C = st.header.nch
+    sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, st.nframes * 36, 32)
+    pcm = mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb))
+    return pcm, st.header.sample_rate
+
+
+def _sf_indices(peak: np.ndarray) -> np.ndarray:
+    """Tightest scalefactor index with SF[idx] >= peak ([..,] float -> uint8)."""
+    sf = mp2_tables.scalefactors()[:63]
+    # sf is strictly decreasing; count entries >= peak, idx = count - 1
+    cnt = np.sum(sf[None, :] >= peak[..., None] - 1e-12, axis=-1)
+    return (np.maximum(cnt, 1) - 1).astype(np.uint8)
+
+
+def _class_meta(table_id: int):
+    """Per-subband class lists + per-class (sample bits / frame, SNR dB)."""
+    table = mp2_tables.ALLOC_TABLES[table_id]
+    metas = []
+    for classes in table:
+        bits, snr = [0], [0.0]
+        for n in classes[1:]:
+            gb = mp2_tables.GROUP_BITS.get(n)
+            per_gr = gb if gb is not None else 3 * mp2_tables.code_bits(n)
+            bits.append(12 * per_gr)
+            snr.append(20.0 * np.log10(n))
+        metas.append((classes, bits, snr))
+    return metas
+
+
+def encode_mp2(pcm: np.ndarray, sample_rate: int,
+               bitrate_kbps: Optional[int] = None,
+               device: bool = True) -> bytes:
+    """Encode int16 PCM ([N] mono or [C, N]) to MPEG Layer II.
+
+    MPEG-2 LSF for 16/22.05/24 kHz, MPEG-1 for 32/44.1/48 kHz.  Stereo input
+    is coded as independent-channel stereo (mode 0).  CBR with the standard
+    padding-slot accumulator; greedy max-(SMR - SNR) bit allocation.
+    """
+    pcm = np.asarray(pcm, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[None, :]
+    C, N = pcm.shape
+    if C not in (1, 2):
+        raise ValueError("Layer II supports 1 or 2 channels.")
+    if sample_rate in mp2_tables.SAMPLE_RATES_V2:
+        version, rates = 2, mp2_tables.BITRATES_V2_L2
+        sr_idx = mp2_tables.SAMPLE_RATES_V2.index(sample_rate)
+        if bitrate_kbps is None:
+            bitrate_kbps = 80 * C
+    elif sample_rate in mp2_tables.SAMPLE_RATES_V1:
+        version, rates = 3, mp2_tables.BITRATES_V1_L2
+        sr_idx = mp2_tables.SAMPLE_RATES_V1.index(sample_rate)
+        if bitrate_kbps is None:
+            bitrate_kbps = 128 * C
+    else:
+        raise ValueError(f"Unsupported Layer II sample rate {sample_rate}.")
+    if bitrate_kbps not in rates[1:]:
+        raise ValueError(f"Unsupported Layer II bitrate {bitrate_kbps} "
+                         f"(valid: {sorted(rates[1:])}).")
+    bitrate_idx = rates.index(bitrate_kbps)
+    mode = 3 if C == 1 else 0
+
+    # probe header for table id / sblimit (padding doesn't affect them)
+    hdr = mp2_frame.parse_header(
+        mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode)
+        .to_bytes(4, "big"))
+    sblimit = hdr.sblimit
+    metas = _class_meta(hdr.table_id)
+    nbal_bits = sum((len(m[0]) - 1).bit_length() for m in metas) * C
+
+    F = (N + mp2_frame.SAMPLES_PER_FRAME - 1) // mp2_frame.SAMPLES_PER_FRAME
+    x = np.zeros((C, F * mp2_frame.SAMPLES_PER_FRAME), dtype=np.float64)
+    x[:, :N] = pcm.astype(np.float64) / 32768.0
+    if device:
+        try:
+            S = mp2_kernels.analyze_device(x).astype(np.float64)
+        except Exception:
+            S = mp2_kernels.analyze_np(x)
+    else:
+        S = mp2_kernels.analyze_np(x)                  # [C, F*36, 32]
+    S = S.reshape(C, F, 12, 3, 32)
+
+    # scalefactors per (frame, ch, part, sb)
+    peaks = np.abs(S).reshape(C, F, 3, 4 * 3, 32).max(axis=3)  # [C,F,3,32]
+    sfidx = _sf_indices(peaks)
+    sf_val = mp2_tables.scalefactors()[sfidx]                  # [C,F,3,32]
+
+    # scfsi per (frame, ch, sb): merge equal neighbours
+    eq01 = sfidx[:, :, 0, :] == sfidx[:, :, 1, :]
+    eq12 = sfidx[:, :, 1, :] == sfidx[:, :, 2, :]
+    scfsi = np.zeros((C, F, 32), dtype=np.int32)
+    scfsi[eq01 & eq12] = 2
+    scfsi[eq01 & ~eq12] = 1
+    scfsi[~eq01 & eq12] = 3
+    sf_bits = np.choose(scfsi, [18, 12, 6, 12])               # per (ch,sb)
+    need_db = 20.0 * np.log10(np.maximum(peaks.max(axis=2), 1e-9))  # [C,F,32]
+
+    # greedy allocation per frame
+    slots_num = 144 * bitrate_kbps * 1000
+    acc = 0
+    out = bytearray()
+    for f in range(F):
+        pad = 0
+        acc += slots_num % sample_rate
+        if acc >= sample_rate:
+            acc -= sample_rate
+            pad = 1
+        frame_size = slots_num // sample_rate + pad
+        budget = frame_size * 8 - 32 - nbal_bits
+        alloc = np.zeros((C, sblimit), dtype=np.int32)
+        spent = 0
+        # per-(ch,sb) current SNR and next-step cost
+        while True:
+            best, best_gain = None, -1e18
+            for ch in range(C):
+                for sb in range(sblimit):
+                    classes, bits, snr = metas[sb]
+                    i = alloc[ch, sb]
+                    if i + 1 >= len(classes):
+                        continue
+                    cost = bits[i + 1] - bits[i]
+                    if i == 0:
+                        cost += 2 + int(sf_bits[ch, f, sb])
+                    if spent + cost > budget:
+                        continue
+                    gain = need_db[ch, f, sb] - snr[i]
+                    if gain > best_gain:
+                        best_gain, best = gain, (ch, sb, cost)
+            if best is None or best_gain < -60.0:
+                break
+            ch, sb, cost = best
+            alloc[ch, sb] += 1
+            spent += cost
+
+        # quantise
+        codes = np.zeros((C, 36, sblimit), dtype=np.uint16)
+        for ch in range(C):
+            for sb in range(sblimit):
+                n = metas[sb][0][alloc[ch, sb]]
+                if not n:
+                    continue
+                s = S[ch, f, :, :, sb].reshape(36)
+                sf = sf_val[ch, f, np.arange(36) // 12, sb]
+                c = np.floor(((s / sf) * n + n - 1) / 2 + 0.5)
+                codes[ch, :, sb] = np.clip(c, 0, n - 1).astype(np.uint16)
+
+        fhdr = hdr._replace(padding=pad, frame_size=frame_size)
+        out += mp2_frame.pack_frame(
+            fhdr, bitrate_idx, sr_idx, alloc, scfsi[:, f, :sblimit],
+            np.transpose(sfidx[:, f, :, :sblimit], (0, 1, 2)),
+            codes)
+    return bytes(out)
+
+
+# --- AHX container -----------------------------------------------------------
+
+class AHX:
+    """AHX (ADX-container MPEG-2 Layer II) decoder/encoder.
+
+    Mirrors the `ADX` wrapper shape: static `decode(bytes) -> wav bytes` and
+    `encode(wav bytes, ...) -> ahx bytes`.
+    """
+
+    @staticmethod
+    def parse_header(data: bytes) -> dict:
+        if len(data) < 0x18 or data[0] != 0x80 or data[1] != 0x00:
+            raise ValueError("Invalid AHX file header.")
+        data_offset = int.from_bytes(data[2:4], "big") + 4
+        enc_type = data[4]
+        if enc_type not in AHX_TYPES:
+            raise ValueError("Not an AHX stream (ADX encoding type "
+                             f"0x{enc_type:02x}).")
+        channels = data[7]
+        sample_rate = int.from_bytes(data[8:12], "big")
+        total_samples = int.from_bytes(data[12:16], "big")
+        if data_offset >= 6 + len(CRI_STRING) and \
+                data[data_offset - 6:data_offset] != CRI_STRING and \
+                CRI_STRING not in data[:data_offset]:
+            raise ValueError("CRI copyright string not found in AHX header.")
+        return dict(data_offset=data_offset, type=enc_type,
+                    channels=channels, sample_rate=sample_rate,
+                    total_samples=total_samples)
+
+    @staticmethod
+    def decode(data: bytes, device: bool = True) -> bytes:
+        """AHX -> WAV (PCM16)."""
+        if isinstance(data, str):
+            with open(data, "rb") as fh:
+                data = fh.read()
+        info = AHX.parse_header(bytes(data))
+        pcm, sr = decode_mp2(bytes(data), info["data_offset"], device=device)
+        n = info["total_samples"]
+        if n:
+            pcm = pcm[:, :n]
+        inter = np.ascontiguousarray(pcm.T).reshape(-1)
+        return wavmod.write_wav(inter, pcm.shape[0], info["sample_rate"] or sr)
+
+    @staticmethod
+    def encode(data: bytes, bitrate_kbps: Optional[int] = None,
+               AhxVersion: int = 0x11, device: bool = True) -> bytes:
+        """WAV -> AHX.  Input must be mono at an MPEG-2 LSF rate
+        (16000/22050/24000 Hz); resample upstream if needed."""
+        if isinstance(data, str):
+            with open(data, "rb") as fh:
+                data = fh.read()
+        wf = wavmod.parse_wav(bytes(data))
+        if wf.channels != 1:
+            raise ValueError("AHX is mono; got "
+                             f"{wf.channels} channels.")
+        if wf.sample_rate not in mp2_tables.SAMPLE_RATES_V2:
+            raise ValueError("AHX requires an MPEG-2 LSF sample rate "
+                             f"(16000/22050/24000), got {wf.sample_rate}.")
+        if AhxVersion not in AHX_TYPES:
+            raise ValueError("AhxVersion must be 0x10 or 0x11.")
+        pcm = wf.pcm16
+        stream = encode_mp2(pcm, wf.sample_rate, bitrate_kbps, device=device)
+        header = bytearray(0x24)
+        header[0:2] = b"\x80\x00"
+        header[2:4] = (0x20).to_bytes(2, "big")     # data at 0x24
+        header[4] = AhxVersion
+        header[5] = 0                               # block size
+        header[6] = 0                               # bit depth
+        header[7] = 1                               # channels
+        header[8:12] = wf.sample_rate.to_bytes(4, "big")
+        header[12:16] = len(pcm).to_bytes(4, "big")
+        header[16:18] = b"\x00\x00"                 # highpass
+        header[18] = 0x06                           # AHX header version tag
+        header[19] = 0x00                           # flags
+        header[0x1E:0x24] = CRI_STRING
+        footer = b"\x80\x01\x00\x0c" + b"AHXE(c)CRI\x00\x00"
+        return bytes(header) + stream + footer
+
+    @staticmethod
+    def info(data: bytes) -> dict:
+        if isinstance(data, str):
+            with open(data, "rb") as fh:
+                data = fh.read()
+        info = AHX.parse_header(bytes(data))
+        hdr = mp2_frame.parse_header(bytes(data), info["data_offset"])
+        info.update(bitrate=hdr.bitrate, mpeg_version=hdr.version,
+                    frame_size=hdr.frame_size, mode=hdr.mode)
+        return info

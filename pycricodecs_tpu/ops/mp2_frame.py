@@ -1,0 +1,278 @@
+"""MPEG Audio Layer II host bitstream layer (for the AHX codec).
+
+The serial half of MP2 decode/encode: frame header parse, bit-allocation /
+scalefactor / sample unpack into dense SoA tensors for the device kernels
+(ops/mp2_kernels.py), and the inverse frame packer for the encoder.
+
+Supports MPEG-1 (tables 3-B.2a-d) and MPEG-2 LSF (13818-3 Table B.1) Layer II,
+mono / stereo / dual / joint (intensity) stereo.  AHX streams are MPEG-2 LSF
+mono, but the general decoder doubles as a standalone .mp2 front-end.
+
+This is new capability, absent from the reference package (it only carries
+@AHX USM chunks around, PyCriCodecs/usm.py:171 / chunk.py:22).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from . import mp2_tables as T
+from ..utils.bitio import BitWriter
+
+SAMPLES_PER_FRAME = 1152          # 12 granules x 3 samples x 32 subbands
+GRANULES = 12
+
+
+class Mp2Header(NamedTuple):
+    version: int          # 3 = MPEG-1, 2 = MPEG-2 LSF (header field value)
+    layer: int            # always 2 here
+    crc: bool             # protection bit 0 -> 16-bit CRC present
+    bitrate: int          # bits/s
+    sample_rate: int
+    padding: int
+    mode: int             # 0 stereo, 1 joint, 2 dual, 3 mono
+    mode_ext: int
+    nch: int
+    frame_size: int       # bytes, including header (+pad)
+    table_id: int         # allocation table 0-4
+    sblimit: int
+    bound: int            # first subband coded jointly (== sblimit if none)
+
+
+class Mp2Stream(NamedTuple):
+    """SoA unpack of a whole Layer II stream (one config for all frames)."""
+    header: Mp2Header
+    codes: np.ndarray     # uint16 [F, C, 36, 32]
+    levels: np.ndarray    # int32  [F, C, 32]  quant levels, 0 = silent
+    sfidx: np.ndarray     # uint8  [F, C, 3, 32]  scalefactor index per part
+    nframes: int
+
+
+def parse_header(data: bytes, offset: int = 0) -> Mp2Header:
+    """Parse one 32-bit Layer II frame header at ``offset``."""
+    w = int.from_bytes(data[offset:offset + 4], "big")
+    if (w >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("MPEG sync word not found.")
+    version = (w >> 19) & 3
+    layer_code = (w >> 17) & 3
+    if layer_code != 2:                       # 10b = Layer II
+        raise ValueError("Not an MPEG Layer II frame.")
+    if version not in (2, 3):                 # 10b = MPEG-2 LSF, 11b = MPEG-1
+        raise ValueError("Unsupported MPEG version (2.5).")
+    crc = not ((w >> 16) & 1)
+    bri = (w >> 12) & 0xF
+    sri = (w >> 10) & 3
+    if bri in (0, 15) or sri == 3:
+        raise ValueError("Free-format/invalid Layer II header.")
+    padding = (w >> 9) & 1
+    mode = (w >> 6) & 3
+    mode_ext = (w >> 4) & 3
+    nch = 1 if mode == 3 else 2
+    if version == 3:
+        bitrate = T.BITRATES_V1_L2[bri] * 1000
+        sample_rate = T.SAMPLE_RATES_V1[sri]
+        table_id = T.TABLE_SELECT[sri][0 if nch == 2 else 1][bri]
+    else:
+        bitrate = T.BITRATES_V2_L2[bri] * 1000
+        sample_rate = T.SAMPLE_RATES_V2[sri]
+        table_id = 4
+    sblimit = len(T.ALLOC_TABLES[table_id])
+    bound = (mode_ext + 1) * 4 if mode == 1 else sblimit
+    bound = min(bound, sblimit)
+    frame_size = 144 * bitrate // sample_rate + padding
+    return Mp2Header(version, 2, crc, bitrate, sample_rate, padding, mode,
+                     mode_ext, nch, frame_size, table_id, sblimit, bound)
+
+
+class _Bits:
+    """MSB-first reader over one frame via a single big int (fast enough for
+    the ~5000-bit Layer II frames; banks go through the batched path)."""
+
+    __slots__ = ("v", "n", "p")
+
+    def __init__(self, buf: bytes) -> None:
+        self.v = int.from_bytes(buf, "big")
+        self.n = len(buf) * 8
+        self.p = 0
+
+    def get(self, count: int) -> int:
+        p = self.p + count
+        if p > self.n:
+            raise ValueError("Layer II frame truncated mid-field.")
+        self.p = p
+        return (self.v >> (self.n - p)) & ((1 << count) - 1)
+
+
+def _read_frame(frame: bytes, hdr: Mp2Header,
+                codes: np.ndarray, levels: np.ndarray,
+                sfidx: np.ndarray) -> None:
+    """Unpack alloc/scfsi/scalefactors/samples of one frame into row arrays.
+
+    codes [C, 36, 32] uint16, levels [C, 32] int32, sfidx [C, 3, 32] uint8.
+    """
+    bs = _Bits(frame)
+    bs.get(32)
+    if hdr.crc:
+        bs.get(16)
+    table = T.ALLOC_TABLES[hdr.table_id]
+    sblimit, bound, nch = hdr.sblimit, hdr.bound, hdr.nch
+
+    alloc = np.zeros((nch, sblimit), dtype=np.int32)
+    for sb in range(sblimit):
+        classes = table[sb]
+        nbal = (len(classes) - 1).bit_length()
+        if sb < bound:
+            for ch in range(nch):
+                alloc[ch, sb] = classes[bs.get(nbal)]
+        else:
+            alloc[:, sb] = classes[bs.get(nbal)]
+
+    scfsi = np.zeros((nch, sblimit), dtype=np.int32)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                scfsi[ch, sb] = bs.get(2)
+
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch, sb]:
+                continue
+            s = scfsi[ch, sb]
+            if s == 0:
+                a, b, c = bs.get(6), bs.get(6), bs.get(6)
+            elif s == 1:
+                a = b = bs.get(6)
+                c = bs.get(6)
+            elif s == 2:
+                a = b = c = bs.get(6)
+            else:
+                a = bs.get(6)
+                b = c = bs.get(6)
+            sfidx[ch, :, sb] = a, b, c
+
+    levels[:, :sblimit] = alloc
+    get = bs.get
+    for gr in range(GRANULES):
+        row = gr * 3
+        for sb in range(sblimit):
+            shared = sb >= bound
+            for ch in range(1 if shared else nch):
+                n = int(alloc[ch, sb])
+                if not n:
+                    continue
+                gb = T.GROUP_BITS.get(n)
+                if gb is not None:
+                    c = get(gb)
+                    v0 = c % n
+                    c //= n
+                    v1 = c % n
+                    v2 = c // n
+                else:
+                    nb = T.code_bits(n)
+                    v0, v1, v2 = get(nb), get(nb), get(nb)
+                if shared:
+                    codes[:, row, sb] = v0
+                    codes[:, row + 1, sb] = v1
+                    codes[:, row + 2, sb] = v2
+                else:
+                    codes[ch, row, sb] = v0
+                    codes[ch, row + 1, sb] = v1
+                    codes[ch, row + 2, sb] = v2
+
+
+def unpack(data: bytes, offset: int = 0,
+           max_frames: Optional[int] = None) -> Mp2Stream:
+    """Unpack consecutive Layer II frames starting at ``offset`` into SoA
+    tensors.  Stops at end of data, a sync loss, or a config change."""
+    hdr0 = parse_header(data, offset)
+    frames: List[bytes] = []
+    pos = offset
+    while pos + 4 <= len(data):
+        try:
+            hdr = parse_header(data, pos)
+        except ValueError:
+            break
+        if (hdr.version, hdr.sample_rate, hdr.mode, hdr.table_id) != \
+                (hdr0.version, hdr0.sample_rate, hdr0.mode, hdr0.table_id):
+            break
+        if pos + hdr.frame_size > len(data):
+            break
+        frames.append(data[pos:pos + hdr.frame_size])
+        pos += hdr.frame_size
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("No complete Layer II frame found.")
+
+    F, C = len(frames), hdr0.nch
+    codes = np.zeros((F, C, 36, 32), dtype=np.uint16)
+    levels = np.zeros((F, C, 32), dtype=np.int32)
+    sfidx = np.zeros((F, C, 3, 32), dtype=np.uint8)
+    for i, frame in enumerate(frames):
+        hdr = parse_header(frame)
+        _read_frame(frame, hdr, codes[i], levels[i], sfidx[i])
+    return Mp2Stream(hdr0, codes, levels, sfidx, F)
+
+
+# --- encoder side ------------------------------------------------------------
+
+def header_word(version: int, bitrate_idx: int, sr_idx: int, padding: int,
+                mode: int, mode_ext: int = 0) -> int:
+    return ((0x7FF << 21) | (version << 19) | (2 << 17) | (1 << 16)
+            | (bitrate_idx << 12) | (sr_idx << 10) | (padding << 9)
+            | (mode << 6) | (mode_ext << 4))
+
+
+def pack_frame(hdr: Mp2Header, bitrate_idx: int, sr_idx: int,
+               alloc_idx: np.ndarray, scfsi: np.ndarray,
+               sfidx: np.ndarray, codes: np.ndarray) -> bytes:
+    """Pack one Layer II frame (no CRC).  alloc_idx [C, sblimit] are table
+    indices (not levels); scfsi [C, sblimit]; sfidx [C, 3, sblimit];
+    codes [C, 36, sblimit] quantised sample codes."""
+    table = T.ALLOC_TABLES[hdr.table_id]
+    sblimit, bound, nch = hdr.sblimit, hdr.bound, hdr.nch
+    bw = BitWriter(hdr.frame_size)
+    bw.write(header_word(hdr.version, bitrate_idx, sr_idx, hdr.padding,
+                         hdr.mode, hdr.mode_ext), 32)
+
+    for sb in range(sblimit):
+        nbal = (len(table[sb]) - 1).bit_length()
+        for ch in range(nch if sb < bound else 1):
+            bw.write(int(alloc_idx[ch, sb]), nbal)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc_idx[ch, sb]:
+                bw.write(int(scfsi[ch, sb]), 2)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc_idx[ch, sb]:
+                continue
+            s = int(scfsi[ch, sb])
+            a, b, c = (int(v) for v in sfidx[ch, :, sb])
+            if s == 0:
+                bw.write(a, 6), bw.write(b, 6), bw.write(c, 6)
+            elif s == 1:
+                bw.write(a, 6), bw.write(c, 6)
+            elif s == 2:
+                bw.write(a, 6)
+            else:
+                bw.write(a, 6), bw.write(b, 6)
+
+    for gr in range(GRANULES):
+        row = gr * 3
+        for sb in range(sblimit):
+            for ch in range(nch if sb < bound else 1):
+                n = table[sb][int(alloc_idx[ch, sb])]
+                if not n:
+                    continue
+                v0 = int(codes[ch, row, sb])
+                v1 = int(codes[ch, row + 1, sb])
+                v2 = int(codes[ch, row + 2, sb])
+                gb = T.GROUP_BITS.get(n)
+                if gb is not None:
+                    bw.write(v0 + n * (v1 + n * v2), gb)
+                else:
+                    nb = T.code_bits(n)
+                    bw.write(v0, nb), bw.write(v1, nb), bw.write(v2, nb)
+    return bw.getvalue()

@@ -1,0 +1,152 @@
+"""MPEG Layer II device kernels (JAX) + numpy references (for the AHX codec).
+
+TPU-first formulation: the ISO synthesis filterbank (matrixing + window
+overlap) collapses into ONE matmul per stream — for each output step t,
+pcm[t*32:(t+1)*32] = W @ concat(S_t, S_{t-1}, ..., S_{t-15}) with a constant
+W[32, 512] that folds the cosine matrixing and the 512-tap window together
+(a 16-tap FIR of 32x32 matrices).  Stacking the shifted subband tensors gives
+a single [C*T, 512] x [512, 32] MXU matmul; there is no serial state at all.
+The analysis filterbank (encoder) is the same shape in reverse.
+
+Dequantisation is closed-form elementwise: value = (2c + 1 - n) / n * sf.
+
+Numpy (float64) references double as the no-JAX fallback and the parity
+oracle for the float32 device path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from . import mp2_tables as T
+
+_PART_OF_ROW = np.arange(36) // 12      # sample row -> scalefactor part
+
+
+def _w512(dtype) -> np.ndarray:
+    """W[512, 32]: block k rows are G[k].T (pcm = window_stack @ W)."""
+    G = T.synthesis_matrices(np.float64)          # [16, 32, 32]
+    return np.transpose(G, (0, 2, 1)).reshape(512, 32).astype(dtype)
+
+
+def dequantize_np(codes: np.ndarray, levels: np.ndarray,
+                  sfidx: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """[F, C, 36, 32] codes -> subband samples (silent bands = 0)."""
+    sf_table = T.scalefactors(np.float64)
+    n = levels[:, :, None, :].astype(np.float64)            # [F, C, 1, 32]
+    sf = sf_table[sfidx][:, :, _PART_OF_ROW, :]             # [F, C, 36, 32]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = (2.0 * codes + 1.0 - n) / n * sf
+    return np.where(n > 0, val, 0.0).astype(dtype)
+
+
+def synthesize_np(subband: np.ndarray) -> np.ndarray:
+    """[..., T, 32] subband samples -> [..., T*32] PCM in +-1 scale."""
+    sb = np.asarray(subband, dtype=np.float64)
+    lead = sb.shape[:-2]
+    Tn = sb.shape[-2]
+    pad = np.concatenate(
+        [np.zeros(lead + (15, 32)), sb], axis=-2)
+    stack = np.concatenate(
+        [pad[..., 15 - k:15 - k + Tn, :] for k in range(16)], axis=-1)
+    out = stack @ _w512(np.float64)
+    return out.reshape(lead + (Tn * 32,))
+
+
+def analyze_np(pcm: np.ndarray) -> np.ndarray:
+    """[..., N] PCM (+-1 scale, N % 32 == 0) -> [..., N/32, 32] subbands.
+
+    ISO analysis: X[0] is the NEWEST sample (window reversed), Z = C_win * X,
+    Y[q] = sum_r Z[q + 64r], S = M @ Y.  481-sample total codec delay.
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    lead = x.shape[:-1]
+    N = x.shape[-1]
+    Tn = N // 32
+    xp = np.concatenate([np.zeros(lead + (480,)), x], axis=-1)
+    idx = (np.arange(Tn)[:, None] * 32 + 511 - np.arange(512)[None, :]
+           - 480)                                   # newest-first window
+    frames = xp[..., idx + 480]                     # [..., T, 512]
+    Z = frames * T.analysis_window(np.float64)
+    Y = Z.reshape(lead + (Tn, 8, 64)).sum(axis=-2)
+    return Y @ T.analysis_matrix(np.float64).T
+
+
+def pcm16(x: np.ndarray) -> np.ndarray:
+    """+-1-scale float -> int16 (round-half-away, clipped)."""
+    y = np.asarray(x, dtype=np.float64) * 32768.0
+    return np.clip(np.floor(y + 0.5), -32768, 32767).astype(np.int16)
+
+
+# --- JAX device path ---------------------------------------------------------
+
+def _jax():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w512):
+    _, jnp = _jax()
+    n = levels[:, :, None, :].astype(jnp.float32)
+    sf = sf_table[sfidx][:, :, part_of_row, :]
+    val = (2.0 * codes.astype(jnp.float32) + 1.0 - n) / jnp.where(n > 0, n, 1.0)
+    sb = jnp.where(n > 0, val * sf, 0.0)                   # [F, C, 36, 32]
+    F, C = sb.shape[0], sb.shape[1]
+    sb = jnp.transpose(sb, (1, 0, 2, 3)).reshape(C, F * 36, 32)
+    Tn = F * 36
+    pad = jnp.concatenate([jnp.zeros((C, 15, 32), jnp.float32), sb], axis=1)
+    stack = jnp.concatenate(
+        [pad[:, 15 - k:15 - k + Tn, :] for k in range(16)], axis=-1)
+    out = stack @ w512                                     # [C, T, 32]
+    pcm = out.reshape(C, Tn * 32) * 32768.0
+    return jnp.clip(jnp.floor(pcm + 0.5), -32768, 32767).astype(jnp.int16)
+
+
+_decode_jit = None
+
+
+def decode_transform_device(codes: np.ndarray, levels: np.ndarray,
+                            sfidx: np.ndarray) -> np.ndarray:
+    """Full device decode: dequantise + one-matmul synthesis -> int16 [C, N].
+
+    float32 on device; differs from the float64 numpy reference by at most
+    1 LSB after int16 rounding (tests measure it).
+    """
+    global _decode_jit
+    jax, jnp = _jax()
+    if _decode_jit is None:
+        sf_table = jnp.asarray(T.scalefactors(np.float32))
+        part = jnp.asarray(_PART_OF_ROW)
+        w512 = jnp.asarray(_w512(np.float32))
+        _decode_jit = jax.jit(partial(_decode_jax_impl, sf_table=sf_table,
+                                      part_of_row=part, w512=w512))
+    return np.asarray(_decode_jit(codes, levels.astype(np.int32), sfidx))
+
+
+def _analyze_jax_impl(x, c_win, m_t):
+    _, jnp = _jax()
+    C, N = x.shape
+    Tn = N // 32
+    xp = jnp.concatenate([jnp.zeros((C, 480), jnp.float32), x], axis=-1)
+    idx = (jnp.arange(Tn)[:, None] * 32 + 511 - jnp.arange(512)[None, :])
+    frames = xp[:, idx]                                    # [C, T, 512]
+    Z = frames * c_win
+    Y = Z.reshape(C, Tn, 8, 64).sum(axis=2)
+    return Y @ m_t
+
+
+_analyze_jit = None
+
+
+def analyze_device(pcm: np.ndarray) -> np.ndarray:
+    """[C, N] +-1-scale float32 -> [C, N/32, 32] subband samples (device)."""
+    global _analyze_jit
+    jax, jnp = _jax()
+    if _analyze_jit is None:
+        c_win = jnp.asarray(T.analysis_window(np.float32))
+        m_t = jnp.asarray(T.analysis_matrix(np.float32).T)
+        _analyze_jit = jax.jit(partial(_analyze_jax_impl, c_win=c_win,
+                                       m_t=m_t))
+    return np.asarray(_analyze_jit(np.asarray(pcm, dtype=np.float32)))
