@@ -31,7 +31,7 @@ def _sniff(data: bytes) -> str:
     if data[:4] == b"HCA\x00" or bytes(b & 0x7F for b in data[:4]) == b"HCA\x00":
         return "hca"
     if data[:1] == b"\x80":
-        return "adx"
+        return "ahx" if len(data) > 4 and data[4] in (0x10, 0x11) else "adx"
     if data[:4] == b"RIFF":
         return "wav"
     if data[:4] == b"DKIF":
@@ -48,8 +48,11 @@ def cmd_decode(args) -> None:
         wav = adx.decode(data)
     elif kind == "hca":
         wav = hca.decode(data, key=args.key, subkey=args.subkey)
+    elif kind == "ahx":
+        from .models.ahx import AHX
+        wav = AHX.decode(data)
     else:
-        raise SystemExit(f"decode expects ADX or HCA input, got {kind}")
+        raise SystemExit(f"decode expects ADX/AHX/HCA input, got {kind}")
     out = args.output or os.path.splitext(args.input)[0] + ".wav"
     open(out, "wb").write(wav)
     print(out)
@@ -66,6 +69,10 @@ def cmd_encode(args) -> None:
         blob = adx.encode(data, bit_depth=args.bitdepth,
                           encoding_mode=args.mode)
         ext = ".adx"
+    elif args.format == "ahx":
+        from .models.ahx import AHX
+        blob = AHX.encode(data, bitrate_kbps=args.bitrate)
+        ext = ".ahx"
     else:
         blob = hca_encode_host.encode(data, quality=args.quality)
         if args.key:
@@ -162,6 +169,9 @@ def cmd_info(args) -> None:
         print(json.dumps({k: getattr(h, k) for k in (
             "version", "encoding_mode", "block_size", "bit_depth", "channels",
             "sample_rate", "sample_count", "looping")}, default=str, indent=2))
+    elif kind == "ahx":
+        from .models.ahx import AHX
+        print(json.dumps(AHX.info(data), default=str, indent=2))
     elif kind == "ivf":
         from .containers.ivf import IVF
         print(json.dumps(IVF(data).info(), default=str, indent=2))
@@ -186,13 +196,15 @@ def main(argv=None) -> None:
             p.add_argument("--key", type=_int0, default=0)
             p.add_argument("--subkey", type=_int0, default=0)
 
-    p = sub.add_parser("decode", help="ADX/HCA -> WAV")
+    p = sub.add_parser("decode", help="ADX/AHX/HCA -> WAV")
     common(p)
     p.set_defaults(fn=cmd_decode)
 
-    p = sub.add_parser("encode", help="WAV -> ADX/HCA")
+    p = sub.add_parser("encode", help="WAV -> ADX/AHX/HCA")
     common(p)
-    p.add_argument("--format", choices=("adx", "hca"), default="hca")
+    p.add_argument("--format", choices=("adx", "ahx", "hca"), default="hca")
+    p.add_argument("--bitrate", type=int, default=None,
+                   help="AHX/MP2 bitrate in kbps (default 80)")
     p.add_argument("--quality", type=int, default=1,
                    help="HCA quality 0 (highest) .. 4")
     p.add_argument("--bitdepth", type=int, default=4)

@@ -50,3 +50,25 @@ def test_cli_encode_decode_info_findkey(tmp_path):
     out = _run("find-key", "enc.hca", "--candidates", "cands.txt",
                cwd=tmp_path)
     assert "0x00000ABCDEF12345" in out.splitlines()[0]
+
+
+def test_cli_ahx_roundtrip(tmp_path):
+    sr = 22050
+    t = np.arange(sr) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * 9000).astype(np.int16)
+    (tmp_path / "m.wav").write_bytes(write_wav(pcm, 1, sr))
+
+    out = _run("encode", "m.wav", "--format", "ahx", "--bitrate", "96",
+               cwd=tmp_path)
+    assert "m.ahx" in out
+    blob = (tmp_path / "m.ahx").read_bytes()
+    assert blob[:2] == b"\x80\x00" and blob[4] == 0x11
+
+    out = _run("info", "m.ahx", cwd=tmp_path)
+    assert '"bitrate": 96000' in out and '"sample_rate": 22050' in out
+
+    out = _run("decode", "m.ahx", "-o", "m_out.wav", cwd=tmp_path)
+    dec = (tmp_path / "m_out.wav").read_bytes()
+    assert dec[:4] == b"RIFF"
+    got = np.frombuffer(dec[0x2C:], dtype="<i2")
+    assert len(got) == len(pcm)
