@@ -146,60 +146,72 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     sf_bits = np.choose(scfsi, [18, 12, 6, 12])               # per (ch,sb)
     need_db = 20.0 * np.log10(np.maximum(peaks.max(axis=2), 1e-9))  # [C,F,32]
 
-    # greedy allocation per frame
+    # CBR padding-slot accumulator (per-frame sizes fixed up front)
     slots_num = 144 * bitrate_kbps * 1000
     acc = 0
-    out = bytearray()
+    pads = np.zeros(F, dtype=np.int32)
     for f in range(F):
-        pad = 0
         acc += slots_num % sample_rate
         if acc >= sample_rate:
             acc -= sample_rate
-            pad = 1
-        frame_size = slots_num // sample_rate + pad
-        budget = frame_size * 8 - 32 - nbal_bits
-        alloc = np.zeros((C, sblimit), dtype=np.int32)
-        spent = 0
-        # per-(ch,sb) current SNR and next-step cost
-        while True:
-            best, best_gain = None, -1e18
-            for ch in range(C):
-                for sb in range(sblimit):
-                    classes, bits, snr = metas[sb]
-                    i = alloc[ch, sb]
-                    if i + 1 >= len(classes):
-                        continue
-                    cost = bits[i + 1] - bits[i]
-                    if i == 0:
-                        cost += 2 + int(sf_bits[ch, f, sb])
-                    if spent + cost > budget:
-                        continue
-                    gain = need_db[ch, f, sb] - snr[i]
-                    if gain > best_gain:
-                        best_gain, best = gain, (ch, sb, cost)
-            if best is None or best_gain < -60.0:
-                break
-            ch, sb, cost = best
-            alloc[ch, sb] += 1
-            spent += cost
+            pads[f] = 1
+    frame_sizes = slots_num // sample_rate + pads
+    budgets = frame_sizes * 8 - 32 - nbal_bits
 
-        # quantise
-        codes = np.zeros((C, 36, sblimit), dtype=np.uint16)
-        for ch in range(C):
-            for sb in range(sblimit):
-                n = metas[sb][0][alloc[ch, sb]]
-                if not n:
-                    continue
-                s = S[ch, f, :, :, sb].reshape(36)
-                sf = sf_val[ch, f, np.arange(36) // 12, sb]
-                c = np.floor(((s / sf) * n + n - 1) / 2 + 0.5)
-                codes[ch, :, sb] = np.clip(c, 0, n - 1).astype(np.uint16)
+    # greedy max-(SMR - SNR) allocation, every frame advanced in lockstep
+    # (frames are independent; each picks its own argmax sequence)
+    maxc = max(len(m[0]) for m in metas)
+    bits_tbl = np.zeros((sblimit, maxc + 1), dtype=np.int64)
+    snr_tbl = np.full((sblimit, maxc), np.inf)
+    ncls = np.zeros(sblimit, dtype=np.int64)
+    for sb, (classes, bits, snr) in enumerate(metas):
+        k = len(classes)
+        ncls[sb] = k
+        bits_tbl[sb, :k] = bits
+        bits_tbl[sb, k:] = bits[-1]
+        snr_tbl[sb, :k] = snr
+    alloc = np.zeros((F, C, sblimit), dtype=np.int64)
+    spent = np.zeros(F, dtype=np.int64)
+    sb_ix = np.arange(sblimit)
+    first_cost = 2 + sf_bits.transpose(1, 0, 2)[:, :, :sblimit]  # [F,C,SB]
+    need = need_db.transpose(1, 0, 2)[:, :, :sblimit]
+    active = np.ones(F, dtype=bool)
+    while active.any():
+        cost = (bits_tbl[sb_ix, alloc + 1] - bits_tbl[sb_ix, alloc]
+                + np.where(alloc == 0, first_cost, 0))
+        gain = need - snr_tbl[sb_ix, np.minimum(alloc, ncls - 1)]
+        ok = ((alloc + 1 < ncls) & (gain > -60.0)
+              & (spent[:, None, None] + cost <= budgets[:, None, None]))
+        flat = np.where(ok, gain, -np.inf).reshape(F, -1)
+        best = flat.argmax(axis=1)
+        active = np.isfinite(flat[np.arange(F), best])
+        if not active.any():
+            break
+        fsel = np.nonzero(active)[0]
+        ch_b, sb_b = np.unravel_index(best[fsel], (C, sblimit))
+        spent[fsel] += cost[fsel, ch_b, sb_b]
+        alloc[fsel, ch_b, sb_b] += 1
 
-        fhdr = hdr._replace(padding=pad, frame_size=frame_size)
+    # quantise: codes = clip(floor(((s/sf)*n + n - 1)/2 + .5), 0, n-1)
+    levels_tbl = np.zeros((sblimit, maxc), dtype=np.int64)
+    for sb, (classes, _, _) in enumerate(metas):
+        levels_tbl[sb, :len(classes)] = classes
+    n_lv = levels_tbl[sb_ix, alloc].transpose(1, 0, 2)     # [C,F,SB]
+    nf = n_lv[:, :, None, None, :].astype(np.float64)      # [C,F,1,1,SB]
+    # scalefactor part = granule // 4 (granule axis, not the 3-sample axis)
+    sfq = sf_val[:, :, np.arange(12) // 4, :][:, :, :, None, :sblimit]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(((S[:, :, :, :, :sblimit] / sfq) * nf + nf - 1) / 2 + 0.5)
+    codes_all = np.where(nf > 0, np.clip(q, 0, nf - 1), 0)
+    codes_all = codes_all.reshape(C, F, 36, sblimit).astype(np.uint16)
+
+    out = bytearray()
+    for f in range(F):
+        fhdr = hdr._replace(padding=int(pads[f]),
+                            frame_size=int(frame_sizes[f]))
         out += mp2_frame.pack_frame(
-            fhdr, bitrate_idx, sr_idx, alloc, scfsi[:, f, :sblimit],
-            np.transpose(sfidx[:, f, :, :sblimit], (0, 1, 2)),
-            codes)
+            fhdr, bitrate_idx, sr_idx, alloc[f], scfsi[:, f, :sblimit],
+            sfidx[:, f, :, :sblimit], codes_all[:, f])
     return bytes(out)
 
 
