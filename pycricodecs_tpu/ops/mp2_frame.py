@@ -104,13 +104,12 @@ class _Bits:
         return (self.v >> (self.n - p)) & ((1 << count) - 1)
 
 
-def _read_frame(frame: bytes, hdr: Mp2Header,
-                codes: np.ndarray, levels: np.ndarray,
-                sfidx: np.ndarray) -> None:
-    """Unpack alloc/scfsi/scalefactors/samples of one frame into row arrays.
-
-    codes [C, 36, 32] uint16, levels [C, 32] int32, sfidx [C, 3, 32] uint8.
-    """
+def _read_side_info(frame: bytes, hdr: Mp2Header,
+                    levels: np.ndarray, sfidx: np.ndarray
+                    ) -> Tuple[np.ndarray, int]:
+    """Serial part of one frame: alloc/scfsi/scalefactors (data-dependent
+    layout).  Fills levels [C, 32] / sfidx [C, 3, 32]; returns (alloc levels
+    [C, sblimit], bit position where the sample section starts)."""
     bs = _Bits(frame)
     bs.get(32)
     if hdr.crc:
@@ -152,41 +151,46 @@ def _read_frame(frame: bytes, hdr: Mp2Header,
             sfidx[ch, :, sb] = a, b, c
 
     levels[:, :sblimit] = alloc
-    get = bs.get
-    for gr in range(GRANULES):
-        row = gr * 3
-        for sb in range(sblimit):
-            shared = sb >= bound
-            for ch in range(1 if shared else nch):
-                n = int(alloc[ch, sb])
-                if not n:
-                    continue
-                gb = T.GROUP_BITS.get(n)
-                if gb is not None:
-                    c = get(gb)
-                    v0 = c % n
-                    c //= n
-                    v1 = c % n
-                    v2 = c // n
-                else:
-                    nb = T.code_bits(n)
-                    v0, v1, v2 = get(nb), get(nb), get(nb)
-                if shared:
-                    codes[:, row, sb] = v0
-                    codes[:, row + 1, sb] = v1
-                    codes[:, row + 2, sb] = v2
-                else:
-                    codes[ch, row, sb] = v0
-                    codes[ch, row + 1, sb] = v1
-                    codes[ch, row + 2, sb] = v2
+    return alloc, bs.p
+
+
+def _frame_field_layout(alloc: np.ndarray, hdr: Mp2Header) -> np.ndarray:
+    """Sample-field descriptors for ONE granule of one frame's allocation.
+
+    Returns int64 [nfields, 5]: (width, ch, sb, levels, sample).  ch == -1
+    marks a field shared by both channels (joint stereo above the bound).
+    Grouped allocations are one field carrying samples 0-2 (sample == -1);
+    ungrouped ones are three consecutive fields with sample 0/1/2.  All 12
+    granules repeat this layout back to back.
+    """
+    rows = []
+    for sb in range(hdr.sblimit):
+        shared = sb >= hdr.bound
+        for ch in range(1 if shared else hdr.nch):
+            n = int(alloc[ch, sb])
+            if not n:
+                continue
+            dest = -1 if shared else ch
+            gb = T.GROUP_BITS.get(n)
+            if gb is not None:
+                rows.append((gb, dest, sb, n, -1))
+            else:
+                nb = T.code_bits(n)
+                rows.extend((nb, dest, sb, n, k) for k in range(3))
+    return np.array(rows, dtype=np.int64).reshape(-1, 5)
 
 
 def unpack(data: bytes, offset: int = 0,
            max_frames: Optional[int] = None) -> Mp2Stream:
     """Unpack consecutive Layer II frames starting at ``offset`` into SoA
-    tensors.  Stops at end of data, a sync loss, or a config change."""
+    tensors.  Stops at end of data, a sync loss, or a config change.
+
+    The data-dependent side info (alloc/scfsi/scalefactors) is read serially
+    per frame; the sample sections — fixed-layout once alloc is known — are
+    extracted for ALL frames at once with width-bucketed vectorised bit
+    gathers, then ungrouped and scattered into [F, C, 36, 32]."""
     hdr0 = parse_header(data, offset)
-    frames: List[bytes] = []
+    frames = []                                  # (abs byte offset, frame)
     pos = offset
     while pos + 4 <= len(data):
         try:
@@ -198,7 +202,7 @@ def unpack(data: bytes, offset: int = 0,
             break
         if pos + hdr.frame_size > len(data):
             break
-        frames.append(data[pos:pos + hdr.frame_size])
+        frames.append((pos, data[pos:pos + hdr.frame_size]))
         pos += hdr.frame_size
         if max_frames is not None and len(frames) >= max_frames:
             break
@@ -209,9 +213,56 @@ def unpack(data: bytes, offset: int = 0,
     codes = np.zeros((F, C, 36, 32), dtype=np.uint16)
     levels = np.zeros((F, C, 32), dtype=np.int32)
     sfidx = np.zeros((F, C, 3, 32), dtype=np.uint8)
-    for i, frame in enumerate(frames):
+
+    # serial pass: side info + per-frame field layouts
+    per_frame = []                               # (desc [n,5], offs, rows, i)
+    for i, (byte_off, frame) in enumerate(frames):
         hdr = parse_header(frame)
-        _read_frame(frame, hdr, codes[i], levels[i], sfidx[i])
+        alloc, sample_bit = _read_side_info(frame, hdr, levels[i], sfidx[i])
+        desc = _frame_field_layout(alloc, hdr)
+        if not desc.size:
+            continue
+        tiled = np.tile(desc, (GRANULES, 1))     # 12 granules, same layout
+        w = tiled[:, 0]
+        if sample_bit + int(w.sum()) > hdr.frame_size * 8:
+            raise ValueError("Layer II frame truncated mid-field.")
+        offs = byte_off * 8 + sample_bit + np.cumsum(w) - w
+        rows = np.repeat(np.arange(GRANULES, dtype=np.int64) * 3, len(desc))
+        per_frame.append((tiled, offs, rows, i))
+
+    if per_frame:
+        desc = np.concatenate([p[0] for p in per_frame])
+        off = np.concatenate([p[1] for p in per_frame])
+        frow = np.concatenate([p[2] for p in per_frame])
+        ffr = np.concatenate([np.full(len(p[0]), p[3], dtype=np.int64)
+                              for p in per_frame])
+        w, fch, fsb, flv, fsamp = desc.T
+
+        # width-bucketed bit gather over the whole stream at once
+        end = frames[-1][0] + len(frames[-1][1])
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8, count=end))
+        vals = np.zeros(len(w), dtype=np.int64)
+        for width in np.unique(w):
+            sel = np.nonzero(w == width)[0]
+            idx = off[sel, None] + np.arange(width)
+            pw = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+            vals[sel] = bits[idx] @ pw
+
+        # expand grouped fields into their three samples, then scatter
+        g = fsamp < 0
+        u = ~g
+        n = flv[g]
+        c = vals[g]
+        FR = np.concatenate([ffr[u], ffr[g], ffr[g], ffr[g]])
+        CH = np.concatenate([fch[u], fch[g], fch[g], fch[g]])
+        SB = np.concatenate([fsb[u], fsb[g], fsb[g], fsb[g]])
+        ROW = np.concatenate([frow[u] + fsamp[u], frow[g], frow[g] + 1,
+                              frow[g] + 2])
+        V = np.concatenate([vals[u], c % n, (c // n) % n, c // (n * n)])
+        shared = CH < 0
+        for ch in range(C):
+            sel = shared | (CH == ch)
+            codes[FR[sel], ch, ROW[sel], SB[sel]] = V[sel]
     return Mp2Stream(hdr0, codes, levels, sfidx, F)
 
 

@@ -137,3 +137,12 @@ def test_fuzz_hca_crypt():
     def parse(b):
         hcamod.crypt(b, True, hs, 56, 0xCF222F1FE0748978)
     _fuzz(rng, parse, blob)
+
+
+def test_fuzz_ahx_decode():
+    from pycricodecs_tpu.models.ahx import AHX
+
+    rng = np.random.default_rng(11)
+    pcm = make_sine_pcm16(22050, 1, 22050, seed=3)
+    blob = AHX.encode(write_wav(pcm, 1, 22050), bitrate_kbps=96)
+    _fuzz(rng, lambda b: AHX.decode(b, device=False), blob)
