@@ -19,7 +19,8 @@ import numpy as np
 
 from ..models.adx import ADX, parse_adx_header
 from ..models.hca import HCA
-from .chunk import SBTChunkHeader, USMChunckHeaderType, USMChunkHeader, UTFTypeValues, VideoType
+from .chunk import (HCAType, SBTChunkHeader, USMChunckHeaderType,
+                    USMChunkHeader, UTFTypeValues, VideoType)
 from .ivf import IVF
 from .utf import UTF, UTFBuilder
 
@@ -232,7 +233,15 @@ class USM:
             data = data[:-padding]
         return data
 
-    def extract(self, dirname: str = "") -> None:
+    def extract(self, dirname: str = "", decode: bool = False,
+                key: int = 0) -> None:
+        """Write demuxed streams to disk.
+
+        ``decode=True`` additionally converts audio streams (@SFA carrying
+        ADX or HCA, @AHX carrying MPEG Layer II) to ``.wav`` — a capability
+        the reference lacks (its extract always writes raw payloads, and it
+        cannot decode AHX at all).  ``key`` is the HCA keycode.
+        """
         self.stream.seek(0)
         if not self.demuxed:
             self.demux()
@@ -280,9 +289,39 @@ class USM:
             elif tag == USMChunckHeaderType.CUE.value.decode() or not data:
                 point += 1
             else:
-                with open(filenames[point], "wb") as fh:
-                    fh.write(data)
+                name, payload = filenames[point], bytes(data)
+                if decode and tag in (
+                        USMChunckHeaderType.SFA.value.decode(),
+                        USMChunckHeaderType.AHX.value.decode()):
+                    wav = self._decode_audio(payload, key)
+                    if wav is not None:
+                        payload = wav
+                        base = name.rsplit(".", 1)[0] \
+                            if "." in os.path.basename(name) else name
+                        name = base + ".wav"
+                with open(name, "wb") as fh:
+                    fh.write(payload)
                 point += 1
+
+    @staticmethod
+    def _decode_audio(data: bytes, key: int = 0):
+        """Sniff and decode one demuxed audio payload to WAV (None if the
+        payload is not a decodable audio stream)."""
+        from ..models import adx as adxmod
+        from ..models import hca as hcamod
+        from ..models.ahx import AHX
+
+        try:
+            if data[:4] == HCAType.HCA.value or \
+                    bytes(b & 0x7F for b in data[:4]) == HCAType.HCA.value:
+                return hcamod.decode(data, key=key)
+            if data[:2] == b"\x80\x00" and len(data) > 4:
+                if data[4] in (0x10, 0x11):
+                    return AHX.decode(data)
+                return adxmod.decode(data, strict_cri_check=False)
+        except Exception:
+            return None
+        return None
 
     def sbt_to_srt(self, stream: bytearray) -> list:
         """Convert @SBT subtitle chunks to SRT documents (usm.py:324-361)."""

@@ -281,7 +281,7 @@ def _decode_arrays(data: bytes, h: AdxHeader, use_jax) -> np.ndarray:
     return out
 
 
-def decode(data: bytes, use_jax=None) -> bytes:
+def decode(data: bytes, use_jax=None, strict_cri_check: bool = True) -> bytes:
     """ADX -> WAV (PCM16), mirroring CriCodecs.AdxDecode output bytes.
 
     use_jax=None (default) auto-selects: the native C++ lane scan for a
@@ -289,11 +289,13 @@ def decode(data: bytes, use_jax=None) -> bytes:
     when forced with use_jax=True. Banks should use
     parallel.adx_decode_batch, which amortises the scan across lanes.
     All paths are bit-exact with each other and the reference.
+    strict_cri_check=False skips the reference's 7th-signature-byte parity
+    quirk (container code decodes files the reference would reject).
     """
     if use_jax is None:
         use_jax = False
     data = bytes(data)
-    h = parse_adx_header(data)
+    h = parse_adx_header(data, strict_cri_check=strict_cri_check)
     n = h.sample_count
     interleaved = np.zeros(n * h.channels, dtype=np.int16)
     pcm_il = None if use_jax else _decode_blocks_native(data, h)  # [N, C]

