@@ -103,7 +103,8 @@ def cmd_extract(args) -> None:
         AWB(data).extract(decode=args.decode, key=args.key, dirname=out)
     elif kind == "usm":
         usm = USM(args.input, key=args.key if args.key else False)
-        usm.extract(dirname=out, decode=args.decode, key=args.key)
+        usm.extract(dirname=out, decode=args.decode, key=args.key,
+                    subkey=args.subkey)
     else:
         raise SystemExit(f"extract expects CPK/ACB/AWB/USM, got {kind}")
     print(out)

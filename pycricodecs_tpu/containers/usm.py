@@ -234,13 +234,14 @@ class USM:
         return data
 
     def extract(self, dirname: str = "", decode: bool = False,
-                key: int = 0) -> None:
+                key: int = 0, subkey: int = 0) -> None:
         """Write demuxed streams to disk.
 
         ``decode=True`` additionally converts audio streams (@SFA carrying
         ADX or HCA, @AHX carrying MPEG Layer II) to ``.wav`` — a capability
         the reference lacks (its extract always writes raw payloads, and it
-        cannot decode AHX at all).  ``key`` is the HCA keycode.
+        cannot decode AHX at all).  ``key``/``subkey`` are the HCA keycodes.
+        A stream that fails to decode is written raw with a warning.
         """
         self.stream.seek(0)
         if not self.demuxed:
@@ -293,8 +294,13 @@ class USM:
                 if decode and tag in (
                         USMChunckHeaderType.SFA.value.decode(),
                         USMChunckHeaderType.AHX.value.decode()):
-                    wav = self._decode_audio(payload, key)
-                    if wav is not None:
+                    wav = self._decode_audio(payload, key, subkey)
+                    if wav is None:
+                        import warnings
+                        warnings.warn(
+                            f"could not decode audio stream {chunk_name}; "
+                            "wrote the raw payload (wrong key?)")
+                    else:
                         payload = wav
                         base = name.rsplit(".", 1)[0] \
                             if "." in os.path.basename(name) else name
@@ -304,7 +310,7 @@ class USM:
                 point += 1
 
     @staticmethod
-    def _decode_audio(data: bytes, key: int = 0):
+    def _decode_audio(data: bytes, key: int = 0, subkey: int = 0):
         """Sniff and decode one demuxed audio payload to WAV (None if the
         payload is not a decodable audio stream)."""
         from ..models import adx as adxmod
@@ -314,7 +320,7 @@ class USM:
         try:
             if data[:4] == HCAType.HCA.value or \
                     bytes(b & 0x7F for b in data[:4]) == HCAType.HCA.value:
-                return hcamod.decode(data, key=key)
+                return hcamod.decode(data, key=key, subkey=subkey)
             if data[:2] == b"\x80\x00" and len(data) > 4:
                 if data[4] in (0x10, 0x11):
                     return AHX.decode(data)

@@ -29,25 +29,24 @@ from ..utils import wav as wavmod
 
 CRI_STRING = b"(c)CRI"
 AHX_TYPES = (0x10, 0x11)
-_SNR_DB = None  # lazy per-class SNR cache
 
 
-def decode_mp2(data: bytes, offset: int = 0, device: bool = True,
+def decode_mp2(data: bytes, offset: int = 0, device: bool = False,
                max_frames: Optional[int] = None
                ) -> Tuple[np.ndarray, int]:
     """Decode consecutive MPEG Layer II frames -> (int16 [C, N], sample_rate).
 
-    device=True runs dequant + the one-matmul synthesis on the accelerator
-    (float32); device=False uses the float64 numpy reference.
+    device=False (default) uses the vectorised float64 numpy path — the right
+    engine for single files (the jit specialises on the frame count, so a
+    remote-TPU compile would dominate; same lesson as the ADX bank scan, see
+    CLAUDE.md).  device=True runs dequant + the one-matmul synthesis jitted
+    on the accelerator (float32, for batch work); failures then propagate.
     """
     st = mp2_frame.unpack(data, offset, max_frames)
     if device:
-        try:
-            pcm = mp2_kernels.decode_transform_device(st.codes, st.levels,
-                                                      st.sfidx)
-            return pcm, st.header.sample_rate
-        except Exception:
-            pass  # no usable device -> numpy reference below
+        pcm = mp2_kernels.decode_transform_device(st.codes, st.levels,
+                                                  st.sfidx)
+        return pcm, st.header.sample_rate
     sb = mp2_kernels.dequantize_np(st.codes, st.levels, st.sfidx)
     C = st.header.nch
     sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, st.nframes * 36, 32)
@@ -80,7 +79,7 @@ def _class_meta(table_id: int):
 
 def encode_mp2(pcm: np.ndarray, sample_rate: int,
                bitrate_kbps: Optional[int] = None,
-               device: bool = True) -> bytes:
+               device: bool = False) -> bytes:
     """Encode int16 PCM ([N] mono or [C, N]) to MPEG Layer II.
 
     MPEG-2 LSF for 16/22.05/24 kHz, MPEG-1 for 32/44.1/48 kHz.  Stereo input
@@ -123,10 +122,7 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     x = np.zeros((C, F * mp2_frame.SAMPLES_PER_FRAME), dtype=np.float64)
     x[:, :N] = pcm.astype(np.float64) / 32768.0
     if device:
-        try:
-            S = mp2_kernels.analyze_device(x).astype(np.float64)
-        except Exception:
-            S = mp2_kernels.analyze_np(x)
+        S = mp2_kernels.analyze_device(x).astype(np.float64)
     else:
         S = mp2_kernels.analyze_np(x)                  # [C, F*36, 32]
     S = S.reshape(C, F, 12, 3, 32)
@@ -236,16 +232,14 @@ class AHX:
         channels = data[7]
         sample_rate = int.from_bytes(data[8:12], "big")
         total_samples = int.from_bytes(data[12:16], "big")
-        if data_offset >= 6 + len(CRI_STRING) and \
-                data[data_offset - 6:data_offset] != CRI_STRING and \
-                CRI_STRING not in data[:data_offset]:
+        if data_offset >= 12 and CRI_STRING not in data[:data_offset]:
             raise ValueError("CRI copyright string not found in AHX header.")
         return dict(data_offset=data_offset, type=enc_type,
                     channels=channels, sample_rate=sample_rate,
                     total_samples=total_samples)
 
     @staticmethod
-    def decode(data: bytes, device: bool = True) -> bytes:
+    def decode(data: bytes, device: bool = False) -> bytes:
         """AHX -> WAV (PCM16)."""
         if isinstance(data, str):
             with open(data, "rb") as fh:
@@ -260,7 +254,7 @@ class AHX:
 
     @staticmethod
     def encode(data: bytes, bitrate_kbps: Optional[int] = None,
-               AhxVersion: int = 0x11, device: bool = True) -> bytes:
+               AhxVersion: int = 0x11, device: bool = False) -> bytes:
         """WAV -> AHX.  Input must be mono at an MPEG-2 LSF rate
         (16000/22050/24000 Hz); resample upstream if needed."""
         if isinstance(data, str):

@@ -65,9 +65,8 @@ def analyze_np(pcm: np.ndarray) -> np.ndarray:
     N = x.shape[-1]
     Tn = N // 32
     xp = np.concatenate([np.zeros(lead + (480,)), x], axis=-1)
-    idx = (np.arange(Tn)[:, None] * 32 + 511 - np.arange(512)[None, :]
-           - 480)                                   # newest-first window
-    frames = xp[..., idx + 480]                     # [..., T, 512]
+    idx = np.arange(Tn)[:, None] * 32 + 511 - np.arange(512)[None, :]
+    frames = xp[..., idx]                           # [..., T, 512] newest-first
     Z = frames * T.analysis_window(np.float64)
     Y = Z.reshape(lead + (Tn, 8, 64)).sum(axis=-2)
     return Y @ T.analysis_matrix(np.float64).T

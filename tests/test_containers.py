@@ -409,3 +409,20 @@ def test_usm_decode_audio_sniffer():
     assert USM._decode_audio(adx_blob)[:4] == b"RIFF"
     assert USM._decode_audio(b"\x00" * 64) is None        # not audio
     assert USM._decode_audio(b"\x80\x00\xff") is None     # truncated
+
+
+def test_usm_decode_audio_hca_subkey():
+    from pycricodecs_tpu.models import hca as hcamod
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.ops.hca_frame import parse_header as hca_parse
+
+    wav = write_wav(make_sine_pcm16(8192, 2, 48000, seed=15), 2, 48000)
+    plain = hca_encode_host.encode(wav, quality=2)
+    key, subkey = 0xCF222F1FE0748978, 0xBEEF
+    hs = hca_parse(plain).header_size
+    enc = hcamod.crypt(plain, True, hs, 56, key, subkey)
+    wav_out = USM._decode_audio(enc, key=key, subkey=subkey)
+    assert wav_out is not None and wav_out[:4] == b"RIFF"
+    assert wav_out == hcamod.decode(enc, key=key, subkey=subkey)
+    # wrong subkey -> clean None (extract warns and writes raw)
+    assert USM._decode_audio(enc, key=key, subkey=0x1234) is None
