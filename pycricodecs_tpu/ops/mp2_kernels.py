@@ -149,3 +149,26 @@ def analyze_device(pcm: np.ndarray) -> np.ndarray:
         _analyze_jit = jax.jit(partial(_analyze_jax_impl, c_win=c_win,
                                        m_t=m_t))
     return np.asarray(_analyze_jit(np.asarray(pcm, dtype=np.float32)))
+
+
+_decode_batched_jit = None
+
+
+def decode_transform_device_batched(codes: np.ndarray, levels: np.ndarray,
+                                    sfidx: np.ndarray) -> np.ndarray:
+    """Batched device decode: [B, F, C, 36, 32] -> int16 [B, C, F*36*32].
+
+    One compiled program per (B, F, C) bucket; padded frames (levels == 0)
+    dequantise to silence, so callers trim per stream after the fact.
+    """
+    global _decode_batched_jit
+    jax, jnp = _jax()
+    if _decode_batched_jit is None:
+        sf_table = jnp.asarray(T.scalefactors(np.float32))
+        part = jnp.asarray(_PART_OF_ROW)
+        w512 = jnp.asarray(_w512(np.float32))
+        fn = partial(_decode_jax_impl, sf_table=sf_table, part_of_row=part,
+                     w512=w512)
+        _decode_batched_jit = jax.jit(jax.vmap(fn))
+    return np.asarray(_decode_batched_jit(codes, levels.astype(np.int32),
+                                          sfidx))

@@ -594,6 +594,71 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     return scores
 
 
+def ahx_decode_batch(blobs: Sequence[bytes],
+                     device: bool = True) -> List[bytes]:
+    """Decode many AHX (or bare MPEG Layer II) streams -> WAV bytes.
+
+    Streams are unpacked host-side (vectorised bit gathers), grouped by
+    (channels, sample rate, frame-count bucket), and each group runs as ONE
+    batched [B, F, C, 36, 32] device dispatch — the synthesis filterbank is
+    a single MXU matmul per group (ops/mp2_kernels.py).  Unlike ADX's serial
+    ADPCM recurrence, MP2 synthesis is pure matmul work, so the device is
+    the right engine for banks; device=False uses the float64 numpy path.
+    """
+    from ..models import ahx as ahx_model
+    from ..ops import mp2_frame, mp2_kernels
+
+    _ensure_compile_cache()
+    parsed = []                     # (Mp2Stream, total_samples, sample_rate)
+    for blob in blobs:
+        blob = bytes(blob)
+        total = 0
+        offset = 0
+        if blob[:2] == b"\x80\x00" and len(blob) > 4 and \
+                blob[4] in ahx_model.AHX_TYPES:
+            info = ahx_model.AHX.parse_header(blob)
+            offset, total = info["data_offset"], info["total_samples"]
+        st = mp2_frame.unpack(blob, offset)
+        parsed.append((st, total, st.header.sample_rate))
+
+    groups: dict = {}
+    for idx, (st, _total, sr) in enumerate(parsed):
+        bucket = _round_up(st.nframes, 64)
+        groups.setdefault((st.header.nch, sr, bucket), []).append(idx)
+
+    results: List = [None] * len(blobs)
+    for (nch, sr, bucket), members in groups.items():
+        B = len(members)
+        codes = np.zeros((B, bucket, nch, 36, 32), dtype=np.uint16)
+        levels = np.zeros((B, bucket, nch, 32), dtype=np.int32)
+        sfidx = np.zeros((B, bucket, nch, 3, 32), dtype=np.uint8)
+        for row, idx in enumerate(members):
+            st = parsed[idx][0]
+            codes[row, :st.nframes] = st.codes
+            levels[row, :st.nframes] = st.levels
+            sfidx[row, :st.nframes] = st.sfidx
+        if device:
+            pcm = mp2_kernels.decode_transform_device_batched(
+                codes, levels, sfidx)                    # [B, C, T*32]
+        else:
+            sb = mp2_kernels.dequantize_np(
+                codes.reshape(-1, nch, 36, 32),
+                levels.reshape(-1, nch, 32),
+                sfidx.reshape(-1, nch, 3, 32))
+            sb = sb.reshape(B, bucket, nch, 36, 32).transpose(0, 2, 1, 3, 4)
+            sb = sb.reshape(B, nch, bucket * 36, 32)
+            pcm = mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb))
+        for row, idx in enumerate(members):
+            st, total, _sr = parsed[idx]
+            n = st.nframes * mp2_frame.SAMPLES_PER_FRAME
+            if total:
+                n = min(n, total)
+            chunk = pcm[row, :, :n]
+            interleaved = np.ascontiguousarray(chunk.T).reshape(-1)
+            results[idx] = wavmod.write_wav(interleaved, nch, sr)
+    return results
+
+
 def encode_batch(wavs: Sequence[bytes], mesh: Optional[Mesh] = None,
                  **adx_kwargs) -> List[bytes]:
     """Batched ADX encode of WAV inputs (shared jitted kernels per shape)."""

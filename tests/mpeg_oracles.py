@@ -85,3 +85,30 @@ def mpg123_decode(stream: bytes, sample_rate: int, nch: int) -> np.ndarray:
     _mg.mpg123_delete(h)
     x = np.frombuffer(b"".join(chunks), dtype=np.float32)
     return x.reshape(-1, nch).T
+
+
+def twolame_encode_crc(pcm: np.ndarray, sample_rate: int, kbps: int,
+                       mode: str = "mono") -> bytes:
+    """Like twolame_encode but with error protection (CRC16) enabled."""
+    _tl.twolame_init.restype = ct.c_void_p
+    opt = ct.c_void_p(_tl.twolame_init())
+    pcm = np.asarray(pcm, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[None, :]
+    for name, val in [("twolame_set_in_samplerate", sample_rate),
+                      ("twolame_set_out_samplerate", sample_rate),
+                      ("twolame_set_num_channels", pcm.shape[0]),
+                      ("twolame_set_mode", _MODES[mode]),
+                      ("twolame_set_bitrate", kbps),
+                      ("twolame_set_error_protection", 1)]:
+        assert getattr(_tl, name)(opt, val) == 0, name
+    assert _tl.twolame_init_params(opt) == 0
+    n = pcm.shape[1]
+    inter = np.ascontiguousarray(pcm.T)
+    out = ct.create_string_buffer(4 * n + (1 << 16))
+    nb = _tl.twolame_encode_buffer_interleaved(
+        opt, inter.ctypes.data_as(ct.c_void_p), n, out, len(out))
+    extra = ct.create_string_buffer(1 << 16)
+    nb2 = _tl.twolame_encode_flush(opt, extra, len(extra))
+    _tl.twolame_close(ct.byref(opt))
+    return out.raw[:nb] + extra.raw[:max(nb2, 0)]

@@ -165,3 +165,38 @@ def test_mp2_frame_errors():
         mp2_frame.parse_header(b"\xff\xfb\x90\x00")
     with pytest.raises(ValueError):          # truncated frame payload
         mp2_frame.unpack(b"\xff\xf5\xa0\xc4" + b"\xff" * 8)
+
+
+def test_decode_crc_protected_frames():
+    """protection bit 0 -> a 16-bit CRC precedes the side info; skip it."""
+    pcm = _sig(44100, 1)
+    mp2 = mo.twolame_encode_crc(pcm, 44100, 96, "mono")
+    hdr = mp2_frame.parse_header(mp2)
+    assert hdr.crc
+    ref = _pcm16(mo.mpg123_decode(mp2, 44100, 1))
+    mine, _ = ahx.decode_mp2(mp2, device=False)
+    n = min(ref.shape[1], mine.shape[1])
+    d = np.abs(mine[:, :n].astype(int) - ref[:, :n].astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+
+def test_ahx_decode_batch_matches_single():
+    from pycricodecs_tpu import parallel
+
+    sr = 22050
+    blobs = []
+    for i, secs in enumerate((0.5, 1.0, 0.8)):
+        pcm = _sig(sr, 1, seed=20 + i, seconds=secs)[0]
+        blobs.append(AHX.encode(write_wav(pcm, 1, sr), bitrate_kbps=96))
+    blobs.append(mo.twolame_encode(_sig(sr, 1, seed=30), sr, 96, "mono"))
+
+    batched = parallel.ahx_decode_batch(blobs)            # device path
+    batched_np = parallel.ahx_decode_batch(blobs, device=False)
+    for blob, dev, ref_np in zip(blobs, batched, batched_np):
+        single = AHX.decode(blob) if blob[:1] == b"\x80" else None
+        assert dev[:44] == ref_np[:44]
+        a = np.frombuffer(dev[44:], dtype="<i2").astype(int)
+        b = np.frombuffer(ref_np[44:], dtype="<i2").astype(int)
+        assert a.shape == b.shape and np.abs(a - b).max() <= 1
+        if single is not None:                            # exact vs numpy
+            assert ref_np == single
