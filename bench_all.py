@@ -147,10 +147,26 @@ def config7():
             "audio-sec/sec")
 
 
+def config8():
+    """Batched AHX bank decode (capability beyond the reference)."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models.ahx import AHX
+    dur, n = 10.0, 64
+    blob = AHX.encode(_sine_wav(dur, 1, sr=22050, seed=8), bitrate_kbps=96)
+    blobs = [blob] * n
+    parallel.ahx_decode_batch(blobs[:4])   # warm the compile cache
+    t0 = time.perf_counter()
+    out = parallel.ahx_decode_batch(blobs)
+    dt = time.perf_counter() - t0
+    assert len(out) == n
+    return ("ahx_bank_decode_audio_sec_per_sec", n * dur / dt,
+            "audio-sec/sec")
+
+
 def main():
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
-               "5": config5, "6": config6, "7": config7}
+               "5": config5, "6": config6, "7": config7, "8": config8}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",
