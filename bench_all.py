@@ -154,7 +154,14 @@ def config8():
     dur, n = 10.0, 64
     blob = AHX.encode(_sine_wav(dur, 1, sr=22050, seed=8), bitrate_kbps=96)
     blobs = [blob] * n
-    parallel.ahx_decode_batch(blobs[:4])   # warm the compile cache
+    warm = parallel.ahx_decode_batch(blobs[:4])   # warm the compile cache
+    # device-vs-float64 parity guard (the axon plugin and TPU matmul
+    # precision defaults have both produced silently-wrong output before)
+    import numpy as np
+    ref = parallel.ahx_decode_batch(blobs[:1], device=False)[0]
+    d = np.abs(np.frombuffer(warm[0][44:], "<i2").astype(int)
+               - np.frombuffer(ref[44:], "<i2").astype(int))
+    assert d.max() <= 1, f"AHX device decode diverged: {d.max()} LSB"
     t0 = time.perf_counter()
     out = parallel.ahx_decode_batch(blobs)
     dt = time.perf_counter() - t0

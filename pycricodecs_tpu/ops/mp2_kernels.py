@@ -87,6 +87,7 @@ def _jax():
 
 
 def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w512):
+    import jax as _j
     _, jnp = _jax()
     n = levels[:, :, None, :].astype(jnp.float32)
     sf = sf_table[sfidx][:, :, part_of_row, :]
@@ -98,7 +99,11 @@ def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w512):
     pad = jnp.concatenate([jnp.zeros((C, 15, 32), jnp.float32), sb], axis=1)
     stack = jnp.concatenate(
         [pad[:, 15 - k:15 - k + Tn, :] for k in range(16)], axis=-1)
-    out = stack @ w512                                     # [C, T, 32]
+    # full-fp32 matmul: the TPU's default (bf16 multiplicands) costs ~76
+    # int16 LSB of error; HIGHEST keeps the device within 1 LSB of the
+    # float64 reference (tests + real-TPU parity check)
+    out = jnp.matmul(stack, w512,
+                     precision=_j.lax.Precision.HIGHEST)   # [C, T, 32]
     pcm = out.reshape(C, Tn * 32) * 32768.0
     return jnp.clip(jnp.floor(pcm + 0.5), -32768, 32767).astype(jnp.int16)
 
@@ -125,6 +130,7 @@ def decode_transform_device(codes: np.ndarray, levels: np.ndarray,
 
 
 def _analyze_jax_impl(x, c_win, m_t):
+    import jax as _j
     _, jnp = _jax()
     C, N = x.shape
     Tn = N // 32
@@ -133,7 +139,7 @@ def _analyze_jax_impl(x, c_win, m_t):
     frames = xp[:, idx]                                    # [C, T, 512]
     Z = frames * c_win
     Y = Z.reshape(C, Tn, 8, 64).sum(axis=2)
-    return Y @ m_t
+    return jnp.matmul(Y, m_t, precision=_j.lax.Precision.HIGHEST)
 
 
 _analyze_jit = None
