@@ -594,8 +594,8 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     return scores
 
 
-def ahx_decode_batch(blobs: Sequence[bytes],
-                     device: bool = True) -> List[bytes]:
+def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
+                     mesh: Optional[Mesh] = None) -> List[bytes]:
     """Decode many AHX (or bare MPEG Layer II) streams -> WAV bytes.
 
     Streams are unpacked host-side (vectorised bit gathers), grouped by
@@ -604,6 +604,8 @@ def ahx_decode_batch(blobs: Sequence[bytes],
     a single MXU matmul per group (ops/mp2_kernels.py).  Unlike ADX's serial
     ADPCM recurrence, MP2 synthesis is pure matmul work, so the device is
     the right engine for banks; device=False uses the float64 numpy path.
+    With a `mesh`, the stream axis shards over the first mesh axis (the
+    streams are independent, so no collectives are needed at all).
     """
     from ..models import ahx as ahx_model
     from ..ops import mp2_frame, mp2_kernels
@@ -629,17 +631,22 @@ def ahx_decode_batch(blobs: Sequence[bytes],
     results: List = [None] * len(blobs)
     for (nch, sr, bucket), members in groups.items():
         B = len(members)
-        codes = np.zeros((B, bucket, nch, 36, 32), dtype=np.uint16)
-        levels = np.zeros((B, bucket, nch, 32), dtype=np.int32)
-        sfidx = np.zeros((B, bucket, nch, 3, 32), dtype=np.uint8)
+        Bp = B if mesh is None else _round_up(B, mesh.devices.shape[0])
+        codes = np.zeros((Bp, bucket, nch, 36, 32), dtype=np.uint16)
+        levels = np.zeros((Bp, bucket, nch, 32), dtype=np.int32)
+        sfidx = np.zeros((Bp, bucket, nch, 3, 32), dtype=np.uint8)
         for row, idx in enumerate(members):
             st = parsed[idx][0]
             codes[row, :st.nframes] = st.codes
             levels[row, :st.nframes] = st.levels
             sfidx[row, :st.nframes] = st.sfidx
         if device:
+            args = (codes, levels, sfidx)
+            if mesh is not None:
+                spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+                args = tuple(jax.device_put(a, spec) for a in args)
             pcm = mp2_kernels.decode_transform_device_batched(
-                codes, levels, sfidx)                    # [B, C, T*32]
+                *args)                                   # [Bp, C, T*32]
         else:
             sb = mp2_kernels.dequantize_np(
                 codes.reshape(-1, nch, 36, 32),

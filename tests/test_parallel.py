@@ -170,3 +170,24 @@ def test_find_key_batched_matches_score_key(oracle):
     for i in (0, 5, 17, 33):
         assert scores[i] == hca_frame.score_key(enc, candidates[i],
                                                 max_frames=8), i
+
+
+def test_ahx_decode_batch_sharded():
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.utils.wav import write_wav
+    from tests.conftest import make_sine_pcm16
+
+    mesh8 = parallel.make_mesh((8, 1))
+
+    blobs = [AHX.encode(write_wav(
+        make_sine_pcm16(22050 + 1111 * i, 1, 22050, seed=40 + i), 1, 22050),
+        bitrate_kbps=96) for i in range(5)]   # odd count exercises padding
+    sharded = parallel.ahx_decode_batch(blobs, mesh=mesh8)
+    plain = parallel.ahx_decode_batch(blobs, device=False)
+    import numpy as np
+    for a, b in zip(sharded, plain):
+        assert a[:44] == b[:44]
+        x = np.frombuffer(a[44:], "<i2").astype(int)
+        y = np.frombuffer(b[44:], "<i2").astype(int)
+        assert x.shape == y.shape and np.abs(x - y).max() <= 1
