@@ -153,7 +153,10 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
     spectra = gain[..., None, :] * qc.astype(jnp.float32)  # [B, F, C, 8, 128]
 
     if apply_noise:
-        gathered = jnp.take_along_axis(spectra, noise_src, axis=-1)
+        # noise_src holds band indices 0..127; callers may ship it as uint8
+        # to quarter the H2D bytes (the tunnel link is the system bottleneck)
+        gathered = jnp.take_along_axis(spectra, noise_src.astype(jnp.int32),
+                                       axis=-1)
         spectra = jnp.where(noise_mask, conv[noise_sci] * gathered, spectra)
 
     if apply_hfr:

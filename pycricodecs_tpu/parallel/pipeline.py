@@ -316,6 +316,11 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
                       # sharded runs keep the XLA path
                       use_pallas=(jax.devices()[0].platform == "tpu"
                                   and mesh is None))
+        if need_noise:
+            # ship band indices as uint8: 1/4 the H2D bytes of the int32 the
+            # unpacker writes (H2D competes with the D2H-bound PCM fetch for
+            # the single-core host and the tunnel link)
+            noise_src = noise_src.astype(np.uint8)
         args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask) + hfr_args
         if mesh is not None:
             batch_axis = mesh.axis_names[0]
