@@ -20,23 +20,11 @@ def _int0(x: str) -> int:
 
 
 def _sniff(data: bytes) -> str:
-    if data[:4] == b"CPK ":
-        return "cpk"
-    if data[:4] == b"AFS2":
-        return "awb"
-    if data[:4] == b"CRID":
-        return "usm"
-    if data[:4] in (b"@UTF", b"\x1f\x9e\xf3\xf5"):
-        return "acb"
-    if data[:4] == b"HCA\x00" or bytes(b & 0x7F for b in data[:4]) == b"HCA\x00":
-        return "hca"
-    if data[:1] == b"\x80":
-        return "ahx" if len(data) > 4 and data[4] in (0x10, 0x11) else "adx"
-    if data[:4] == b"RIFF":
-        return "wav"
-    if data[:4] == b"DKIF":
-        return "ivf"
-    raise SystemExit("unrecognised input format")
+    from .utils.sniff import sniff
+    try:
+        return sniff(data)
+    except ValueError as exc:
+        raise SystemExit(str(exc))
 
 
 def cmd_decode(args) -> None:

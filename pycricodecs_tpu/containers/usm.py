@@ -19,7 +19,7 @@ import numpy as np
 
 from ..models.adx import ADX, parse_adx_header
 from ..models.hca import HCA
-from .chunk import (HCAType, SBTChunkHeader, USMChunckHeaderType,
+from .chunk import (SBTChunkHeader, USMChunckHeaderType,
                     USMChunkHeader, UTFTypeValues, VideoType)
 from .ivf import IVF
 from .utf import UTF, UTFBuilder
@@ -271,6 +271,7 @@ class USM:
                     filenames.append(f"{filename}_{point}")
                 point += 1
         point = 0
+        written: set = set()
         for chunk_name, data in self.output.items():
             tag = chunk_name.rsplit("_", 1)[0]
             if point < len(filenames) and (dirname or os.sep in filenames[point]
@@ -290,7 +291,14 @@ class USM:
             elif tag == USMChunckHeaderType.CUE.value.decode() or not data:
                 point += 1
             else:
-                name, payload = filenames[point], bytes(data)
+                if point < len(filenames):
+                    name = filenames[point]
+                else:
+                    # data chunks demux may carry beyond the CRID-listed
+                    # streams (e.g. @USR/@PST); name them after the chunk
+                    name = os.path.join(dirname, chunk_name + ".bin")
+                    os.makedirs(os.path.dirname(name) or ".", exist_ok=True)
+                payload = bytes(data)
                 if decode and tag in (
                         USMChunckHeaderType.SFA.value.decode(),
                         USMChunckHeaderType.AHX.value.decode()):
@@ -305,8 +313,12 @@ class USM:
                         base = name.rsplit(".", 1)[0] \
                             if "." in os.path.basename(name) else name
                         name = base + ".wav"
+                        if name in written:
+                            stem = name[:-4]
+                            name = f"{stem}_{point}.wav"
                 with open(name, "wb") as fh:
                     fh.write(payload)
+                written.add(name)
                 point += 1
 
     @staticmethod
@@ -316,14 +328,18 @@ class USM:
         from ..models import adx as adxmod
         from ..models import hca as hcamod
         from ..models.ahx import AHX
+        from ..utils.sniff import sniff
 
         try:
-            if data[:4] == HCAType.HCA.value or \
-                    bytes(b & 0x7F for b in data[:4]) == HCAType.HCA.value:
+            kind = sniff(data)
+        except ValueError:
+            return None
+        try:
+            if kind == "hca":
                 return hcamod.decode(data, key=key, subkey=subkey)
-            if data[:2] == b"\x80\x00" and len(data) > 4:
-                if data[4] in (0x10, 0x11):
-                    return AHX.decode(data)
+            if kind == "ahx":
+                return AHX.decode(data)
+            if kind == "adx":
                 return adxmod.decode(data, strict_cri_check=False)
         except Exception:
             return None

@@ -426,3 +426,39 @@ def test_usm_decode_audio_hca_subkey():
     assert wav_out == hcamod.decode(enc, key=key, subkey=subkey)
     # wrong subkey -> clean None (extract warns and writes raw)
     assert USM._decode_audio(enc, key=key, subkey=0x1234) is None
+
+
+def test_usm_extract_handles_unlisted_chunks(tmp_path):
+    """Data chunks beyond the CRID-listed streams (e.g. @USR) must not crash
+    extract; they get named after the chunk instead."""
+    from pycricodecs_tpu.containers.chunk import USMChunkHeader
+
+    ivf_blob = _fake_ivf()
+    usm_bytes = bytearray(USMBuilder(ivf_blob).build())
+    payload = b"user data"
+    # chunksize counts from byte 8 (header remainder 0x18 + payload)
+    usm_bytes += USMChunkHeader.pack(b"@USR", 0x18 + len(payload), 0, 0x18,
+                                     0, 0, 0, 0, 0, 0, 0, 0, 0) + payload
+    path = tmp_path / "extra.usm"
+    path.write_bytes(bytes(usm_bytes))
+    out = tmp_path / "x"
+    USM(str(path)).extract(str(out), decode=True)
+    names = sorted(os.listdir(out))
+    assert any(n.startswith("@USR") and n.endswith(".bin") for n in names)
+
+
+def test_usm_extract_decode_no_wav_collision(tmp_path):
+    """Two audio tracks decode to distinct .wav files (stems collide)."""
+    ivf_blob = _fake_ivf()
+    wav_a = write_wav(make_sine_pcm16(12000, 2, 48000, seed=31), 2, 48000)
+    wav_b = write_wav(make_sine_pcm16(12000, 2, 48000, seed=32), 2, 48000)
+    usm_bytes = USMBuilder(ivf_blob, audio=[wav_a, wav_b],
+                           audio_codec="hca").build()
+    path = tmp_path / "two.usm"
+    path.write_bytes(usm_bytes)
+    out = tmp_path / "y"
+    USM(str(path)).extract(str(out), decode=True)
+    wavs = [n for n in sorted(os.listdir(out)) if n.endswith(".wav")]
+    assert len(wavs) == 2, wavs
+    payloads = {(out / n).read_bytes() for n in wavs}
+    assert len(payloads) == 2
