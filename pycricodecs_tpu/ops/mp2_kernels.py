@@ -160,9 +160,10 @@ def analyze_device(pcm: np.ndarray) -> np.ndarray:
 _decode_batched_jit = None
 
 
-def decode_transform_device_batched(codes: np.ndarray, levels: np.ndarray,
-                                    sfidx: np.ndarray) -> np.ndarray:
-    """Batched device decode: [B, F, C, 36, 32] -> int16 [B, C, F*36*32].
+def dispatch_decode_batched(codes, levels, sfidx):
+    """Async batched device decode: [B, F, C, 36, 32] -> device int16
+    [B, C, F*36*32] (no host copy — callers fetch with np.asarray, so the
+    slow device->host link overlaps later dispatches).
 
     One compiled program per (B, F, C) bucket; padded frames (levels == 0)
     dequantise to silence, so callers trim per stream after the fact.
@@ -176,5 +177,12 @@ def decode_transform_device_batched(codes: np.ndarray, levels: np.ndarray,
         fn = partial(_decode_jax_impl, sf_table=sf_table, part_of_row=part,
                      w512=w512)
         _decode_batched_jit = jax.jit(jax.vmap(fn))
-    return np.asarray(_decode_batched_jit(codes, levels.astype(np.int32),
-                                          sfidx))
+    if hasattr(levels, "astype") and levels.dtype != np.int32:
+        levels = levels.astype(np.int32)
+    return _decode_batched_jit(codes, levels, sfidx)
+
+
+def decode_transform_device_batched(codes: np.ndarray, levels: np.ndarray,
+                                    sfidx: np.ndarray) -> np.ndarray:
+    """Blocking wrapper over dispatch_decode_batched (returns host numpy)."""
+    return np.asarray(dispatch_decode_batched(codes, levels, sfidx))

@@ -600,41 +600,89 @@ def find_key(data: bytes, candidates, subkey: int = 0,
 
 
 def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
-                     mesh: Optional[Mesh] = None) -> List[bytes]:
+                     mesh: Optional[Mesh] = None,
+                     on_error: str = "raise") -> List[bytes]:
     """Decode many AHX (or bare MPEG Layer II) streams -> WAV bytes.
 
     Streams are unpacked host-side (vectorised bit gathers), grouped by
-    (channels, sample rate, frame-count bucket), and each group runs as ONE
-    batched [B, F, C, 36, 32] device dispatch — the synthesis filterbank is
-    a single MXU matmul per group (ops/mp2_kernels.py).  Unlike ADX's serial
-    ADPCM recurrence, MP2 synthesis is pure matmul work, so the device is
-    the right engine for banks; device=False uses the float64 numpy path.
+    (channels, frame-count bucket), and each group runs as ONE batched
+    [B, F, C, 36, 32] device dispatch — the synthesis filterbank is a single
+    MXU matmul per group (ops/mp2_kernels.py); device->host PCM fetches ride
+    a worker pool so later groups' dispatches overlap them.  Unlike ADX's
+    serial ADPCM recurrence, MP2 synthesis is pure matmul work, so the
+    device is the right engine for banks.  device=False decodes each stream
+    through the unpadded float64 numpy reference instead (no buckets — the
+    padding only exists to bound compiled-shape count).
+
     With a `mesh`, the stream axis shards over the first mesh axis (the
-    streams are independent, so no collectives are needed at all).
+    streams are independent, so no collectives are needed).  on_error:
+    "raise" aborts on the first corrupt stream, "isolate" returns None for
+    corrupt streams and decodes the rest.
     """
     from ..models import ahx as ahx_model
     from ..ops import mp2_frame, mp2_kernels
+    from ..utils.sniff import sniff
 
+    if on_error not in ("raise", "isolate"):
+        raise ValueError("on_error must be 'raise' or 'isolate'")
     _ensure_compile_cache()
-    parsed = []                     # (Mp2Stream, total_samples, sample_rate)
-    for blob in blobs:
+    # per stream: (Mp2Stream, total_samples, output rate) or None (corrupt)
+    parsed: List = [None] * len(blobs)
+    for i, blob in enumerate(blobs):
         blob = bytes(blob)
-        total = 0
-        offset = 0
-        if blob[:2] == b"\x80\x00" and len(blob) > 4 and \
-                blob[4] in ahx_model.AHX_TYPES:
-            info = ahx_model.AHX.parse_header(blob)
-            offset, total = info["data_offset"], info["total_samples"]
-        st = mp2_frame.unpack(blob, offset)
-        parsed.append((st, total, st.header.sample_rate))
-
-    groups: dict = {}
-    for idx, (st, _total, sr) in enumerate(parsed):
-        bucket = _round_up(st.nframes, 64)
-        groups.setdefault((st.header.nch, sr, bucket), []).append(idx)
+        try:
+            offset, total, rate = 0, 0, 0
+            try:
+                is_ahx = sniff(blob) == "ahx"
+            except ValueError:
+                is_ahx = False
+            if is_ahx:
+                info = ahx_model.AHX.parse_header(blob)
+                offset = info["data_offset"]
+                total = info["total_samples"]
+                rate = info["sample_rate"]     # container rate wins, as in
+                                               # AHX.decode
+            st = mp2_frame.unpack(blob, offset)
+            parsed[i] = (st, total, rate or st.header.sample_rate)
+        except Exception:
+            if on_error == "raise":
+                raise
+            parsed[i] = None
 
     results: List = [None] * len(blobs)
-    for (nch, sr, bucket), members in groups.items():
+
+    def _finish(idx, pcm_c_by_n):
+        st, total, rate = parsed[idx]
+        n = st.nframes * mp2_frame.SAMPLES_PER_FRAME
+        if total:
+            n = min(n, total)
+        chunk = pcm_c_by_n[:, :n]
+        interleaved = np.ascontiguousarray(chunk.T).reshape(-1)
+        results[idx] = wavmod.write_wav(interleaved, chunk.shape[0], rate)
+
+    if not device:
+        for idx, p in enumerate(parsed):
+            if p is None:
+                continue
+            st = p[0]
+            C = st.header.nch
+            sb = mp2_kernels.dequantize_np(st.codes, st.levels, st.sfidx)
+            sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, st.nframes * 36, 32)
+            _finish(idx, mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb)))
+        return results
+
+    groups: dict = {}
+    for idx, p in enumerate(parsed):
+        if p is None:
+            continue
+        st = p[0]
+        groups.setdefault((st.header.nch, _round_up(st.nframes, 64)),
+                          []).append(idx)
+
+    import concurrent.futures as _cf
+    fetch_pool = _cf.ThreadPoolExecutor(max_workers=2)
+    pending = []
+    for (nch, bucket), members in groups.items():
         B = len(members)
         Bp = B if mesh is None else _round_up(B, mesh.devices.shape[0])
         codes = np.zeros((Bp, bucket, nch, 36, 32), dtype=np.uint16)
@@ -645,29 +693,17 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
             codes[row, :st.nframes] = st.codes
             levels[row, :st.nframes] = st.levels
             sfidx[row, :st.nframes] = st.sfidx
-        if device:
-            args = (codes, levels, sfidx)
-            if mesh is not None:
-                spec = NamedSharding(mesh, P(mesh.axis_names[0]))
-                args = tuple(jax.device_put(a, spec) for a in args)
-            pcm = mp2_kernels.decode_transform_device_batched(
-                *args)                                   # [Bp, C, T*32]
-        else:
-            sb = mp2_kernels.dequantize_np(
-                codes.reshape(-1, nch, 36, 32),
-                levels.reshape(-1, nch, 32),
-                sfidx.reshape(-1, nch, 3, 32))
-            sb = sb.reshape(B, bucket, nch, 36, 32).transpose(0, 2, 1, 3, 4)
-            sb = sb.reshape(B, nch, bucket * 36, 32)
-            pcm = mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb))
+        args = (codes, levels, sfidx)
+        if mesh is not None:
+            spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+            args = tuple(jax.device_put(a, spec) for a in args)
+        out_dev = mp2_kernels.dispatch_decode_batched(*args)
+        pending.append((fetch_pool.submit(np.asarray, out_dev), members))
+    fetch_pool.shutdown(wait=True)
+    for fut, members in pending:
+        pcm = fut.result()                                # [Bp, C, T*32]
         for row, idx in enumerate(members):
-            st, total, _sr = parsed[idx]
-            n = st.nframes * mp2_frame.SAMPLES_PER_FRAME
-            if total:
-                n = min(n, total)
-            chunk = pcm[row, :, :n]
-            interleaved = np.ascontiguousarray(chunk.T).reshape(-1)
-            results[idx] = wavmod.write_wav(interleaved, nch, sr)
+            _finish(idx, pcm[row])
     return results
 
 

@@ -191,3 +191,43 @@ def test_ahx_decode_batch_sharded():
         x = np.frombuffer(a[44:], "<i2").astype(int)
         y = np.frombuffer(b[44:], "<i2").astype(int)
         assert x.shape == y.shape and np.abs(x - y).max() <= 1
+
+
+def test_ahx_decode_batch_error_isolation():
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.utils.wav import write_wav
+    from tests.conftest import make_sine_pcm16
+    import numpy as np
+    import pytest
+
+    good = AHX.encode(write_wav(make_sine_pcm16(22050, 1, 22050, seed=50),
+                                1, 22050), bitrate_kbps=96)
+    blobs = [good, b"\xff\xf5garbage-not-a-frame", good]
+    with pytest.raises(ValueError):
+        parallel.ahx_decode_batch(blobs)
+    out = parallel.ahx_decode_batch(blobs, on_error="isolate")
+    assert out[1] is None
+    assert out[0] == out[2] and out[0][:4] == b"RIFF"
+
+
+def test_ahx_decode_batch_numpy_with_mesh_and_mixed_rates():
+    """device=False ignores mesh padding; mixed sample rates share buckets."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.utils.wav import write_wav
+    from tests.conftest import make_sine_pcm16
+    import numpy as np
+
+    mesh = parallel.make_mesh((8, 1))
+    blobs = [AHX.encode(write_wav(make_sine_pcm16(sr, 1, sr, seed=60 + i),
+                                  1, sr), bitrate_kbps=96)
+             for i, sr in enumerate((22050, 24000, 16000))]
+    ref = [AHX.decode(b) for b in blobs]
+    assert parallel.ahx_decode_batch(blobs, device=False, mesh=mesh) == ref
+    dev = parallel.ahx_decode_batch(blobs, mesh=mesh)
+    for a, b in zip(dev, ref):
+        assert a[:44] == b[:44]   # per-stream container rate in the header
+        x = np.frombuffer(a[44:], "<i2").astype(int)
+        y = np.frombuffer(b[44:], "<i2").astype(int)
+        assert x.shape == y.shape and np.abs(x - y).max() <= 1
