@@ -127,7 +127,7 @@ def config6():
     t0 = time.perf_counter()
     scores = parallel.find_key(enc, cands, max_frames=8)
     dt = time.perf_counter() - t0
-    assert int(scores.argmax()) == K // 2
+    assert int(parallel.rank_keys(scores)[0]) == K // 2
     return ("hca_key_search_keys_per_sec", K / dt, "keys/sec")
 
 

@@ -135,7 +135,7 @@ def cmd_find_key(args) -> None:
         raise SystemExit("pass --candidates FILE or --range START COUNT")
     scores = parallel.find_key(data, cands, subkey=args.subkey,
                                max_frames=args.max_frames)
-    order = np.argsort(scores)[::-1][:args.top]
+    order = parallel.rank_keys(scores)[:args.top]
     for i in order:
         if scores[i] < 0:
             break

@@ -232,7 +232,10 @@ def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_de
 
         scale = _scale_from_minmax(minimum, maximum, limit)
         if encoding_mode == 4:
-            power = _ilog2(jnp.maximum(scale, 1)) + 1
+            # Scale == 0 -> Power = 0 (adx.cpp:242); quiet non-zero blocks
+            # hit this (residual range within the bitdepth limit)
+            power = jnp.where(scale == 0, 0,
+                              _ilog2(jnp.maximum(scale, 1)) + 1)
             scale_eff = (1 << power).astype(jnp.int32)
             scale_raw = 12 - power
         elif encoding_mode == 2:
@@ -251,6 +254,9 @@ def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_de
                               delta - (scale_eff >> 1))
             delta = _tdiv(delta, scale_eff)
             delta = jnp.clip(delta, -limit - 1, limit)
+            # (delta*scale_eff is bounded by |residual| + 1.5*scale ~ 2^17,
+            # so the pre-shift sum stays under 2^30: int32 never wraps and
+            # the int64 numpy/C++ mirrors agree exactly)
             sim = (((delta << 12) * scale_eff) + c0 * q1 + c1 * q2) >> 12
             sim = _clamp16(sim)
             return (sim, q1), delta

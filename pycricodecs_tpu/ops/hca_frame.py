@@ -486,6 +486,54 @@ def _unpack_frames_native(info: HcaInfo, data: bytes, random_state: int,
                           random_state=int(rand[0]))
 
 
+def noise_lists(sf: np.ndarray, res: np.ndarray, coded_count: int):
+    """Rebuild the reconstruct_noise band lists from (sf, res) alone.
+
+    Identical to the lists calc_resolutions produces: noise bands (sf > 0,
+    res < 1) in order at the head, valid bands reversed at the tail
+    (hca.cpp:1468-1479). Lets the batched key scorer recover noise info
+    from the native unpack's SoA outputs."""
+    cc = int(coded_count)
+    i = np.arange(cc)
+    active = sf[:cc].astype(np.int64) > 0
+    noise_idx = i[active & (res[:cc] < 1)]
+    valid_idx = i[active & (res[:cc] >= 1)]
+    noises = np.zeros(128, dtype=np.uint8)
+    noises[:len(noise_idx)] = noise_idx
+    if len(valid_idx):
+        noises[128 - len(valid_idx):] = valid_idx[::-1]
+    return noises, len(noise_idx), len(valid_idx)
+
+
+def fill_noise_frame(info: HcaInfo, sfs_f: np.ndarray, frame_noise,
+                     random: int, ident_f: np.ndarray, sci_f: np.ndarray,
+                     mask_f: np.ndarray) -> int:
+    """One frame's PNS noise gather maps (reconstruct_noise order,
+    hca.cpp:1602-1635): subframe-major, channel-minor, one LCG draw per
+    noise band. sfs_f [C, 128]; frame_noise: per-channel (noises, nc, vc);
+    writes into [C, 8, 128] views; returns the advanced LCG state."""
+    C = len(frame_noise)
+    for s in range(8):
+        for c in range(C):
+            noises, nc, vc = frame_noise[c]
+            if vc <= 0 or nc <= 0:
+                continue
+            if info.ms_stereo and info.channel_type[c] != T.STEREO_PRIMARY:
+                continue
+            for i in range(nc):
+                random = (0x343FD * random + 0x269EC3) & 0xFFFFFFFF
+                rindex = 128 - vc + (((random & 0x7FFF) * vc) >> 15)
+                nb = int(noises[i])
+                vb = int(noises[rindex])
+                sci = int(sfs_f[c, nb]) - int(sfs_f[c, vb]) + 62
+                if sci < 0:
+                    sci = 0
+                ident_f[c, s, nb] = vb
+                sci_f[c, s, nb] = sci
+                mask_f[c, s, nb] = True
+    return random
+
+
 def _unpack_frames_py(info: HcaInfo, data: bytes, frame_indices=None,
                       random_state: int = 1) -> UnpackedFrames:
     """Pure-Python unpack (reference path)."""
@@ -536,25 +584,8 @@ def _unpack_frames_py(info: HcaInfo, data: bytes, frame_indices=None,
                 qc[f, c, s] = _dequantize_codes(br, ress[f, c], info.coded_count[c])
 
         if need_noise:
-            # LCG draws happen in transform order: subframe-major, channel-minor
-            for s in range(8):
-                for c in range(C):
-                    noises, nc, vc = frame_noise[c]
-                    if vc <= 0 or nc <= 0:
-                        continue
-                    if info.ms_stereo and info.channel_type[c] != T.STEREO_PRIMARY:
-                        continue
-                    for i in range(nc):
-                        random = (0x343FD * random + 0x269EC3) & 0xFFFFFFFF
-                        rindex = 128 - vc + (((random & 0x7FFF) * vc) >> 15)
-                        nb = int(noises[i])
-                        vb = int(noises[rindex])
-                        sci = int(sfs[f, c, nb]) - int(sfs[f, c, vb]) + 62
-                        if sci < 0:
-                            sci = 0
-                        ident[f, c, s, nb] = vb
-                        noise_sci[f, c, s, nb] = sci
-                        noise_mask[f, c, s, nb] = True
+            random = fill_noise_frame(info, sfs[f], frame_noise, random,
+                                      ident[f], noise_sci[f], noise_mask[f])
 
     return UnpackedFrames(qc=qc, scalefactors=sfs, resolutions=ress,
                           intensity=intens, noise_src=ident, noise_sci=noise_sci,
@@ -635,21 +666,30 @@ def pack_frame(info: HcaInfo, acceptable_noise_level: int, evaluation_boundary: 
 # ---------------------------------------------------------------------------
 
 def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
-    """Statistically score one frame under the current cipher table.
+    """Statistically score one frame under the current cipher table
+    (clHCA_TestBlock, hca.cpp:1004-1097).
 
     Returns the reference's scoring: 0 = silent/neutral, 1 = plausible,
-    2/3/clips = suspicious, negative = hard bitstream failure. Used for
-    keycode search over encrypted streams.
+    2/3/clips = suspicious, negative = hard bitstream failure. The LCG
+    noise state threads across calls in the reference; use
+    test_block_state to carry it (score_key does).
     """
+    return test_block_state(info, frame, random_state)[0]
+
+
+def test_block_state(info: HcaInfo, frame: bytes,
+                     random_state: int = 1) -> tuple:
+    """test_block + the advanced noise LCG state: (score, random_state)."""
     fs = info.frame_size
     frame = bytes(frame[:fs])
+    random = random_state
     if all(b == 0 for b in frame[2:fs - 2]):
-        return 0
+        return 0, random
     # unpack with bit-position tracking
     if not (frame[0] == 0xFF and frame[1] == 0xFF):
-        return -1
+        return -1, random
     if crc16(frame):
-        return -1
+        return -1, random
     dec = info.cipher[np.frombuffer(frame, dtype=np.uint8)]
     br = BitReader(dec.tobytes())
     br.skip(16)
@@ -660,6 +700,7 @@ def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
     sfs = np.zeros((C, 128), dtype=np.uint8)
     ress = np.zeros((C, 128), dtype=np.uint8)
     intens = np.zeros((C, 8), dtype=np.uint8)
+    frame_noise = []
     try:
         for c in range(C):
             ct = info.channel_type[c]
@@ -667,23 +708,24 @@ def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
                                       info.hfr_group_count, info.version)
             intens[c] = _unpack_intensity(ct, br, info.hfr_group_count,
                                           info.version, sf)
-            res, _, _, _ = calc_resolutions(info, sf, info.coded_count[c],
-                                            packed_noise_level)
+            res, noises, nc, vc = calc_resolutions(
+                info, sf, info.coded_count[c], packed_noise_level)
             sfs[c] = sf
             ress[c] = res
+            frame_noise.append((noises, nc, vc))
         qc = np.zeros((C, 8, 128), dtype=np.int16)
         for s in range(8):
             for c in range(C):
                 qc[c, s] = _dequantize_codes(br, ress[c], info.coded_count[c])
     except HcaError:
-        return -1
+        return -1, random
     status = br.pos
     bits_max = fs * 8
     if status + 14 > bits_max:
-        return -6
+        return -6, random
     byte_start = (status // 8) + (1 if status % 8 else 0)
     if any(dec[i] != 0 for i in range(byte_start, fs - 2)):
-        return -1
+        return -1, random
 
     # transform and inspect the waveform (float domain)
     from . import hca_kernels
@@ -692,6 +734,19 @@ def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
         info.bands_per_hfr_group, info.hfr_group_count, info.version)
     pairs = hca_kernels.stereo_pairs_of(info.channel_type) \
         if info.stereo_band_count > 0 else ()
+    noise_kw = {}
+    if info.min_resolution == 0:
+        # the reference's TestBlock runs the FULL transform incl. PNS noise
+        # (v3.0 streams), with the LCG state threading across frames
+        ident = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                (C, 8, 128)).copy()
+        sci = np.zeros((C, 8, 128), dtype=np.uint8)
+        mask = np.zeros((C, 8, 128), dtype=bool)
+        random = fill_noise_frame(info, sfs, frame_noise, random,
+                                  ident, sci, mask)
+        noise_kw = dict(noise_src=ident[None, None],
+                        noise_sci=sci[None, None],
+                        noise_mask=mask[None, None])
     wave = hca_kernels.hca_decode_wave(
         qc[None, None], sfs[None, None], ress[None, None], intens[None, None],
         np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
@@ -699,7 +754,7 @@ def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
         base_band=int(info.base_band_count),
         total_band=int(info.total_band_count), stereo_pairs=pairs,
         apply_hfr=bool(info.bands_per_hfr_group > 0 and info.hfr_group_count > 0),
-        hfr_group_count=int(info.hfr_group_count))
+        hfr_group_count=int(info.hfr_group_count), **noise_kw)
     wave = np.asarray(wave)[0]  # [C, 8, 128] time layout
 
     clips = int((np.abs(wave) > 1.0).sum())
@@ -711,32 +766,37 @@ def test_block(info: HcaInfo, frame: bytes, random_state: int = 1) -> int:
     if clips == 1:
         clips += 1
     if clips > 1:
-        return clips
+        return clips, random
     if blanks == C * frame_samples:
-        return 0
+        return 0, random
     if C >= 2 and channel_blanks[0] == frame_samples \
             and channel_blanks[1] != frame_samples:
-        return 3
-    return 1
+        return 3, random
+    return 1, random
 
 
 def score_key(data: bytes, keycode: int, subkey: int = 0,
               max_frames: int = 16) -> int:
     """Aggregate test_block score over the first frames of an HCA stream.
 
-    Higher is better; <= 0 means the key is almost certainly wrong.
+    Per-frame scores follow clHCA_TestBlock: 1 = clean decode, 0 = silent,
+    >1 = clipped/suspect, negative = bitstream failure.  So among accepted
+    keys the LOWEST positive total is the most plausible (1 per frame is
+    ideal; clips inflate the total); 0 = all-silent/inconclusive; -1 = the
+    key is rejected.  Rank with parallel.rank_keys.
     """
     header_size = int.from_bytes(data[6:8], "big")
     info = parse_header(data[:header_size])
     info.set_key(hca_crypt.scramble_subkey(keycode, subkey))
     total = 0
     tested = 0
+    random = 1
     for f in range(min(max_frames, info.frame_count)):
         off = header_size + f * info.frame_size
         frame = data[off:off + info.frame_size]
         if len(frame) < info.frame_size:
             break
-        score = test_block(info, frame)
+        score, random = test_block_state(info, frame, random)
         if score < 0:
             return -1
         total += score

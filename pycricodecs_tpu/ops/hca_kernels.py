@@ -122,29 +122,16 @@ def _window_overlap_add(dct):
 # Decode transform
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
-                                   "apply_noise", "apply_hfr",
-                                   "hfr_group_count", "use_pallas"))
-def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
-                                 noise_mask, hfr_is, hfr_src, hfr_group,
-                                 hfr_zero, *, base_band, total_band,
-                                 stereo_pairs, apply_noise, apply_hfr,
-                                 hfr_group_count, use_pallas=False):
-    """Spectra -> interleaved PCM16 for a batch of streams.
+def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
+                         noise_mask, hfr_is, hfr_src, hfr_group, hfr_zero, *,
+                         base_band, total_band, stereo_pairs, apply_noise,
+                         apply_hfr, hfr_group_count):
+    """Dequantise + noise fill + HFR + intensity stereo -> [B, F, C, 8, 128].
 
-    qc        : int16 [B, F, C, 8, 128] (B streams x F frames)
-    sf, res   : uint8 [B, F, C, 128]
-    intensity : uint8 [B, F, C, 8]
-    noise_*   : gather maps from unpack (only read when apply_noise)
-    hfr_*     : static gather maps (build_hfr_map), device arrays
-    returns   : int16 [B, F, 8, 128, C] (frame-major interleaved samples)
-
-    All stages are batched elementwise/gather math; the only cross-frame
-    coupling (overlap-add) is a one-step shift over the time axis, so when F
-    is sharded over a mesh axis XLA lowers it to a neighbour collective-permute
-    (halo exchange) rather than a serial scan.
-    """
-    B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
+    The shared front half of the decode transform; both the PCM path
+    (hca_decode_transform_batched) and the key-scorer's float inspection
+    path (hca_decode_wave) run exactly this, so they cannot drift."""
+    C = qc.shape[2]
     scaling = jnp.asarray(T.SCALING_TABLE)
     range_t = jnp.asarray(T.RANGE_TABLE)
     conv = jnp.asarray(T.SCALE_CONVERSION_TABLE)
@@ -194,6 +181,38 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
             new_r = jnp.where(sel, l_spec * ratio_r, spectra[..., s, :, :])
             spectra = spectra.at[..., p, :, :].set(new_l)
             spectra = spectra.at[..., s, :, :].set(new_r)
+    return spectra
+
+
+@partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
+                                   "apply_noise", "apply_hfr",
+                                   "hfr_group_count", "use_pallas"))
+def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
+                                 noise_mask, hfr_is, hfr_src, hfr_group,
+                                 hfr_zero, *, base_band, total_band,
+                                 stereo_pairs, apply_noise, apply_hfr,
+                                 hfr_group_count, use_pallas=False):
+    """Spectra -> interleaved PCM16 for a batch of streams.
+
+    qc        : int16 [B, F, C, 8, 128] (B streams x F frames)
+    sf, res   : uint8 [B, F, C, 128]
+    intensity : uint8 [B, F, C, 8]
+    noise_*   : gather maps from unpack (only read when apply_noise)
+    hfr_*     : static gather maps (build_hfr_map), device arrays
+    returns   : int16 [B, F, 8, 128, C] (frame-major interleaved samples)
+
+    All stages are batched elementwise/gather math; the only cross-frame
+    coupling (overlap-add) is a one-step shift over the time axis, so when F
+    is sharded over a mesh axis XLA lowers it to a neighbour collective-permute
+    (halo exchange) rather than a serial scan.
+    """
+    B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
+    spectra = _reconstruct_spectra(
+        qc, sf, res, intensity, noise_src, noise_sci, noise_mask, hfr_is,
+        hfr_src, hfr_group, hfr_zero, base_band=base_band,
+        total_band=total_band, stereo_pairs=stereo_pairs,
+        apply_noise=apply_noise, apply_hfr=apply_hfr,
+        hfr_group_count=hfr_group_count)
 
     if use_pallas:
         from . import pallas_kernels
@@ -308,51 +327,28 @@ def stereo_pairs_of(channel_type: np.ndarray) -> Tuple[Tuple[int, int], ...]:
                                    "apply_hfr", "hfr_group_count"))
 def hca_decode_wave(qc, sf, res, intensity, hfr_is, hfr_src, hfr_group,
                     hfr_zero, *, base_band, total_band, stereo_pairs,
-                    apply_hfr, hfr_group_count):
-    """Float-domain decode (no PCM16 quantisation, no noise fill).
+                    apply_hfr, hfr_group_count, noise_src=None,
+                    noise_sci=None, noise_mask=None):
+    """Float-domain decode (no PCM16 quantisation).
 
-    Used by the key tester (clHCA_TestBlock analogue) which inspects the
-    waveform before int16 conversion. Shapes as in
-    hca_decode_transform_batched; returns f32 [B, C, F*8, 128].
+    Used by the key tester (clHCA_TestBlock analogue, hca.cpp:1004-1097)
+    which inspects the waveform before int16 conversion; the reference runs
+    the FULL transform there, including PNS noise fill for v3.0 streams, so
+    callers pass the noise gather maps too (None = no noise bands).  Shapes
+    as in hca_decode_transform_batched; returns f32 [B, C, F*8, 128].
     """
+    apply_noise = noise_mask is not None
+    if not apply_noise:
+        noise_src = jnp.zeros((1,) * 5, jnp.int32)
+        noise_sci = jnp.zeros((1,) * 5, jnp.uint8)
+        noise_mask = jnp.zeros((1,) * 5, bool)
     B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
-    scaling = jnp.asarray(T.SCALING_TABLE)
-    range_t = jnp.asarray(T.RANGE_TABLE)
-    conv = jnp.asarray(T.SCALE_CONVERSION_TABLE)
-    gain = scaling[sf] * range_t[res]
-    spectra = gain[..., None, :] * qc.astype(jnp.float32)
-    if apply_hfr:
-        hfr_scales = sf[..., 128 - hfr_group_count:]
-        bc = (1,) * 3
-        g_scale = jnp.take_along_axis(
-            hfr_scales.astype(jnp.int32), hfr_group.reshape(bc + (-1,)), axis=-1)
-        low_sf = jnp.take_along_axis(sf.astype(jnp.int32),
-                                     hfr_src.reshape(bc + (-1,)), axis=-1)
-        sci = jnp.maximum(g_scale - low_sf + 63, 0)
-        low_spec = jnp.take_along_axis(
-            spectra, hfr_src.reshape(bc + (1, -1)), axis=-1)
-        hfr_fill = conv[sci][..., None, :] * low_spec
-        is_secondary = jnp.zeros((C,), dtype=bool)
-        for (p, s) in stereo_pairs:
-            is_secondary = is_secondary.at[s].set(True)
-        not_sec = (~is_secondary)[None, None, :, None, None]
-        mask = hfr_is[None, None, None, None, :] & not_sec
-        spectra = jnp.where(mask, hfr_fill, spectra)
-        zero_mask = (jnp.arange(128) == hfr_zero)[None, None, None, None, :] \
-            & not_sec
-        spectra = jnp.where(zero_mask, 0.0, spectra)
-    if stereo_pairs:
-        itable = jnp.asarray(T.INTENSITY_RATIO_TABLE)
-        band = jnp.arange(128)
-        sel = (band >= base_band) & (band < total_band)
-        for (p, s) in stereo_pairs:
-            ratio_l = itable[intensity[..., s, :]][..., None]
-            ratio_r = jnp.float32(2.0) - ratio_l
-            l_spec = spectra[..., p, :, :]
-            new_l = jnp.where(sel, l_spec * ratio_l, l_spec)
-            new_r = jnp.where(sel, l_spec * ratio_r, spectra[..., s, :, :])
-            spectra = spectra.at[..., p, :, :].set(new_l)
-            spectra = spectra.at[..., s, :, :].set(new_r)
+    spectra = _reconstruct_spectra(
+        qc, sf, res, intensity, noise_src, noise_sci, noise_mask, hfr_is,
+        hfr_src, hfr_group, hfr_zero, base_band=base_band,
+        total_band=total_band, stereo_pairs=stereo_pairs,
+        apply_noise=apply_noise, apply_hfr=apply_hfr,
+        hfr_group_count=hfr_group_count)
     dct = _imdct_butterflies(spectra)
     dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
     return _window_overlap_add(dct_t)

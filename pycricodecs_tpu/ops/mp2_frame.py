@@ -244,9 +244,14 @@ def unpack(data: bytes, offset: int = 0,
         vals = np.zeros(len(w), dtype=np.int64)
         for width in np.unique(w):
             sel = np.nonzero(w == width)[0]
-            idx = off[sel, None] + np.arange(width)
             pw = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
-            vals[sel] = bits[idx] @ pw
+            # chunk the gather: the [n, width] int64 index matrix would
+            # otherwise cost ~64x the stream size in transient RAM
+            step = max(1, (1 << 22) // int(width))
+            for s0 in range(0, sel.size, step):
+                part = sel[s0:s0 + step]
+                idx = off[part, None] + np.arange(width)
+                vals[part] = bits[idx] @ pw
 
         # expand grouped fields into their three samples, then scatter
         g = fsamp < 0

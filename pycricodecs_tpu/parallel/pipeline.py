@@ -489,9 +489,11 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     (ops/hca_kernels.hca_decode_wave) — key search is embarrassingly
     parallel and maps directly onto the stream-batch axis.
 
-    Returns int64 scores aligned with `candidates` (same scale as
-    hca_frame.score_key: -1 = rejected, higher = more plausible). Use
-    `candidates[int(scores.argmax())]` for the best key.
+    Returns int64 scores aligned with `candidates`, same scale as
+    hca_frame.score_key (summed clHCA_TestBlock frame scores): -1 =
+    rejected; among the rest the LOWEST positive total is the most
+    plausible (1 per frame = clean decode, clips inflate the total, 0 =
+    all-silent/inconclusive). Use `rank_keys(scores)` / `best_key` below.
     """
     from ..ops import hca_frame, hca_kernels
     from ..utils import hca_crypt
@@ -548,6 +550,32 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     frame_scores[status < 0] = -1
     live = (status == 1).reshape(-1)
     n_live = int(live.sum())
+    noise_kw = {}
+    if n_live and info.min_resolution == 0:
+        # v3.0 PNS noise: the reference's TestBlock runs the full transform
+        # including noise fill, with the LCG threading across each key's
+        # transformed frames. Rebuild the band lists from the native
+        # unpack's (sf, res) and advance the LCG per key.
+        C_ = info.channels
+        ident = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                (n_live, C_, 8, 128)).copy()
+        nsci = np.zeros((n_live, C_, 8, 128), dtype=np.uint8)
+        nmask = np.zeros((n_live, C_, 8, 128), dtype=bool)
+        row = 0
+        for k in range(Ka):
+            rnd = 1
+            for f in range(F):
+                if status[k, f] != 1:
+                    continue
+                ridx = k * F + f
+                frame_noise = [hca_frame.noise_lists(
+                    sfs[ridx, c], ress[ridx, c], info.coded_count[c])
+                    for c in range(C_)]
+                rnd = hca_frame.fill_noise_frame(
+                    info, sfs[ridx], frame_noise, rnd,
+                    ident[row], nsci[row], nmask[row])
+                row += 1
+        noise_kw = dict(noise_src=ident, noise_sci=nsci, noise_mask=nmask)
     if n_live:
         hfr = hca_kernels.build_hfr_map(
             info.total_band_count, info.base_band_count,
@@ -559,11 +587,14 @@ def find_key(data: bytes, candidates, subkey: int = 0,
         # shape is a fresh device compile otherwise
         n_pad = max(64, 1 << (n_live - 1).bit_length())
 
-        def pad(a):
+        def pad(a, pre_selected=False):
             out = np.zeros((n_pad,) + a.shape[1:], dtype=a.dtype)
-            out[:n_live] = a[live]
+            out[:n_live] = a if pre_selected else a[live]
             return out
 
+        if noise_kw:
+            noise_kw = {k: pad(v, pre_selected=True)[:, None]
+                        for k, v in noise_kw.items()}
         wave = hca_kernels.hca_decode_wave(
             pad(qc)[:, None], pad(sfs)[:, None], pad(ress)[:, None],
             pad(intens)[:, None],
@@ -573,7 +604,7 @@ def find_key(data: bytes, candidates, subkey: int = 0,
             total_band=int(info.total_band_count), stereo_pairs=pairs,
             apply_hfr=bool(info.bands_per_hfr_group > 0
                            and info.hfr_group_count > 0),
-            hfr_group_count=int(info.hfr_group_count))
+            hfr_group_count=int(info.hfr_group_count), **noise_kw)
         wave = np.asarray(wave)[:n_live]  # [N, C, 8, 128]
         C = info.channels
         n_samp = 8 * 128
@@ -597,6 +628,18 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     alive_scores[rejected] = -1
     scores[alive_idx] = alive_scores
     return scores
+
+
+def rank_keys(scores) -> np.ndarray:
+    """Order candidate indices best-first from find_key/score_key totals.
+
+    Accepted keys (score > 0) rank by ascending total (1 x tested frames =
+    a clean decode; clipped frames inflate the total); all-silent keys
+    (score == 0, inconclusive) follow; rejected keys (negative) come last.
+    """
+    s = np.asarray(scores, dtype=np.int64)
+    grp = np.where(s > 0, 0, np.where(s == 0, 1, 2))
+    return np.lexsort((s, grp))
 
 
 def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,

@@ -155,3 +155,18 @@ def test_adx_host_native_paths_bit_exact(oracle):
                                      encoding_mode=3, bit_depth=4)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_encode_mode4_quiet_blocks_all_engines(oracle):
+    """Mode-4 blocks whose residual range fits the bitdepth limit have
+    Scale == 0 with non-zero codes (Power must be 0, adx.cpp:242)."""
+    from pycricodecs_tpu.models import adx as adxmod
+
+    for amp in (1, 2, 3):
+        pcm = (np.sin(np.arange(4096) / 30.0) * amp).astype(np.int16)
+        wav = write_wav(pcm, 1, 32000)
+        ref = bytes(oracle.AdxEncode(wav, 4, 0x12, 4, 0x1F4, 0, 4, False))
+        assert adxmod.encode(wav, bit_depth=4, encoding_mode=4,
+                             use_jax=False) == ref
+        assert adxmod.encode(wav, bit_depth=4, encoding_mode=4,
+                             use_jax=True) == ref

@@ -165,7 +165,7 @@ def test_find_key_batched_matches_score_key(oracle):
     candidates.insert(17, true_key)
     scores = parallel.find_key(enc, candidates, max_frames=8)
     assert scores.shape == (41,)
-    assert int(scores.argmax()) == 17
+    assert int(parallel.rank_keys(scores)[0]) == 17
     # exact agreement with the serial scorer on a sample of candidates
     for i in (0, 5, 17, 33):
         assert scores[i] == hca_frame.score_key(enc, candidates[i],
@@ -231,3 +231,44 @@ def test_ahx_decode_batch_numpy_with_mesh_and_mixed_rates():
         x = np.frombuffer(a[44:], "<i2").astype(int)
         y = np.frombuffer(b[44:], "<i2").astype(int)
         assert x.shape == y.shape and np.abs(x - y).max() <= 1
+
+
+def test_find_key_v3_noise_matches_score_key(oracle):
+    """v3.0 (min_resolution=0) key scoring runs the PNS noise fill with the
+    LCG threading across frames — the batched host reconstruction in
+    find_key must agree exactly with the serial test_block path."""
+    import numpy as np
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models import hca as hcamod
+    from pycricodecs_tpu.ops import hca_frame
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+    from tests.test_hca import _relabel_v3, _wav, _hdr_size
+
+    true_key = 0xCF222F1FE0748978
+    hca_v2 = bytes(oracle.HcaEncode(_wav(channels=1, seed=77), 0, 0))
+    hca_v3 = _relabel_v3(hca_v2)
+    hs = _hdr_size(hca_v3)
+    enc = hcamod.crypt(hca_v3, True, hs, 56, true_key)
+    info = parse_header(enc[:hs])
+    assert info.min_resolution == 0
+
+    rng = np.random.default_rng(1)
+    candidates = [int(x) for x in rng.integers(1, 1 << 63, 24)]
+    candidates.insert(5, true_key)
+    scores = parallel.find_key(enc, candidates, max_frames=8)
+    assert int(parallel.rank_keys(scores)[0]) == 5
+    for i in (0, 5, 12):
+        assert scores[i] == hca_frame.score_key(enc, candidates[i],
+                                                max_frames=8), i
+
+
+def test_rank_keys_orders_clipped_keys_below_clean():
+    import numpy as np
+    from pycricodecs_tpu import parallel
+
+    # totals: clean key = 1 x 8 frames; clipped survivor = big; silent = 0
+    scores = np.array([40, 8, -1, 0, 9])
+    order = parallel.rank_keys(scores)
+    assert list(order[:2]) == [1, 4]    # lowest positive totals first
+    assert order[2] == 0                # heavy clipping ranks after
+    assert order[3] == 3 and order[4] == 2  # silent, then rejected
