@@ -381,7 +381,11 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
     blocks = per_ch.reshape(channels, frames, spb)
 
     if version in (4, 5):
-        h1 = per_ch[:, 0].copy() if per_ch.shape[1] else np.zeros(channels, np.int32)
+        # history seeds from the padded PCM's first sample even when the
+        # stream is shorter than one block (frames == 0), adx.cpp History
+        # init reads PCMData[i] unconditionally
+        full_ch = pcm.reshape(-1, channels).T
+        h1 = full_ch[:, 0].copy() if full_ch.shape[1] else np.zeros(channels, np.int32)
         h2 = h1.copy()
     else:
         h1 = np.zeros(channels, dtype=np.int32)
@@ -470,22 +474,33 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
         base += 4 + (4 * channels if channels > 1 else 8)
     if looping:
         samples_in_frame = data_block * 2
+        # the reference stores AlignmentSamples in an unsigned short
+        # (adx.cpp struct Loop) and derives every loop field from the
+        # truncated value
         align = _get_next_multiple(wav.loop_start,
-                                   samples_in_frame * 2 if channels == 1 else samples_in_frame)
+                                   samples_in_frame * 2 if channels == 1 else samples_in_frame) & 0xFFFF
         start = wav.loop_start + align
         end = wav.loop_end + align
         start_byte = header_size + (start // spb) * block_size * channels
         end_byte = header_size + _get_next_multiple(
             (end // spb) * block_size + (end % spb) // block_size, block_size) * channels
-        out[base:base + 2] = (align & 0xFFFF).to_bytes(2, "big")
-        out[base + 2:base + 4] = (1).to_bytes(2, "big")
+
+        def wr(off, blob):
+            # like the history entries: writes past header_size are clipped
+            # (the reference writes into a larger zeroed buffer and then
+            # overwrites that region with audio data)
+            room = max(0, min(len(blob), header_size - off))
+            out[off:off + room] = blob[:room]
+
+        wr(base, align.to_bytes(2, "big"))
+        wr(base + 2, (1).to_bytes(2, "big"))
         lo = base + 4
-        out[lo:lo + 2] = (0).to_bytes(2, "big")        # loop index
-        out[lo + 2:lo + 4] = (1).to_bytes(2, "big")    # loop type: enabled
-        out[lo + 4:lo + 8] = ((wav.loop_start + align) & 0xFFFFFFFF).to_bytes(4, "big")
-        out[lo + 8:lo + 12] = (start_byte & 0xFFFFFFFF).to_bytes(4, "big")
-        out[lo + 12:lo + 16] = ((wav.loop_end + align) & 0xFFFFFFFF).to_bytes(4, "big")
-        out[lo + 16:lo + 20] = (end_byte & 0xFFFFFFFF).to_bytes(4, "big")
+        wr(lo, (0).to_bytes(2, "big"))                 # loop index
+        wr(lo + 2, (1).to_bytes(2, "big"))             # loop type: enabled
+        wr(lo + 4, ((wav.loop_start + align) & 0xFFFFFFFF).to_bytes(4, "big"))
+        wr(lo + 8, (start_byte & 0xFFFFFFFF).to_bytes(4, "big"))
+        wr(lo + 12, ((wav.loop_end + align) & 0xFFFFFFFF).to_bytes(4, "big"))
+        wr(lo + 16, (end_byte & 0xFFFFFFFF).to_bytes(4, "big"))
     out[header_size - 6:header_size] = CRI_STRING
 
     eof_block = bytearray(block_size)

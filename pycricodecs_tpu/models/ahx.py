@@ -248,7 +248,10 @@ class AHX:
         pcm, sr = decode_mp2(bytes(data), info["data_offset"], device=device)
         n = info["total_samples"]
         if n:
-            pcm = pcm[:, :n]
+            if pcm.shape[1] < n:   # truncated stream: zero-fill to the
+                pad = np.zeros((pcm.shape[0], n - pcm.shape[1]), np.int16)
+                pcm = np.concatenate([pcm, pad], axis=1)  # declared count,
+            pcm = pcm[:, :n]       # like the ADX/HCA decode paths
         inter = np.ascontiguousarray(pcm.T).reshape(-1)
         return wavmod.write_wav(inter, pcm.shape[0], info["sample_rate"] or sr)
 

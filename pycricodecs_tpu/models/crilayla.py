@@ -28,18 +28,23 @@ def decompress(data: bytes) -> bytes:
     payload = data[16:]
     if compressed_size + 256 > len(payload):
         raise ValueError("Truncated CRILAYLA blob")
+    # LZ back-references expand at most ~255 bytes per flag bit, so a header
+    # claiming more than ~256x the compressed bytes is corrupt; checking it
+    # here keeps hostile archives from forcing multi-GiB allocations
+    if decompress_size > 256 * max(compressed_size, 1) + 256:
+        raise ValueError("Implausible CRILAYLA decompress size")
     lib = native.load()
+    if lib is None:
+        return _decompress_py(payload, compressed_size, decompress_size)
     out = np.zeros(decompress_size + 256, dtype=np.uint8)
     src = np.frombuffer(payload, dtype=np.uint8)
-    if lib is not None:
-        rc = lib.cri_layla_decompress(
-            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            compressed_size, decompress_size,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        if rc < 0:
-            raise ValueError("Malformed CRILAYLA stream")
-        return out.tobytes()
-    return _decompress_py(payload, compressed_size, decompress_size)
+    rc = lib.cri_layla_decompress(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        compressed_size, decompress_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("Malformed CRILAYLA stream")
+    return out.tobytes()
 
 
 def _decompress_py(payload: bytes, compressed_size: int,

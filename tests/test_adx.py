@@ -170,3 +170,33 @@ def test_encode_mode4_quiet_blocks_all_engines(oracle):
                              use_jax=False) == ref
         assert adxmod.encode(wav, bit_depth=4, encoding_mode=4,
                              use_jax=True) == ref
+
+
+def test_encode_loop_alignment_u16_truncation(oracle):
+    """Loop alignment is stored in an unsigned short; loop fields derive
+    from the truncated value (adx.cpp struct Loop)."""
+    pcm = (np.sin(np.arange(100000) / 40.0) * 8000).astype(np.int16)
+    wav = write_wav(pcm, 1, 48000, looping=True,
+                    loop_start=70000, loop_end=90000)
+    ref = bytes(oracle.AdxEncode(wav, 4, 0x12, 3, 0x1F4, 0, 4, False))
+    assert adxmod.encode(wav) == ref
+
+
+def test_encode_many_channel_looping(oracle):
+    """Loop-record writes past the (uninit-Channels parity) header size are
+    clipped, not appended -- >=5ch looping output must match byte-for-byte."""
+    for ch in (5, 6, 8):
+        n = 4096
+        multi = np.stack([(np.sin(np.arange(n) / (10 + c)) * 6000)
+                          .astype(np.int16) for c in range(ch)], 1).reshape(-1)
+        wav = write_wav(multi, ch, 48000, looping=True,
+                        loop_start=512, loop_end=2048)
+        ref = bytes(oracle.AdxEncode(wav, 4, 0x12, 3, 0x1F4, 0, 4, False))
+        assert adxmod.encode(wav) == ref, ch
+
+
+def test_encode_shorter_than_one_block(oracle):
+    """History seeds from the first PCM sample even when frames == 0."""
+    tiny = write_wav((np.arange(10) * 100 + 1000).astype(np.int16), 1, 48000)
+    ref = bytes(oracle.AdxEncode(tiny, 4, 0x12, 3, 0x1F4, 0, 4, False))
+    assert adxmod.encode(tiny) == ref

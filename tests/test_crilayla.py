@@ -69,3 +69,14 @@ def test_hash_matcher_matches_reference_medium(oracle):
     ref = bytes(oracle.CriLaylaCompress(data))
     assert ours == ref
     assert crilayla.decompress(ours) == data
+
+
+def test_decompress_rejects_implausible_size():
+    """A hostile header claiming multi-GiB output must raise, not allocate."""
+    import pytest
+    from pycricodecs_tpu.models import crilayla
+
+    blob = (b"CRILAYLA" + (0xFFFFFFFF).to_bytes(4, "little")
+            + (64).to_bytes(4, "little") + b"\x00" * (64 + 256))
+    with pytest.raises(ValueError):
+        crilayla.decompress(blob)
