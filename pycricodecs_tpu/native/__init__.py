@@ -58,9 +58,25 @@ def load():
         lib.cri_layla_compress.restype = ctypes.c_uint32
         lib.cri_layla_compress.argtypes = [u8p, ctypes.c_uint32, u8p,
                                            ctypes.c_uint32]
-        lib.cri_hca_unpack_frames.restype = ctypes.c_int32
         i32p = ctypes.POINTER(ctypes.c_int32)
         i16p = ctypes.POINTER(ctypes.c_int16)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.cri_hca_unpack_frames.restype = ctypes.c_int32
+        lib.cri_hca_unpack_frames.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, i32p, u8p, u8p, u8p, u8p, i8p, u32p,
+            i16p, u8p, u8p, u8p, i32p, u8p, u8p, ctypes.c_int32]
+        lib.cri_hca_pack_frames.restype = None
+        lib.cri_hca_pack_frames.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, i32p, i32p, i32p, u8p, u8p, u8p, i32p, i32p, i32p,
+            u8p, u8p, u8p, u8p, ctypes.c_int32]
+        lib.cri_crc16_batch.restype = None
+        lib.cri_crc16_batch.argtypes = [u8p, ctypes.c_uint32,
+                                        ctypes.c_uint32, u16p]
         lib.cri_adx_decode_scan.restype = None
         lib.cri_adx_decode_scan.argtypes = [
             i32p, i32p, i32p, i32p, i32p, i32p,

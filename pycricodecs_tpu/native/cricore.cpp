@@ -18,31 +18,36 @@ extern "C" {
 // ---------------------------------------------------------------------------
 // CRC16 (poly 0x8005, MSB-first)
 // ---------------------------------------------------------------------------
-static uint16_t g_crc_table[256];
-static bool g_crc_ready = false;
-
-static void crc_init() {
-    if (g_crc_ready) return;
-    for (int i = 0; i < 256; i++) {
-        uint32_t s = i << 8;
-        for (int b = 0; b < 8; b++)
-            s = (s << 1) ^ ((s & 0x8000) ? 0x8005 : 0);
-        g_crc_table[i] = (uint16_t)(s & 0xFFFF);
+namespace {
+struct CrcTable {
+    uint16_t t[256];
+    CrcTable() {
+        for (int i = 0; i < 256; i++) {
+            uint32_t s = i << 8;
+            for (int b = 0; b < 8; b++)
+                s = (s << 1) ^ ((s & 0x8000) ? 0x8005 : 0);
+            t[i] = (uint16_t)(s & 0xFFFF);
+        }
     }
-    g_crc_ready = true;
+};
+// C++11 magic static: thread-safe one-time init (ctypes calls arrive from
+// multiple Python threads with the GIL released)
+const uint16_t* crc_table() {
+    static const CrcTable tbl;
+    return tbl.t;
 }
+}  // namespace
 
 uint16_t cri_crc16(const uint8_t* data, uint32_t size) {
-    crc_init();
+    const uint16_t* tbl = crc_table();
     uint16_t s = 0;
     for (uint32_t i = 0; i < size; i++)
-        s = (uint16_t)((s << 8) ^ g_crc_table[(s >> 8) ^ data[i]]);
+        s = (uint16_t)((s << 8) ^ tbl[(s >> 8) ^ data[i]]);
     return s;
 }
 
 void cri_crc16_batch(const uint8_t* rows, uint32_t nrows, uint32_t rowlen,
                      uint16_t* out) {
-    crc_init();
     for (uint32_t r = 0; r < nrows; r++)
         out[r] = cri_crc16(rows + (uint64_t)r * rowlen, rowlen);
 }
@@ -53,13 +58,27 @@ void cri_crc16_batch(const uint8_t* rows, uint32_t nrows, uint32_t rowlen,
 namespace layla {
 
 struct RevBitReader {
-    const uint8_t* p;    // moves backward
-    uint32_t count = 0;  // bits buffered
+    const uint8_t* p;      // moves backward
+    const uint8_t* begin;  // first valid byte
+    uint32_t count = 0;    // bits buffered
     uint32_t acc = 0;
-    explicit RevBitReader(const uint8_t* end_minus_1) : p(end_minus_1) {}
+    bool underrun = false;
+    RevBitReader(const uint8_t* end_minus_1, const uint8_t* begin_)
+        : p(end_minus_1), begin(begin_) {}
     uint32_t get(uint32_t n) {
         while (count < n) {
-            acc = (acc << 8) | *p--;
+            // bounds-checked per byte: a single token (e.g. the 0xFF
+            // length-extension loop) can consume unbounded bytes, so the
+            // caller's per-token check alone cannot prevent reads below
+            // the buffer. Feed zeros and flag; zeros also terminate the
+            // 0xFF loop.
+            uint8_t byte = 0;
+            if (p < begin) {
+                underrun = true;
+            } else {
+                byte = *p--;
+            }
+            acc = (acc << 8) | byte;
             count += 8;
         }
         uint32_t v = (acc >> (count - n)) & ((1u << n) - 1);
@@ -83,11 +102,10 @@ int64_t cri_layla_decompress(const uint8_t* src, uint32_t compressed_size,
     uint8_t* out_base = dst + 256;
     uint8_t* out_end = out_base + decompress_size;
     uint8_t* w = out_base + decompress_size - 1;  // write backward
-    layla::RevBitReader br(src + compressed_size - 1);
-    const uint8_t* src_begin = src;
+    layla::RevBitReader br(src + compressed_size - 1, src);
 
     while (w >= out_base) {
-        if (br.p < src_begin - 1) return -1;  // bitstream underrun
+        if (br.underrun) return -1;  // bitstream underrun
         if (br.get(1) == 0) {
             *w-- = (uint8_t)br.get(8);
         } else {
@@ -113,7 +131,7 @@ int64_t cri_layla_decompress(const uint8_t* src, uint32_t compressed_size,
                 *w-- = *r--;
         }
     }
-    return (int64_t)decompress_size;
+    return br.underrun ? -1 : (int64_t)decompress_size;
 }
 
 // Compress src[0..src_len) with the reference's greedy backward matcher.
@@ -304,6 +322,155 @@ struct BitReader {
 
 }  // namespace hca
 
+// Shared per-frame unpack body: scalefactor deltas, intensity / v2 HFR
+// scales, ATH-driven resolutions (+ optional noise/valid band lists) and
+// the spectrum codes. Used by BOTH cri_hca_unpack_frames (decode) and
+// cri_hca_test_frames (key search) so the two cannot drift. `br` must sit
+// just past the 32-bit frame header fields. Returns 0 or <0 on malformed
+// bitstream values.
+static int hca_unpack_frame_body(
+    hca::BitReader& br, int packed_noise, int C, bool v3,
+    int32_t hfr_group_count, int32_t min_resolution, int32_t max_resolution,
+    const uint8_t* channel_type, const int32_t* coded_count,
+    const uint8_t* ath, const uint8_t* invert_table,
+    const uint8_t* max_bit_table, const uint8_t* read_bit_table,
+    const int8_t* read_val_table,
+    uint8_t* sfs_f, uint8_t* res_f, uint8_t* int_f, int16_t* qc_f,
+    uint8_t* noises_f /* [C*128] or null */,
+    int32_t* counts_f /* [C*2] or null */) {
+    for (int c = 0; c < C; c++) {
+        uint8_t* sf = sfs_f + (size_t)c * 128;
+        std::memset(sf, 0, 128);
+        int ct = channel_type[c];
+        int cs_count = coded_count[c];
+        int extra = 0;
+        int delta_bits = br.read(3);
+        if (!(ct == 2 || hfr_group_count <= 0 || !v3)) {
+            extra = hfr_group_count;
+            cs_count += extra;
+            if (cs_count > 128) return -5;
+        }
+        if (delta_bits >= 6) {
+            for (int i = 0; i < cs_count; i++) sf[i] = (uint8_t)br.read(6);
+        } else if (delta_bits > 0) {
+            int expected = (1 << delta_bits) - 1;
+            int value = br.read(6);
+            sf[0] = (uint8_t)value;
+            for (int i = 1; i < cs_count; i++) {
+                int delta = br.read(delta_bits);
+                if (delta == expected) {
+                    value = br.read(6);
+                } else {
+                    int test = value + (delta - (expected >> 1));
+                    if (test < 0 || test >= 64) return -5;
+                    value = (value - (expected >> 1) + delta) & 0x3F;
+                }
+                sf[i] = (uint8_t)value;
+            }
+        }
+        for (int i = 0; i < extra; i++)
+            sf[127 - i] = sf[cs_count - i];
+
+        // intensity / v2 HFR scales
+        uint8_t* inten = int_f + (size_t)c * 8;
+        std::memset(inten, 0, 8);
+        if (ct == 2) {
+            if (!v3) {
+                int value = br.peek(4);
+                inten[0] = (uint8_t)value;
+                if (value < 15) {
+                    br.skip(4);
+                    for (int i = 1; i < 8; i++) inten[i] = (uint8_t)br.read(4);
+                }
+            } else {
+                int value = br.peek(4);
+                if (value < 15) {
+                    br.skip(4);
+                    int dbits = br.read(2);
+                    inten[0] = (uint8_t)value;
+                    if (dbits == 3) {
+                        for (int i = 1; i < 8; i++)
+                            inten[i] = (uint8_t)br.read(4);
+                    } else {
+                        int bmax = (2 << dbits) - 1;
+                        int bits = dbits + 1;
+                        for (int i = 1; i < 8; i++) {
+                            int delta = br.read(bits);
+                            if (delta == bmax) {
+                                value = br.read(4);
+                            } else {
+                                value = value - (bmax >> 1) + delta;
+                                if (value > 15 || value < 0) return -5;
+                            }
+                            inten[i] = (uint8_t)value;
+                        }
+                    }
+                } else {
+                    br.skip(4);
+                    for (int i = 0; i < 8; i++) inten[i] = 7;
+                }
+            }
+        } else if (!v3) {
+            for (int i = 0; i < hfr_group_count; i++)
+                sf[128 - hfr_group_count + i] = (uint8_t)br.read(6);
+        }
+
+        // resolutions + optional noise/valid lists
+        uint8_t* res = res_f + (size_t)c * 128;
+        std::memset(res, 0, 128);
+        int cc = coded_count[c];
+        int noise_count = 0, valid_count = 0;
+        uint8_t* noises = noises_f ? noises_f + (size_t)c * 128 : nullptr;
+        for (int i = 0; i < cc; i++) {
+            int r = 0;
+            int s = sf[i];
+            if (s > 0) {
+                int noise_level = ath[i] + ((packed_noise + i) >> 8);
+                int curve_pos = noise_level + 1 - ((5 * s) >> 1);
+                if (curve_pos < 0) r = 15;
+                else if (curve_pos <= 65) r = invert_table[curve_pos];
+                else r = 0;
+                if (r > max_resolution) r = max_resolution;
+                else if (r < min_resolution) r = min_resolution;
+                if (noises) {
+                    if (r < 1) noises[noise_count++] = (uint8_t)i;
+                    else noises[127 - valid_count++] = (uint8_t)i;
+                }
+            }
+            res[i] = (uint8_t)r;
+        }
+        if (counts_f) {
+            counts_f[(size_t)c * 2 + 0] = noise_count;
+            counts_f[(size_t)c * 2 + 1] = valid_count;
+        }
+    }
+
+    // spectrum codes, subframe-major
+    for (int s = 0; s < 8; s++) {
+        for (int c = 0; c < C; c++) {
+            const uint8_t* res = res_f + (size_t)c * 128;
+            int16_t* out = qc_f + ((size_t)c * 8 + s) * 128;
+            std::memset(out, 0, 128 * sizeof(int16_t));
+            int cc = coded_count[c];
+            for (int i = 0; i < cc; i++) {
+                int r = res[i];
+                int bits = max_bit_table[r];
+                uint32_t code = br.read(bits);
+                if (r > 7) {
+                    int v = (1 - (int)((code & 1) << 1)) * (int)(code >> 1);
+                    if (v == 0) br.skip(-1);
+                    out[i] = (int16_t)v;
+                } else {
+                    int index = (r << 4) + code;
+                    br.skip((int)read_bit_table[index] - bits);
+                    out[i] = read_val_table[index];
+                }
+            }
+        }
+    }
+    return 0;
+}
+
 // Per-frame unpack into SoA tensors. Layouts match ops/hca_frame.py.
 // Returns 0 on success, <0 on bitstream error (-4 sync, -3 crc, -5 unpack).
 int cri_hca_unpack_frames(
@@ -318,7 +485,6 @@ int cri_hca_unpack_frames(
     int16_t* qc, uint8_t* sfs_out, uint8_t* ress_out, uint8_t* intens_out,
     int32_t* noise_src, uint8_t* noise_sci, uint8_t* noise_mask,
     int32_t nthreads) {
-    crc_init();
     const int C = channels;
     const bool need_noise = (min_resolution == 0);
     const bool v3 = version > 0x0200;
@@ -352,138 +518,15 @@ int cri_hca_unpack_frames(
         uint8_t* res_f = ress_out + ((size_t)f * C) * 128;
         uint8_t* int_f = intens_out + ((size_t)f * C) * 8;
         int16_t* qc_f = qc + ((size_t)f * C) * 8 * 128;
-
-        for (int c = 0; c < C; c++) {
-            uint8_t* sf = sfs_f + (size_t)c * 128;
-            std::memset(sf, 0, 128);
-            int ct = channel_type[c];
-            int cs_count = coded_count[c];
-            int extra = 0;
-            int delta_bits = br.read(3);
-            if (!(ct == 2 || hfr_group_count <= 0 || !v3)) {
-                extra = hfr_group_count;
-                cs_count += extra;
-                if (cs_count > 128) return -5;
-            }
-            if (delta_bits >= 6) {
-                for (int i = 0; i < cs_count; i++) sf[i] = (uint8_t)br.read(6);
-            } else if (delta_bits > 0) {
-                int expected = (1 << delta_bits) - 1;
-                int value = br.read(6);
-                sf[0] = (uint8_t)value;
-                for (int i = 1; i < cs_count; i++) {
-                    int delta = br.read(delta_bits);
-                    if (delta == expected) {
-                        value = br.read(6);
-                    } else {
-                        int test = value + (delta - (expected >> 1));
-                        if (test < 0 || test >= 64) return -5;
-                        value = (value - (expected >> 1) + delta) & 0x3F;
-                    }
-                    sf[i] = (uint8_t)value;
-                }
-            }
-            for (int i = 0; i < extra; i++)
-                sf[127 - i] = sf[cs_count - i];
-
-            // intensity / v2 HFR scales
-            uint8_t* inten = int_f + (size_t)c * 8;
-            std::memset(inten, 0, 8);
-            if (ct == 2) {
-                if (!v3) {
-                    int value = br.peek(4);
-                    inten[0] = (uint8_t)value;
-                    if (value < 15) {
-                        br.skip(4);
-                        for (int i = 1; i < 8; i++) inten[i] = (uint8_t)br.read(4);
-                    }
-                } else {
-                    int value = br.peek(4);
-                    if (value < 15) {
-                        br.skip(4);
-                        int dbits = br.read(2);
-                        inten[0] = (uint8_t)value;
-                        if (dbits == 3) {
-                            for (int i = 1; i < 8; i++) inten[i] = (uint8_t)br.read(4);
-                        } else {
-                            int bmax = (2 << dbits) - 1;
-                            int bits = dbits + 1;
-                            for (int i = 1; i < 8; i++) {
-                                int delta = br.read(bits);
-                                if (delta == bmax) {
-                                    value = br.read(4);
-                                } else {
-                                    value = value - (bmax >> 1) + delta;
-                                    if (value > 15 || value < 0) return -5;
-                                }
-                                inten[i] = (uint8_t)value;
-                            }
-                        }
-                    } else {
-                        br.skip(4);
-                        for (int i = 0; i < 8; i++) inten[i] = 7;
-                    }
-                }
-            } else if (!v3) {
-                for (int i = 0; i < hfr_group_count; i++)
-                    sf[128 - hfr_group_count + i] = (uint8_t)br.read(6);
-            }
-
-            // resolutions + noise/valid lists
-            uint8_t* res = res_f + (size_t)c * 128;
-            std::memset(res, 0, 128);
-            int cc = coded_count[c];
-            int noise_count = 0, valid_count = 0;
-            uint8_t* noises = need_noise
-                ? noises_all.data() + ((size_t)f * C + c) * 128 : nullptr;
-            for (int i = 0; i < cc; i++) {
-                int r = 0;
-                int s = sf[i];
-                if (s > 0) {
-                    int noise_level = ath[i] + ((packed_noise + i) >> 8);
-                    int curve_pos = noise_level + 1 - ((5 * s) >> 1);
-                    if (curve_pos < 0) r = 15;
-                    else if (curve_pos <= 65) r = invert_table[curve_pos];
-                    else r = 0;
-                    if (r > max_resolution) r = max_resolution;
-                    else if (r < min_resolution) r = min_resolution;
-                    if (need_noise) {
-                        if (r < 1) noises[noise_count++] = (uint8_t)i;
-                        else noises[127 - valid_count++] = (uint8_t)i;
-                    }
-                }
-                res[i] = (uint8_t)r;
-            }
-            if (need_noise) {
-                counts_all[((size_t)f * C + c) * 2 + 0] = noise_count;
-                counts_all[((size_t)f * C + c) * 2 + 1] = valid_count;
-            }
-        }
-
-        // spectrum codes, subframe-major
-        for (int s = 0; s < 8; s++) {
-            for (int c = 0; c < C; c++) {
-                const uint8_t* res = res_f + (size_t)c * 128;
-                int16_t* out = qc_f + ((size_t)c * 8 + s) * 128;
-                std::memset(out, 0, 128 * sizeof(int16_t));
-                int cc = coded_count[c];
-                for (int i = 0; i < cc; i++) {
-                    int r = res[i];
-                    int bits = max_bit_table[r];
-                    uint32_t code = br.read(bits);
-                    if (r > 7) {
-                        int v = (1 - (int)((code & 1) << 1)) * (int)(code >> 1);
-                        if (v == 0) br.skip(-1);
-                        out[i] = (int16_t)v;
-                    } else {
-                        int index = (r << 4) + code;
-                        br.skip((int)read_bit_table[index] - bits);
-                        out[i] = read_val_table[index];
-                    }
-                }
-            }
-        }
-        return 0;
+        uint8_t* noises_f = need_noise
+            ? noises_all.data() + (size_t)f * C * 128 : nullptr;
+        int32_t* counts_f = need_noise
+            ? counts_all.data() + (size_t)f * C * 2 : nullptr;
+        return hca_unpack_frame_body(
+            br, packed_noise, C, v3, hfr_group_count, min_resolution,
+            max_resolution, channel_type, coded_count, ath, invert_table,
+            max_bit_table, read_bit_table, read_val_table,
+            sfs_f, res_f, int_f, qc_f, noises_f, counts_f);
     };
 
     // frames are independent at unpack time: thread across them
@@ -591,7 +634,6 @@ void cri_hca_pack_frames(
     const uint8_t* max_bits_tab, // [16]
     uint8_t* out,                // [F, frame_size]
     int32_t nthreads) {
-    crc_init();
     const int C = channels;
     const int G = hfr_group_count > 0 ? hfr_group_count : 1;
 
@@ -761,7 +803,7 @@ void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
                 int64_t mn = 0, mx = 0;
                 int64_t p1 = h1, p2 = h2;
                 for (int32_t t = 0; t < spb; ++t) {
-                    int64_t r = (((int64_t)blk[t] << 12) - a0 * p1 - a1 * p2)
+                    int64_t r = (((int64_t)blk[t] * 4096) - a0 * p1 - a1 * p2)
                                 >> 12;
                     if (r < mn) mn = r;
                     if (r > mx) mx = r;
@@ -793,13 +835,13 @@ void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
                 // pass 2: quantise with decoder feedback
                 int64_t q1 = h1, q2 = h2;
                 for (int32_t t = 0; t < spb; ++t) {
-                    int64_t d = (((int64_t)blk[t] << 12) - a0 * q1 - a1 * q2)
+                    int64_t d = (((int64_t)blk[t] * 4096) - a0 * q1 - a1 * q2)
                                 >> 12;
                     d = d > 0 ? d + (scale_eff >> 1) : d - (scale_eff >> 1);
                     d = adx_tdiv(d, scale_eff);
                     if (d < -limit - 1) d = -limit - 1;
                     if (d > limit) d = limit;
-                    int64_t sim = (((d << 12) * scale_eff) + a0 * q1
+                    int64_t sim = (((d * 4096) * scale_eff) + a0 * q1
                                    + a1 * q2) >> 12;
                     sim = adx_clamp16(sim);
                     q2 = q1;
@@ -935,7 +977,7 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
             int64_t mn = 0, mx = 0, p1 = h1, p2 = h2;
             for (int32_t t = 0; t < spb; ++t) {
                 int64_t r =
-                    (((int64_t)blk[t] << 12) - a0 * p1 - a1 * p2) >> 12;
+                    (((int64_t)blk[t] * 4096) - a0 * p1 - a1 * p2) >> 12;
                 if (r < mn) mn = r;
                 if (r > mx) mx = r;
                 p2 = p1;
@@ -966,13 +1008,13 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
             int64_t q1 = h1, q2 = h2;
             for (int32_t t = 0; t < spb; ++t) {
                 int64_t d =
-                    (((int64_t)blk[t] << 12) - a0 * q1 - a1 * q2) >> 12;
+                    (((int64_t)blk[t] * 4096) - a0 * q1 - a1 * q2) >> 12;
                 d = d > 0 ? d + (scale_eff >> 1) : d - (scale_eff >> 1);
                 d = adx_tdiv(d, scale_eff);
                 if (d < -limit - 1) d = -limit - 1;
                 if (d > limit) d = limit;
                 int64_t sim =
-                    (((d << 12) * scale_eff) + a0 * q1 + a1 * q2) >> 12;
+                    (((d * 4096) * scale_eff) + a0 * q1 + a1 * q2) >> 12;
                 sim = adx_clamp16(sim);
                 q2 = q1;
                 q1 = sim;
@@ -1732,7 +1774,6 @@ void cri_hca_test_frames(
     int32_t* status_out,      // [nkeys, nframes]
     int16_t* qc, uint8_t* sfs_out, uint8_t* ress_out, uint8_t* intens_out,
     int32_t nthreads) {       // SoA tensors: [nkeys*nframes, C, ...]
-    crc_init();
     const int C = channels;
     const bool v3 = version > 0x0200;
     const int64_t total = (int64_t)nkeys * nframes;
@@ -1782,122 +1823,13 @@ void cri_hca_test_frames(
         int evb = br.read(7);
         int packed_noise = (anl << 8) - evb;
 
-        for (int c = 0; c < C; c++) {
-            uint8_t* sf = sfs_f + (size_t)c * 128;
-            int ct = channel_type[c];
-            int cs_count = coded_count[c];
-            int extra = 0;
-            int delta_bits = br.read(3);
-            if (!(ct == 2 || hfr_group_count <= 0 || !v3)) {
-                extra = hfr_group_count;
-                cs_count += extra;
-                if (cs_count > 128) { *status = -1; return; }
-            }
-            if (delta_bits >= 6) {
-                for (int i = 0; i < cs_count; i++) sf[i] = (uint8_t)br.read(6);
-            } else if (delta_bits > 0) {
-                int expected = (1 << delta_bits) - 1;
-                int value = br.read(6);
-                sf[0] = (uint8_t)value;
-                for (int i = 1; i < cs_count; i++) {
-                    int delta = br.read(delta_bits);
-                    if (delta == expected) {
-                        value = br.read(6);
-                    } else {
-                        int test = value + (delta - (expected >> 1));
-                        if (test < 0 || test >= 64) { *status = -1; return; }
-                        value = (value - (expected >> 1) + delta) & 0x3F;
-                    }
-                    sf[i] = (uint8_t)value;
-                }
-            }
-            for (int i = 0; i < extra; i++)
-                sf[127 - i] = sf[cs_count - i];
-
-            uint8_t* inten = int_f + (size_t)c * 8;
-            if (ct == 2) {
-                if (!v3) {
-                    int value = br.peek(4);
-                    inten[0] = (uint8_t)value;
-                    if (value < 15) {
-                        br.skip(4);
-                        for (int i = 1; i < 8; i++)
-                            inten[i] = (uint8_t)br.read(4);
-                    }
-                } else {
-                    int value = br.peek(4);
-                    if (value < 15) {
-                        br.skip(4);
-                        int dbits = br.read(2);
-                        inten[0] = (uint8_t)value;
-                        if (dbits == 3) {
-                            for (int i = 1; i < 8; i++)
-                                inten[i] = (uint8_t)br.read(4);
-                        } else {
-                            int bmax = (2 << dbits) - 1;
-                            int bits = dbits + 1;
-                            for (int i = 1; i < 8; i++) {
-                                int delta = br.read(bits);
-                                if (delta == bmax) {
-                                    value = br.read(4);
-                                } else {
-                                    value = value - (bmax >> 1) + delta;
-                                    if (value > 15 || value < 0) {
-                                        *status = -1;
-                                        return;
-                                    }
-                                }
-                                inten[i] = (uint8_t)value;
-                            }
-                        }
-                    } else {
-                        br.skip(4);
-                        for (int i = 0; i < 8; i++) inten[i] = 7;
-                    }
-                }
-            } else if (!v3) {
-                for (int i = 0; i < hfr_group_count; i++)
-                    sf[128 - hfr_group_count + i] = (uint8_t)br.read(6);
-            }
-
-            uint8_t* res = res_f + (size_t)c * 128;
-            int cc = coded_count[c];
-            for (int i = 0; i < cc; i++) {
-                int r = 0;
-                int sv = sf[i];
-                if (sv > 0) {
-                    int noise_level = ath[i] + ((packed_noise + i) >> 8);
-                    int curve_pos = noise_level + 1 - ((5 * sv) >> 1);
-                    if (curve_pos < 0) r = 15;
-                    else if (curve_pos <= 65) r = invert_table[curve_pos];
-                    else r = 0;
-                    if (r > max_resolution) r = max_resolution;
-                    else if (r < min_resolution) r = min_resolution;
-                }
-                res[i] = (uint8_t)r;
-            }
-        }
-
-        for (int sub = 0; sub < 8; sub++) {
-            for (int c = 0; c < C; c++) {
-                const uint8_t* res = res_f + (size_t)c * 128;
-                int16_t* out = qc_f + ((size_t)c * 8 + sub) * 128;
-                int cc = coded_count[c];
-                for (int i = 0; i < cc; i++) {
-                    int r = res[i];
-                    int bits = max_bit_table[r];
-                    uint32_t code = br.read(bits);
-                    if (r > 7) {
-                        int v = (1 - (int)((code & 1) << 1)) * (int)(code >> 1);
-                        if (v == 0) br.skip(-1);
-                        out[i] = (int16_t)v;
-                    } else {
-                        int index = (r << 4) + code;
-                        br.skip((int)read_bit_table[index] - bits);
-                        out[i] = read_val_table[index];
-                    }
-                }
-            }
+        if (hca_unpack_frame_body(
+                br, packed_noise, C, v3, hfr_group_count, min_resolution,
+                max_resolution, channel_type, coded_count, ath, invert_table,
+                max_bit_table, read_bit_table, read_val_table,
+                sfs_f, res_f, int_f, qc_f, nullptr, nullptr) < 0) {
+            *status = -1;
+            return;
         }
         const int bits_max = frame_size * 8;
         if (br.pos + 14 > bits_max) { *status = -6; return; }

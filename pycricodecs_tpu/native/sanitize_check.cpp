@@ -33,7 +33,46 @@ static void roundtrip(const std::vector<uint8_t>& src, const char* name) {
     printf("  %-14s -> %u -> %zu bytes OK\n", name, n, out.size());
 }
 
+static void hostile_decompress() {
+    // malformed streams must return -1 without reading outside the buffer
+    // (the per-token underrun check alone cannot stop the 0xFF
+    // length-extension loop from walking below the source)
+    {   // all-0xFF stream: endless length extensions exhaust the reader
+        std::vector<uint8_t> payload(3 + 256, 0xFF);
+        std::vector<uint8_t> out(4096 + 256, 0);
+        int64_t rc = cri_layla_decompress(payload.data(), 3, 4096, out.data());
+        assert(rc == -1);
+    }
+    {   // compressed_size == 0: the very first bit pull is already below src
+        std::vector<uint8_t> payload(256, 0xAB);
+        std::vector<uint8_t> out(1024 + 256, 0);
+        int64_t rc = cri_layla_decompress(payload.data(), 0, 1024, out.data());
+        assert(rc == -1);
+    }
+    {   // back-reference past the buffer end
+        std::vector<uint8_t> payload(8 + 256, 0);
+        payload[7] = 0xFF;  // flag=1 + huge offset bits
+        payload[6] = 0xFF;
+        std::vector<uint8_t> out(16 + 256, 0);
+        int64_t rc = cri_layla_decompress(payload.data(), 8, 16, out.data());
+        assert(rc == -1);
+    }
+    {   // random garbage, many seeds: must never crash
+        std::mt19937 rng(99);
+        for (int t = 0; t < 200; t++) {
+            uint32_t csize = 1 + rng() % 64;
+            std::vector<uint8_t> payload(csize + 256);
+            for (auto& b : payload) b = (uint8_t)rng();
+            uint32_t dsize = 1 + rng() % 2048;
+            std::vector<uint8_t> out(dsize + 256, 0);
+            cri_layla_decompress(payload.data(), csize, dsize, out.data());
+        }
+    }
+    printf("  hostile decompress cases OK\n");
+}
+
 int main() {
+    hostile_decompress();
     std::mt19937 rng(7);
     std::vector<uint8_t> text;
     for (int i = 0; i < 120; i++)

@@ -1,9 +1,12 @@
 """MSB-first bitstream reader/writer used by the host-side codec front-ends.
 
-Semantics mirror the bit ordering of CRI's codecs (reference: IO.cpp:39-182 and
-the hca.cpp clData reader): bits are consumed most-significant-first within each
-byte. Reads past the end return the remaining bits left-shifted (zero padded),
-matching the reference's overflow behaviour that HCA relies on at frame tails.
+Semantics mirror the hca.cpp clData reader (bitreader_peek, hca.cpp:224-281):
+bits are consumed most-significant-first within each byte, and ANY read that
+crosses the end of the buffer returns 0 — the reference HCA decoder relies on
+this at frame tails, and the native core (cricore.cpp hca::BitReader) matches
+it.  (The reference's OTHER reader, IO.cpp PeekInt, instead returns the
+remaining bits left-shifted; nothing in this package uses those semantics —
+this class's only consumers are the HCA unpack/test paths.)
 
 For hot paths the C++ core (native/cricore.cpp) supersedes these; this module
 is the reference implementation and is used by containers and tests.
@@ -25,14 +28,9 @@ class BitReader:
         return self.nbits - self.pos
 
     def peek(self, count: int) -> int:
-        pos = self.pos
-        rem = self.nbits - pos
-        if count > rem:
-            # Reference behaviour: if fully past end return 0, else return the
-            # remaining bits shifted up into the requested width.
-            if pos >= self.nbits:
-                return 0
-            return self._peek_exact(rem) << (count - rem)
+        if count > self.nbits - self.pos:
+            # hca.cpp bitreader_peek: any read crossing the end reads 0
+            return 0
         return self._peek_exact(count)
 
     def _peek_exact(self, count: int) -> int:

@@ -117,8 +117,13 @@ def parse_wav(data: bytes) -> WavFile:
     if compression == WAVE_FORMAT_EXTENSIBLE:
         bit_depth = fmt.get("bit_depth_valid", bit_depth)
         compression = fmt.get("sub_format", WAVE_FORMAT_PCM)
+    if fmt["channels"] < 1:
+        raise WavError("Invalid WAVE file header. Format info is not present.")
     sample_size = fmt["block_align"] // fmt["channels"]
-    count = data_size // sample_size
+    if sample_size < 1:
+        raise WavError("PCM Bitdepth does not match compression type.")
+    # the data chunk's declared size may exceed the bytes actually present
+    count = min(data_size, len(pcm_raw)) // sample_size
 
     pcm16 = _to_pcm16(pcm_raw[:count * sample_size], compression, bit_depth, sample_size)
     wav = WavFile(
@@ -150,7 +155,10 @@ def _to_pcm16(raw: bytes, compression: int, bit_depth: int, sample_size: int) ->
             raise WavError("PCM Bitdepth does not match compression type.")
         vals = np.trunc(prod)
         return np.clip(vals, -0x8000, 0x7FFF).astype(np.int16)
-    if bit_depth < 1 or bit_depth > 32 or sample_size < 1 or sample_size > 4:
+    if sample_size < 1 or sample_size > 4 or \
+            not (sample_size - 1) * 8 < bit_depth <= sample_size * 8:
+        # bit depth must live inside its byte container (a 3-byte container
+        # with bit_depth < 17 would otherwise shift by a negative amount)
         raise WavError("PCM Bitdepth does not match compression type.")
     if sample_size == 1:
         src = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)

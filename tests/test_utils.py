@@ -21,9 +21,10 @@ def test_bitio_roundtrip():
 def test_bitreader_overrun_semantics():
     br = BitReader(b"\xAB")
     assert br.read(4) == 0xA
-    # past-end reads return remaining bits left-shifted (reference behaviour)
-    assert br.peek(8) == 0xB << 4
-    br.skip(4)
+    # any read crossing the end returns 0 (hca.cpp bitreader_peek; the
+    # native core's hca::BitReader has identical semantics)
+    assert br.peek(8) == 0
+    assert br.read(4) == 0xB
     assert br.read(8) == 0
 
 
@@ -48,3 +49,26 @@ def test_crc16_batch_matches_scalar():
     batch = crc16_batch(rows)
     for row, got in zip(rows, batch):
         assert crc16(row.tobytes()) == got
+
+
+def test_parse_wav_malformed_raises_waverror():
+    """Hostile fmt/data chunks raise WavError, never ZeroDivision/ValueError."""
+    import pytest
+    from pycricodecs_tpu.utils.wav import WavError, parse_wav, write_wav
+
+    good = bytearray(write_wav(np.arange(64, dtype=np.int16), 2, 48000))
+    for mutate in (
+        lambda b: b.__setitem__(slice(22, 24), (0).to_bytes(2, "little")),   # channels=0
+        lambda b: b.__setitem__(slice(32, 34), (0).to_bytes(2, "little")),   # block_align=0
+        lambda b: b.__setitem__(slice(34, 36), (5).to_bytes(2, "little")),   # depth 5 in 2B
+        lambda b: b.__setitem__(slice(34, 36), (24).to_bytes(2, "little")),  # depth 24 in 2B
+    ):
+        bad = bytearray(good)
+        mutate(bad)
+        with pytest.raises(WavError):
+            parse_wav(bytes(bad))
+    # declared data size beyond the actual bytes: clamp, don't crash
+    oversize = bytearray(good)
+    oversize[40:44] = (0xFFFF).to_bytes(4, "little")
+    wav = parse_wav(bytes(oversize))
+    assert wav.pcm16.size == 64
