@@ -62,7 +62,21 @@ class ACB(UTF):
     # -- extraction -----------------------------------------------------
 
     def _encode_type(self, index: int) -> int:
+        """EncodeType for the AWB member at enumeration position ``index``.
+
+        WaveformTable row order need not match AWB id order (streaming +
+        memory waveforms mix), so match the member's awb id against the
+        rows' MemoryAwbId/Id and only fall back to the positional row."""
         table = self.payload[0].get("WaveformTable") or []
+        ids = getattr(self.awb, "ids", [])
+        awb_id = ids[index] if index < len(ids) else index
+        for row in table:
+            for key in ("MemoryAwbId", "Id"):
+                cell = row.get(key)
+                if cell is not None and cell[1] == awb_id:
+                    enc = row.get("EncodeType")
+                    if enc is not None:
+                        return enc[1]
         if index < len(table):
             cell = table[index].get("EncodeType")
             if cell is not None:
@@ -113,9 +127,15 @@ class ACB(UTF):
                     return w[k][1]
             return None
 
-        def synth_waveforms(sidx):
+        def synth_waveforms(sidx, seen=None):
+            # `seen` guards against reference cycles in hostile/corrupt
+            # tables (a 2-node A->B->A loop would otherwise recurse forever)
             if sidx >= len(synths):
                 return []
+            seen = seen if seen is not None else set()
+            if sidx in seen:
+                return []
+            seen.add(sidx)
             ref = synths[sidx].get("ReferenceItems")
             if ref is None or not ref[1]:
                 return []
@@ -123,8 +143,8 @@ class ACB(UTF):
             for (item_type, item_index) in iter_unpack(">HH", ref[1]):
                 if item_type == 1:
                     out.append(item_index)
-                elif item_type == 2 and item_index < len(synths) and item_index != sidx:
-                    out.extend(synth_waveforms(item_index))
+                elif item_type == 2 and item_index < len(synths):
+                    out.extend(synth_waveforms(item_index, seen))
             return out
 
         def track_waveforms(tidx):

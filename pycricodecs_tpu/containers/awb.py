@@ -70,9 +70,11 @@ class AWB:
             yield data
 
     def getfile_atindex(self, index: int) -> bytes:
-        index += 1
+        # member i spans [ofs[i], ofs[i+1]); the reference seeks ofs[i+1]
+        # and returns the NEXT member's bytes (empty for the last) — a bug
+        # we fix rather than reproduce (awb.py:90-96)
         self.stream.seek(self.ofs[index], 0)
-        data = self.stream.read(self.ofs[index] - self.ofs[index - 1])
+        data = self.stream.read(self.ofs[index + 1] - self.ofs[index])
         self.stream.seek(self.headersize, 0)
         return data
 

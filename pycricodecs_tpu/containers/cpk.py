@@ -60,10 +60,13 @@ class CPK:
                  ("EtocOffset", "EtocSize", "ETOC")]
         for off_key, size_key, name in specs:
             value = cpk.get(off_key)
-            if not value or not value[0]:
+            if not value or not self._cell(value, 0):
                 continue
-            self.stream.seek(value[0], 0)
-            self.tables[name] = TOC(self.stream.read(cpk[size_key][0])).table
+            # constant-storage (0x30/0x70) columns keep raw unpack tuples in
+            # the columnar table; _cell normalises them (old CPKs use 0x70)
+            self.stream.seek(self._cell(value, 0), 0)
+            self.tables[name] = TOC(
+                self.stream.read(self._cell(cpk[size_key], 0))).table
             if name == "ITOC":
                 for sub in ("DataL", "DataH"):
                     if sub in self.tables["ITOC"]:
@@ -98,7 +101,8 @@ class CPK:
         """Extract all files (TOC mode by name, ITOC mode by ID)."""
         if "TOC" in self.tables:
             toc = self.tables["TOC"]
-            base = dirname or (self.filename.rsplit(".")[0] if self.filename else "cpk_out")
+            base = dirname or (self.filename.rsplit(".", 1)[0]
+                               if self.filename else "") or "cpk_out"
             for i in range(len(toc["FileName"])):
                 subdir = self._cell(toc["DirName"], i)
                 target_dir = os.path.join(base, subdir) if subdir else base
@@ -114,7 +118,8 @@ class CPK:
         elif "ITOC" in self.tables:
             align = self._cell(self.tables["CPK"]["Align"], 0)
             offset = self._cell(self.tables["CPK"]["ContentOffset"], 0)
-            base = dirname or (self.filename.rsplit(".")[0] if self.filename else "")
+            base = dirname or (self.filename.rsplit(".", 1)[0]
+                               if self.filename else "")
             if base:
                 os.makedirs(base, exist_ok=True)
             pos = offset
@@ -153,7 +158,8 @@ class CPK:
             if filename not in toc["FileName"]:
                 raise ValueError("Given filename does not exist inside the provided CPK.")
             idx = toc["FileName"].index(filename)
-            base = dirname or (self.filename.rsplit(".")[0] if self.filename else "")
+            base = dirname or (self.filename.rsplit(".", 1)[0]
+                               if self.filename else "")
             subdir = self._cell(toc["DirName"], idx)
             target = os.path.join(base, subdir) if subdir else base
             if target:
@@ -172,7 +178,7 @@ class CPK:
                 if fid == file_id:
                     self.stream.seek(pos, 0)
                     data = self._read_entry(size, extract_size)
-                    base = dirname or (self.filename.rsplit(".")[0]
+                    base = dirname or (self.filename.rsplit(".", 1)[0]
                                        if self.filename else "")
                     if base:
                         os.makedirs(base, exist_ok=True)
@@ -303,18 +309,26 @@ class CPKBuilder:
         count = 0
         lent = 0
         switch = False
-        seen_files = set()
+        # the UTF string pool dedups GLOBALLY (utf.py:215-239): one seen-set
+        # covering dir names, file names and the strings already in the pool
+        # (table name, column keys, "<NULL>") keeps the estimate exact where
+        # the reference's separate dir/file sets over-count and trip the
+        # size assert (or corrupt FileOffsets under python -O)
+        seen = {"CpkTocInfo", "DirName", "FileName", "FileSize",
+                "ExtractSize", "FileOffset", "ID", "UserString", "<NULL>"}
         seen_dirs = set()
         for path in self.files:
             dname = self._rel_dirname(path)
             if dname not in seen_dirs:
                 switch = True
-                lent += len(dname) + 1
                 seen_dirs.add(dname)
+            if dname not in seen:
+                lent += len(dname) + 1
+                seen.add(dname)
             fname = os.path.basename(path)
-            if fname not in seen_files:
+            if fname not in seen:
                 lent += len(fname) + 1
-                seen_files.add(fname)
+                seen.add(fname)
             count += 1
         if switch and len(seen_dirs) != 1:
             lent = lent + (4 + 4 + 4 + 4 + 8 + 4) * count + 0x47 + 0x51
@@ -375,9 +389,12 @@ class CPKBuilder:
                           table_name="CpkTocInfo").parse()
 
     def _rel_dirname(self, path: str) -> str:
-        dname = os.path.dirname(path.split(self.dirname)[1])
-        if dname.startswith(os.sep) or dname.startswith("\\"):
-            dname = dname[1:]
+        # the reference splits on every occurrence of the root dir string
+        # (cpk.py:406), corrupting DirName when a subpath repeats it; use a
+        # real relative path instead (identical output for sane trees)
+        dname = os.path.dirname(os.path.relpath(path, self.dirname))
+        if dname == ".":
+            dname = ""
         return dname.replace("\\", "/").replace(os.sep, "/")
 
     def _generate_gtoc(self) -> bytearray:

@@ -10,6 +10,9 @@ from typing import BinaryIO, Generator
 
 IvfChunkHeaderStruct = Struct("<4sHH4sHHIIII")
 IvfFrameChunkHeaderStruct = Struct("<IQ")
+# Quirk reproduced for parity (see PARITY.md): the reference matches this
+# magic against data that STARTS with the 12-byte IVF frame header
+# (ivf.py:53-59), so the flag never fires and built USMs carry minchk=0.
 KEYFRAME_FLAG = b"\x82I\x83B"
 
 
@@ -29,7 +32,9 @@ class IVF:
         (header, version, header_len, codec, width, height, tbd, tbn,
          num_frames, reserved) = IvfChunkHeaderStruct.unpack(
             self.stream.read(IvfChunkHeaderStruct.size))
-        if header != b"DKIF" and codec != b"VP90":
+        # the reference's check uses `and` (ivf.py:31), accepting files
+        # where only one of magic/codec is right — a defect, not parity
+        if header != b"DKIF" or codec != b"VP90":
             raise ValueError("Invalid or unsupported IVF file/codec.")
         self.ivf = dict(
             Header=header, Version=version, HeaderSize=header_len, Codec=codec,

@@ -272,8 +272,7 @@ class UTFBuilder:
         for entry in self.stflag:
             storage, tindex, key = entry[0], entry[1], entry[2]
             out += int.to_bytes(storage | tindex, 1, "big")
-            name_ptr = self.strings.index(
-                b"\x00" + bytes(key, self.encoding) + b"\x00") + 1
+            name_ptr = self._strptr(key)
             if storage in (0x10, 0x50):
                 out += int.to_bytes(name_ptr, 4, "big")
             else:
@@ -283,13 +282,7 @@ class UTFBuilder:
                     out += int.to_bytes(value, calcsize(_struct_code(tindex)),
                                         "big")
                 elif tindex == 0xA:
-                    raw = bytes(value, self.encoding)
-                    if self.strings.startswith(raw + b"\x00"):
-                        out += b"\x00\x00\x00\x00"
-                    else:
-                        out += int.to_bytes(
-                            self.strings.index(b"\x00" + raw + b"\x00") + 1,
-                            4, "big")
+                    out += int.to_bytes(self._strptr(value), 4, "big")
                 else:
                     out += int.to_bytes(self.binary.index(value), 4, "big")
                     out += int.to_bytes(len(value), 4, "big")
@@ -311,8 +304,9 @@ class UTFBuilder:
                         idx = self.strings.index(b"\x00\x00") + 1
                         out += pack(">I", idx)
                     else:
-                        out += pack(">I", self.strings.index(
-                            b"\x00" + raw + b"\x00") + 1)
+                        # _strptr handles the pool's first string (offset 0,
+                        # e.g. "<NULL>" mixed into a varying column)
+                        out += pack(">I", self._strptr(value))
                 else:
                     out += pack(">II", self.binary.index(value), len(value))
         return out

@@ -5,10 +5,11 @@ import numpy as np
 import pytest
 
 from pycricodecs_tpu.containers.acb import ACB, ACBBuilder
-from pycricodecs_tpu.containers.awb import AWB, AWBBuilder
+from pycricodecs_tpu.containers.awb import AWB, AWBBuilder, build_afs2
 from pycricodecs_tpu.containers.cpk import CPK, CPKBuilder
 from pycricodecs_tpu.containers.ivf import IVF, build_ivf
 from pycricodecs_tpu.containers.usm import USM, USMBuilder
+from pycricodecs_tpu.containers.utf import UTF, UTFBuilder
 from pycricodecs_tpu.utils.wav import write_wav
 from tests.conftest import make_sine_pcm16
 
@@ -462,3 +463,106 @@ def test_usm_extract_decode_no_wav_collision(tmp_path):
     assert len(wavs) == 2, wavs
     payloads = {(out / n).read_bytes() for n in wavs}
     assert len(payloads) == 2
+
+
+def test_awb_getfile_atindex_returns_correct_member():
+    """The reference seeks past the member and returns the NEXT one's bytes
+    (empty for the last) — fixed. Members carry alignment padding, matching
+    getfiles()."""
+    blobs = [b"A" * 100, b"B" * 333, b"C" * 57]
+    awb = AWB(build_afs2(blobs))
+    members = list(awb.getfiles())
+    for i, blob in enumerate(blobs):
+        got = awb.getfile_atindex(i)
+        assert got == members[i], i
+        assert got.startswith(blob) and not any(got[len(blob):]), i
+
+
+def test_cpk_subdir_containing_root_name(tmp_path):
+    """DirName must survive subpaths repeating the root directory's name
+    (the reference's split() corrupts them)."""
+    root = tmp_path / "snd"
+    (root / "sndfx").mkdir(parents=True)
+    (root / "sndfx" / "a.bin").write_bytes(b"\x01" * 600)
+    (root / "b.bin").write_bytes(b"\x02" * 300)
+    out = tmp_path / "t.cpk"
+    CPKBuilder(str(root), str(out), CpkMode=1)
+    cpk = CPK(str(out))
+    toc = cpk.tables["TOC"]
+    pairs = {(cpk._cell(toc["DirName"], i), cpk._cell(toc["FileName"], i))
+             for i in range(len(toc["FileName"]))}
+    assert ("sndfx", "a.bin") in pairs and ("", "b.bin") in pairs
+    cpk.extract_file("a.bin", dirname=str(tmp_path / "x"))
+    assert (tmp_path / "x" / "sndfx" / "a.bin").read_bytes() == b"\x01" * 600
+
+
+def test_cpk_toc_estimate_shared_string_dedup(tmp_path):
+    """A directory and file sharing a name dedup in the UTF string pool;
+    the size pre-estimate must agree (the reference's disjoint dir/file
+    sets over-count and trip the build assert)."""
+    root = tmp_path / "r"
+    (root / "foo").mkdir(parents=True)
+    (root / "foo" / "foo").write_bytes(b"\x03" * 500)   # dir and file: "foo"
+    (root / "foo" / "ID").write_bytes(b"\x04" * 200)    # column-key collision
+    out = tmp_path / "dedup.cpk"
+    CPKBuilder(str(root), str(out), CpkMode=1)          # asserts internally
+    cpk = CPK(str(out))
+    cpk.extract_file("foo", dirname=str(tmp_path / "y"))
+    assert (tmp_path / "y" / "foo" / "foo").read_bytes() == b"\x03" * 500
+
+
+def test_cpk_constant_storage_header_columns(tmp_path, oracle_py):
+    """_check_tocs must normalise constant-storage header cells (0x30/0x70
+    columns keep raw tuples in the columnar table)."""
+    root = tmp_path / "c"
+    root.mkdir()
+    (root / "one.bin").write_bytes(b"\x05" * 128)
+    out = tmp_path / "c.cpk"
+    CPKBuilder(str(root), str(out), CpkMode=1)
+    cpk = CPK(str(out))
+    # single-row header tables always use per-row storage, so synthesise
+    # what a constant-storage (0x30/0x70) parse produces: raw unpack tuples
+    # in the columnar table (utf.py keeps them for quirk parity)
+    for key in ("TocOffset", "TocSize", "ContentOffset", "Align"):
+        cell = cpk.tables["CPK"].get(key)
+        if cell and not isinstance(cell[0], tuple):
+            cpk.tables["CPK"][key] = [(cell[0],)]
+    cpk.tables.pop("TOC", None)
+    cpk._check_tocs()                       # must normalise, not TypeError
+    assert "TOC" in cpk.tables
+    cpk.extract_file("one.bin", dirname=str(tmp_path / "z"))
+    assert (tmp_path / "z" / "one.bin").read_bytes() == b"\x05" * 128
+
+
+def test_utf_builder_null_mixed_string_column():
+    """A varying string column mixing '<NULL>' (pool offset 0) with real
+    values serialises and round-trips."""
+    from pycricodecs_tpu.containers.chunk import UTFTypeValues as TV
+
+    payload = [{"A": (TV.string, "<NULL>"), "N": (TV.uint, 0)},
+               {"A": (TV.string, "x"), "N": (TV.uint, 1)}]
+    blob = bytes(UTFBuilder(payload, table_name="NB").parse())
+    got = UTF(blob).get_payload()
+    assert got[0]["A"][1] == "<NULL>" and got[1]["A"][1] == "x"
+
+
+def test_acb_synth_reference_cycle_terminates():
+    """A 2-node ReferenceItems cycle must not recurse forever."""
+    from struct import pack as _pack
+    from pycricodecs_tpu.containers.acb import ACB
+    from pycricodecs_tpu.containers.chunk import UTFTypeValues as TV
+
+    synth = [{"ReferenceItems": (TV.bytes, _pack(">HH", 2, 1))},
+             {"ReferenceItems": (TV.bytes, _pack(">HH", 2, 0))}]
+    acb = ACB.__new__(ACB)
+    acb.payload = [{
+        "SynthTable": synth,
+        "CueNameTable": [{"CueName": (TV.string, "c"),
+                          "CueIndex": (TV.ushort, 0)}],
+        "CueTable": [{"ReferenceType": (TV.uchar, 2),
+                      "ReferenceIndex": (TV.ushort, 0)}],
+        "WaveformTable": [],
+    }]
+    acb.awb = None
+    names = acb.cue_names()      # must terminate
+    assert isinstance(names, dict)
