@@ -272,32 +272,33 @@ class USM:
                 point += 1
         point = 0
         written: set = set()
+
+        def _chunk_filename(chunk_name, point):
+            """CRID-listed name for this output slot, or a fallback for data
+            chunks demux carried beyond the CRID table (e.g. @USR/@PST) and
+            for empty/fully-sanitised CRID filenames."""
+            name = filenames[point] if point < len(filenames) else ""
+            if not name or name.rstrip(os.sep + "/") in ("", dirname):
+                name = os.path.join(dirname, chunk_name + ".bin")
+            os.makedirs(os.path.dirname(name) or ".", exist_ok=True)
+            return name
+
         for chunk_name, data in self.output.items():
             tag = chunk_name.rsplit("_", 1)[0]
-            if point < len(filenames) and (dirname or os.sep in filenames[point]
-                                           or "/" in filenames[point]):
-                os.makedirs(os.path.dirname(filenames[point]) or ".",
-                            exist_ok=True)
             if tag == USMChunckHeaderType.SBT.value.decode():
+                name = _chunk_filename(chunk_name, point)
                 for i, text in enumerate(self.sbt_to_srt(data)):
-                    name = filenames[point]
-                    if "." in name:
-                        name = name.rsplit(".", 1)[0] + f"_{i}.srt"
+                    if "." in os.path.basename(name):
+                        sub = name.rsplit(".", 1)[0] + f"_{i}.srt"
                     else:
-                        name = name + f"_{i}"
-                    with open(name, "w", encoding="utf-8") as fh:
+                        sub = name + f"_{i}"
+                    with open(sub, "w", encoding="utf-8") as fh:
                         fh.write(text)
                 point += 1
             elif tag == USMChunckHeaderType.CUE.value.decode() or not data:
                 point += 1
             else:
-                if point < len(filenames):
-                    name = filenames[point]
-                else:
-                    # data chunks demux may carry beyond the CRID-listed
-                    # streams (e.g. @USR/@PST); name them after the chunk
-                    name = os.path.join(dirname, chunk_name + ".bin")
-                    os.makedirs(os.path.dirname(name) or ".", exist_ok=True)
+                name = _chunk_filename(chunk_name, point)
                 payload = bytes(data)
                 if decode and tag in (
                         USMChunckHeaderType.SFA.value.decode(),
@@ -313,9 +314,10 @@ class USM:
                         base = name.rsplit(".", 1)[0] \
                             if "." in os.path.basename(name) else name
                         name = base + ".wav"
-                        if name in written:
-                            stem = name[:-4]
-                            name = f"{stem}_{point}.wav"
+                if name in written:
+                    stem, dot, ext = name.rpartition(".")
+                    name = f"{stem}_{point}{dot}{ext}" if dot \
+                        else f"{name}_{point}"
                 with open(name, "wb") as fh:
                     fh.write(payload)
                 written.add(name)
@@ -480,10 +482,22 @@ class USMBuilder:
         self._load_audio_one(audio)
 
     def _load_audio_one(self, track) -> None:
-        saved = self.streams, self.stream_infos
+        saved = self.streams, self.stream_infos, self.audio_filenames
         self._load_audio([track])
         self.streams = saved[0] + self.streams
         self.stream_infos = saved[1] + self.stream_infos
+        self.audio_filenames = saved[2] + self.audio_filenames
+        # auto-generated names restart at "00.sfa" per call; renumber
+        # duplicates so every CRID row keeps a distinct filename
+        seen: set = set()
+        fixed = []
+        for i, nm in enumerate(self.audio_filenames):
+            if nm in seen:
+                stem, dot, ext = nm.rpartition(".")
+                nm = f"{stem}_{i}{dot}{ext}" if dot else f"{nm}_{i}"
+            seen.add(nm)
+            fixed.append(nm)
+        self.audio_filenames = fixed
 
     # -- intervals ---------------------------------------------------------
 
@@ -499,9 +513,13 @@ class USMBuilder:
         framerate = 29.97
         if self.audio_codec == "adx":
             for info in self.stream_infos:
-                self.SFA_chunk_size.append(
-                    int(info.sample_rate // framerate // 32)
-                    * (info.block_size * info.channels))
+                size = (int(info.sample_rate // framerate // 32)
+                        * (info.block_size * info.channels))
+                if size <= 0:
+                    raise ValueError(
+                        "ADX sample rate too low for USM SFA chunking "
+                        f"({info.sample_rate} Hz needs >= 960 Hz).")
+                self.SFA_chunk_size.append(size)
                 self.base_interval_per_SFA_chunk.append(
                     99.9 if self.video_codec == "vp9" else 100)
         else:
@@ -681,15 +699,18 @@ class USMBuilder:
         return all_chunks
 
     def _assemble(self, sfv_list, sfa_chunks) -> None:
-        header = self._build_header(sfv_list, sfa_chunks)
+        sbt_list = self._gen_sbt_chunks() if self.subtitles else []
+        alp_list = self._gen_alp_chunks() if self.alpObj is not None else []
+        extra_len = (sum(len(x) for x in sbt_list)
+                     + sum(len(x) for x in alp_list))
+        header = self._build_header(sfv_list, sfa_chunks, extra_len)
         len_sfv = len(sfv_list)
         len_sfa = [len(x) for x in sfa_chunks] if self.audio else [0]
-        max_len = max(len_sfv, max(len_sfa))
         current_interval = 0.0
         target_interval = 0.0
         sfa_count = 0
-        sbt_list = self._gen_sbt_chunks() if self.subtitles else []
-        alp_list = self._gen_alp_chunks() if self.alpObj is not None else []
+        # alpha IVFs longer than the main video must still flush fully
+        max_len = max(len_sfv, max(len_sfa), len(alp_list))
         out = bytearray(header)
         for i in range(max_len):
             if i < len_sfv:
@@ -715,7 +736,7 @@ class USMBuilder:
                         sfa_count += 1
         self.usm = bytes(out)
 
-    def _build_header(self, sfv_list, sfa_chunks) -> bytes:
+    def _build_header(self, sfv_list, sfa_chunks, extra_len=0) -> bytes:
         tv = UTFTypeValues
         nstreams = len(self.streams) if self.audio else 0
         crid_rows = [dict(
@@ -856,7 +877,7 @@ class USMBuilder:
             "ofs_frmid": (tv.int, 0), "resv": (tv.short, 0),
         }]
 
-        total_len = sum(len(x) for x in sfv_list) + first_chk_ofs
+        total_len = sum(len(x) for x in sfv_list) + first_chk_ofs + extra_len
         if self.audio:
             total_len += sum(len(x) for s in sfa_chunks for x in s)
         crid_rows[0]["filesize"] = (tv.uint, total_len)

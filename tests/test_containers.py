@@ -566,3 +566,52 @@ def test_acb_synth_reference_cycle_terminates():
     acb.awb = None
     names = acb.cue_names()      # must terminate
     assert isinstance(names, dict)
+
+
+def test_usm_append_stream_keeps_filenames(tmp_path):
+    """append_stream must preserve earlier tracks' CRID filenames (it used
+    to reset audio_filenames to only the new track and crash build())."""
+    ivf_blob = _fake_ivf()
+    wav_a = write_wav(make_sine_pcm16(8000, 1, 32000, seed=61), 1, 32000)
+    wav_b = write_wav(make_sine_pcm16(8000, 1, 32000, seed=62), 1, 32000)
+    b = USMBuilder(ivf_blob, audio=[wav_a], audio_codec="hca")
+    b.append_stream(wav_b)
+    usm = USM(b.build())
+    usm.demux()
+    assert "@SFA_0" in usm.output and "@SFA_1" in usm.output
+    meta = usm.get_metadata()
+    crid = next(iter(meta[0].values()))
+    names = [row["filename"][1] for row in crid[1:]]
+    assert len(names) == len(set(names)) == 3  # video + 2 distinct tracks
+
+
+def test_usm_alpha_longer_than_video(tmp_path):
+    """@ALP streams longer than the main video must flush completely."""
+    short = _fake_ivf(nframes=4)
+    long_alpha = _fake_ivf(nframes=9)
+    blob = USMBuilder(short, alpha=long_alpha).build()
+    usm = USM(blob)
+    usm.demux()
+    alp = bytes(usm.output["@ALP_0"])
+    ref = bytes(usm.output["@SFV_0"])
+    assert len(IVF(alp).info()) and alp[:4] == b"DKIF"
+    from pycricodecs_tpu.containers.ivf import IVF as _IVF
+    assert len(list(_IVF(alp).get_frames())) == 9
+    assert len(list(_IVF(ref).get_frames())) == 4
+    # header filesize accounts for the alpha payload: the gap to the true
+    # size equals the plain build's constant 0x40 parity quirk (the
+    # reference's total_len formula, usm.py:994-1002)
+    crid = next(iter(usm.get_metadata()[0].values()))
+    plain = USMBuilder(_fake_ivf(nframes=4)).build()
+    u2 = USM(plain)
+    u2.demux()
+    plain_gap = len(plain) - \
+        next(iter(u2.get_metadata()[0].values()))[0]["filesize"][1]
+    assert len(blob) - crid[0]["filesize"][1] == plain_gap
+
+
+def test_usm_builder_rejects_sub_960hz_adx():
+    ivf_blob = _fake_ivf()
+    wav = write_wav(make_sine_pcm16(2048, 1, 800, seed=63), 1, 800)
+    with pytest.raises(ValueError):
+        USMBuilder(ivf_blob, audio=[wav], audio_codec="adx").build()
