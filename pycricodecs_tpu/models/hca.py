@@ -22,6 +22,21 @@ SAMPLES_PER_FRAME = 1024
 DEFAULT_KEY = hca_crypt.DEFAULT_KEY
 
 
+def loop_points(info) -> tuple:
+    """(looping, loop_start, loop_end) in output samples (hca.cpp:3372-3373).
+
+    Shared by the single-stream and batched WAV writers so the loop math
+    cannot drift between them."""
+    if not info.loop_flag:
+        return False, 0, 0
+    loop_start = (info.loop_start_frame * SAMPLES_PER_FRAME
+                  + info.loop_start_delay - info.encoder_delay)
+    loop_end = (info.loop_end_frame * SAMPLES_PER_FRAME
+                + (SAMPLES_PER_FRAME - info.loop_end_padding)
+                - info.encoder_delay)
+    return True, loop_start, loop_end
+
+
 def decode_range(data: bytes, start_frame: int, end_frame: int = -1,
                  key: int = 0, subkey: int = 0) -> np.ndarray:
     """Decode an arbitrary frame range [start_frame, end_frame) to PCM16.
@@ -105,14 +120,7 @@ def decode(data: bytes, key: int = 0, subkey: int = 0) -> bytes:
     n = min(samples_per_channel, pcm.shape[0])
     out[:n] = pcm[:n]
 
-    looping = info.loop_flag
-    loop_start = loop_end = 0
-    if looping:
-        loop_start = (info.loop_start_frame * SAMPLES_PER_FRAME
-                      + info.loop_start_delay - info.encoder_delay)
-        loop_end = (info.loop_end_frame * SAMPLES_PER_FRAME
-                    + (SAMPLES_PER_FRAME - info.loop_end_padding)
-                    - info.encoder_delay)
+    looping, loop_start, loop_end = loop_points(info)
     return wavmod.write_wav(out.reshape(-1), info.channels, info.sample_rate,
                             looping=looping, loop_start=loop_start,
                             loop_end=loop_end)

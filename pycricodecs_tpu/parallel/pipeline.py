@@ -25,6 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models import hca as hca_model
 from ..ops import hca_frame, hca_kernels
 from ..utils import hca_crypt
 from ..utils import wav as wavmod
@@ -194,14 +195,7 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
         if return_arrays:
             out.append((item, info))
         else:
-            looping = info.loop_flag
-            loop_start = loop_end = 0
-            if looping:
-                loop_start = (info.loop_start_frame * SAMPLES_PER_FRAME
-                              + info.loop_start_delay - info.encoder_delay)
-                loop_end = (info.loop_end_frame * SAMPLES_PER_FRAME
-                            + (SAMPLES_PER_FRAME - info.loop_end_padding)
-                            - info.encoder_delay)
+            looping, loop_start, loop_end = hca_model.loop_points(info)
             out.append(wavmod.write_wav(
                 item.reshape(-1), info.channels, info.sample_rate,
                 looping=looping, loop_start=loop_start, loop_end=loop_end))
@@ -259,6 +253,19 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
     # i instead of serialising behind it.
     import concurrent.futures as _cf
     fetch_pool = _cf.ThreadPoolExecutor(max_workers=2)
+    try:
+        _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
+                            chunk_sizes, chunk, B, fmax, C, info0, hfr,
+                            pairs, need_noise, hfr_args)
+    finally:
+        # an exception mid-group (isolate mode retries per stream) must not
+        # leak the pool's threads or in-flight device PCM fetches
+        fetch_pool.shutdown(wait=True)
+
+
+def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
+                        chunk_sizes, chunk, B, fmax, C, info0, hfr, pairs,
+                        need_noise, hfr_args):
     pending = []  # (fetched_future, [(batch_row, stream_idx), ...])
     start = 0
     t_unpack = 0.0
@@ -266,8 +273,7 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
     for csize in chunk_sizes:
         members = group[start:start + csize]
         start += csize
-        Bp = max(1 << (csize - 1).bit_length(), min(4, csize)) \
-            if csize > 2 else csize
+        Bp = (1 << (csize - 1).bit_length()) if csize > 2 else csize
         if B > chunk:
             Bp = chunk  # uniform chunk shape -> one compiled executable
         if mesh is not None:
@@ -324,10 +330,14 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
         args = (qc, sf, res, inten, noise_src, noise_sci, noise_mask) + hfr_args
         if mesh is not None:
             batch_axis = mesh.axis_names[0]
+            # qc/sf/res/inten are always [Bp, fmax, ...]; the noise tensors
+            # only when need_noise (otherwise size-1 placeholders that must
+            # stay replicated — shape[0] == Bp is not a safe test at Bp == 1)
+            batch_shaped = [True] * 4 + [need_noise] * 3
             shardings = []
-            for a in args[:7]:
+            for a, is_batch in zip(args[:7], batch_shaped):
                 spec = [None] * np.ndim(a)
-                if np.ndim(a) >= 1 and a.shape[0] == Bp:
+                if is_batch:
                     spec[0] = batch_axis
                     if np.ndim(a) >= 2 and len(mesh.axis_names) > 1 \
                             and mesh.devices.shape[1] > 1:
@@ -352,10 +362,8 @@ def _decode_group(group, infos, results, mesh, stats=None) -> None:
                        - info.encoder_delay - info.encoder_padding)
             pcm = out[b].reshape(-1, info.channels)
             pcm = pcm[info.encoder_delay:info.encoder_delay + samples]
-            full = np.zeros((samples, info.channels), dtype=np.int16)
-            full[:pcm.shape[0]] = pcm
-            results[idx] = full
-    fetch_pool.shutdown(wait=True)
+            # owned copy: a view would pin the whole fetched chunk buffer
+            results[idx] = pcm.copy()
     if stats is not None:
         stats.unpack_seconds += t_unpack
         stats.device_seconds += t_device
@@ -378,12 +386,25 @@ def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,
     out: List = [None] * len(members)
     for i, wav_bytes in zip(hca_idx, decoded):
         out[i] = wav_bytes
+    ahx_idx = []
     for i, m in enumerate(members):
-        if out[i] is None:
-            if decode_non_hca and bytes(m[:2]) == b"\x80\x00":
-                out[i] = adx_decode(m)
-            else:
-                out[i] = bytes(m)
+        if out[i] is not None:
+            continue
+        m = bytes(m)
+        if decode_non_hca and m[:2] == b"\x80\x00" and len(m) > 4:
+            if m[4] in (0x10, 0x11):        # AHX rides the ADX magic
+                ahx_idx.append(i)
+                continue
+            try:
+                out[i] = adx_decode(m, strict_cri_check=False)
+                continue
+            except Exception:
+                pass                         # malformed: pass through raw
+        out[i] = m
+    if ahx_idx:
+        for i, wav_bytes in zip(ahx_idx, ahx_decode_batch(
+                [bytes(members[i]) for i in ahx_idx], on_error="isolate")):
+            out[i] = wav_bytes if wav_bytes is not None else bytes(members[i])
     return out
 
 
@@ -397,7 +418,7 @@ def decode_acb(acb_obj_or_bytes, key: int = 0,
     return decode_awb(acb.awb, key=key, mesh=mesh)
 
 
-def adx_decode_batch(blobs: Sequence[bytes], mesh: Optional[Mesh] = None,
+def adx_decode_batch(blobs: Sequence[bytes],
                      device: bool = False) -> List[bytes]:
     """Decode many ADX streams.
 
@@ -413,7 +434,6 @@ def adx_decode_batch(blobs: Sequence[bytes], mesh: Optional[Mesh] = None,
 
     from ..models import adx as adx_model
     from ..ops import adx_kernels
-    from ..utils.bitio import unpack_fixed_codes
 
     if not device:
         from .. import native
@@ -514,8 +534,7 @@ def find_key(data: bytes, candidates, subkey: int = 0,
     if info.ciph_type == 56:
         keys_u64 = np.asarray(candidates, dtype=np.uint64)
         if subkey:
-            factor = np.uint64((((subkey & 0xFFFF) << 16)
-                                | ((~subkey + 2) & 0xFFFF)))
+            factor = np.uint64(hca_crypt.scramble_subkey(1, subkey))
             with np.errstate(over="ignore"):
                 keys_u64 = keys_u64 * factor   # mod 2^64 (hca.cpp:3309-3311)
         tables = hca_crypt.cipher_tables_56_batch(keys_u64)
@@ -724,35 +743,40 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
 
     import concurrent.futures as _cf
     fetch_pool = _cf.ThreadPoolExecutor(max_workers=2)
-    pending = []
-    for (nch, bucket), members in groups.items():
-        B = len(members)
-        Bp = B if mesh is None else _round_up(B, mesh.devices.shape[0])
-        codes = np.zeros((Bp, bucket, nch, 36, 32), dtype=np.uint16)
-        levels = np.zeros((Bp, bucket, nch, 32), dtype=np.int32)
-        sfidx = np.zeros((Bp, bucket, nch, 3, 32), dtype=np.uint8)
-        for row, idx in enumerate(members):
-            st = parsed[idx][0]
-            codes[row, :st.nframes] = st.codes
-            levels[row, :st.nframes] = st.levels
-            sfidx[row, :st.nframes] = st.sfidx
-        args = (codes, levels, sfidx)
-        if mesh is not None:
-            spec = NamedSharding(mesh, P(mesh.axis_names[0]))
-            args = tuple(jax.device_put(a, spec) for a in args)
-        out_dev = mp2_kernels.dispatch_decode_batched(*args)
-        pending.append((fetch_pool.submit(np.asarray, out_dev), members))
-    fetch_pool.shutdown(wait=True)
-    for fut, members in pending:
-        pcm = fut.result()                                # [Bp, C, T*32]
-        for row, idx in enumerate(members):
-            _finish(idx, pcm[row])
+    try:
+        pending = []
+        for (nch, bucket), members in groups.items():
+            B = len(members)
+            Bp = B if mesh is None else _round_up(B, mesh.devices.shape[0])
+            codes = np.zeros((Bp, bucket, nch, 36, 32), dtype=np.uint16)
+            levels = np.zeros((Bp, bucket, nch, 32), dtype=np.int32)
+            sfidx = np.zeros((Bp, bucket, nch, 3, 32), dtype=np.uint8)
+            for row, idx in enumerate(members):
+                st = parsed[idx][0]
+                codes[row, :st.nframes] = st.codes
+                levels[row, :st.nframes] = st.levels
+                sfidx[row, :st.nframes] = st.sfidx
+            args = (codes, levels, sfidx)
+            if mesh is not None:
+                spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+                args = tuple(jax.device_put(a, spec) for a in args)
+            out_dev = mp2_kernels.dispatch_decode_batched(*args)
+            pending.append((fetch_pool.submit(np.asarray, out_dev), members))
+        for fut, members in pending:
+            pcm = fut.result()                            # [Bp, C, T*32]
+            for row, idx in enumerate(members):
+                _finish(idx, pcm[row])
+    finally:
+        fetch_pool.shutdown(wait=True)
     return results
 
 
-def encode_batch(wavs: Sequence[bytes], mesh: Optional[Mesh] = None,
-                 **adx_kwargs) -> List[bytes]:
-    """Batched ADX encode of WAV inputs (shared jitted kernels per shape)."""
+def encode_batch(wavs: Sequence[bytes], **adx_kwargs) -> List[bytes]:
+    """Encode WAV inputs to ADX, one stream at a time.
+
+    ADX encode is a serial clamped recurrence per stream — the same
+    single-core economics as adx_decode_batch, so the native per-stream
+    path wins; this is a convenience wrapper, not a device batch."""
     from ..models import adx as adx_model
 
     return [adx_model.encode(w, **adx_kwargs) for w in wavs]

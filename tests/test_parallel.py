@@ -272,3 +272,49 @@ def test_rank_keys_orders_clipped_keys_below_clean():
     assert list(order[:2]) == [1, 4]    # lowest positive totals first
     assert order[2] == 0                # heavy clipping ranks after
     assert order[3] == 3 and order[4] == 2  # silent, then rejected
+
+
+def test_decode_batch_single_stream_sp_mesh():
+    """A lone stream under a (1, sp) sequence-parallel mesh: the size-1
+    noise placeholders must stay replicated, not get a dp/sp sharding."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.models import hca as hcamod
+    from pycricodecs_tpu.utils.wav import write_wav
+    from tests.conftest import make_sine_pcm16
+    import numpy as np
+
+    wav = write_wav(make_sine_pcm16(16384, 2, 48000, seed=70), 2, 48000)
+    blob = hca_encode_host.encode(wav, quality=2)
+    mesh = parallel.make_mesh((1, 8))
+    out = parallel.decode_batch([blob], mesh=mesh)
+    single = hcamod.decode(blob)
+    assert out[0][:44] == single[:44]
+    a = np.frombuffer(out[0][44:], "<i2").astype(int)
+    b = np.frombuffer(single[44:], "<i2").astype(int)
+    assert a.shape == b.shape and np.abs(a - b).max() <= 1
+
+
+def test_decode_awb_mixed_members_isolated():
+    """AHX members decode, malformed ADX-magic members pass through raw."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.containers.awb import build_afs2
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.models import adx as adxmod
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.utils.wav import write_wav
+    from tests.conftest import make_sine_pcm16
+
+    hca_m = hca_encode_host.encode(
+        write_wav(make_sine_pcm16(8192, 2, 48000, seed=71), 2, 48000),
+        quality=2)
+    ahx_m = AHX.encode(write_wav(make_sine_pcm16(22050, 1, 22050, seed=72),
+                                 1, 22050), bitrate_kbps=96)
+    adx_m = adxmod.encode(write_wav(make_sine_pcm16(4096, 1, 32000, seed=73),
+                                    1, 32000))
+    bad_m = b"\x80\x00" + b"\x07" * 62        # ADX magic, garbage body
+    bank = build_afs2([hca_m, ahx_m, adx_m, bad_m])
+    out = parallel.decode_awb(bank)
+    assert out[0][:4] == b"RIFF" and out[1][:4] == b"RIFF"
+    assert out[2][:4] == b"RIFF"
+    assert out[3].startswith(bad_m)            # raw pass-through (padded)
