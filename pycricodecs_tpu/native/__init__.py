@@ -77,6 +77,12 @@ def load():
         lib.cri_crc16_batch.restype = None
         lib.cri_crc16_batch.argtypes = [u8p, ctypes.c_uint32,
                                         ctypes.c_uint32, u16p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.cri_mp2_unpack_frames.restype = ctypes.c_int32
+        lib.cri_mp2_unpack_frames.argtypes = [
+            u8p, i64p, i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
+            i32p, i32p, u16p, i32p, u8p]
         lib.cri_adx_decode_scan.restype = None
         lib.cri_adx_decode_scan.argtypes = [
             i32p, i32p, i32p, i32p, i32p, i32p,

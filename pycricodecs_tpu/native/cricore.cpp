@@ -1919,5 +1919,141 @@ void cri_hca_cipher56_batch(const uint64_t* keys, int64_t nkeys,
     for (auto& th : pool) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// MPEG Layer II frame unpack (AHX codec)
+//
+// Host fast path for ops/mp2_frame.py::unpack. The numpy path is the
+// behavioural reference; this writes identical SoA tensors. One call
+// unpacks a whole stream's frames (side info + sample codes).
+// ---------------------------------------------------------------------------
+
+namespace mp2 {
+
+struct BitReader {
+    const uint8_t* p;
+    int64_t nbits;
+    int64_t pos = 0;
+    BitReader(const uint8_t* buf, int64_t nbytes)
+        : p(buf), nbits(nbytes * 8) {}
+    // MSB-first read; sets fail on overrun (caller aborts the frame)
+    bool fail = false;
+    inline uint32_t get(int n) {
+        if (pos + n > nbits) { fail = true; return 0; }
+        uint32_t v = 0;
+        int64_t q = pos;
+        pos += n;
+        while (n > 0) {
+            int byte = (int)(q >> 3);
+            int bit = (int)(q & 7);
+            int take = 8 - bit;
+            if (take > n) take = n;
+            v = (v << take)
+                | ((uint32_t)(p[byte] >> (8 - bit - take)) & ((1u << take) - 1));
+            q += take;
+            n -= take;
+        }
+        return v;
+    }
+};
+
+}  // namespace mp2
+
+// Unpack `nframes` Layer II frames into SoA tensors.
+//   frame_offsets[f]: byte offset of frame f in `data`;
+//   frame_sizes[f]:   its size (incl. header);
+//   nbal[sblimit]:    allocation field widths per subband;
+//   classes[sblimit * 16]: quant levels per (subband, alloc index), 0 = none
+//     (the LSF/MPEG-1 tables from ops/mp2_tables.py, padded to 16);
+//   bounds[f]: first jointly-coded subband of frame f (mode_ext varies
+//     per frame in joint stereo); crc_flag: 16-bit CRC after the header.
+// Outputs: codes u16 [F, C, 36, 32], levels i32 [F, C, 32],
+//          sfidx u8 [F, C, 3, 32] (all pre-zeroed by the caller).
+// Returns 0, or -1 on a truncated/malformed frame.
+int32_t cri_mp2_unpack_frames(
+    const uint8_t* data, const int64_t* frame_offsets,
+    const int32_t* frame_sizes, int32_t nframes,
+    int32_t nch, int32_t sblimit, const int32_t* bounds, int32_t crc_flag,
+    const int32_t* nbal, const int32_t* classes,
+    uint16_t* codes, int32_t* levels, uint8_t* sfidx) {
+    const int C = nch;
+    for (int f = 0; f < nframes; f++) {
+        const int32_t bound = bounds[f];
+        mp2::BitReader br(data + frame_offsets[f], frame_sizes[f]);
+        br.get(32);
+        if (crc_flag) br.get(16);
+
+        int32_t alloc[2][32] = {{0}};
+        for (int sb = 0; sb < sblimit; sb++) {
+            if (sb < bound) {
+                for (int ch = 0; ch < C; ch++)
+                    alloc[ch][sb] = classes[sb * 16 + br.get(nbal[sb])];
+            } else {
+                int32_t n = classes[sb * 16 + br.get(nbal[sb])];
+                for (int ch = 0; ch < C; ch++) alloc[ch][sb] = n;
+            }
+        }
+        int32_t scfsi[2][32] = {{0}};
+        for (int sb = 0; sb < sblimit; sb++)
+            for (int ch = 0; ch < C; ch++)
+                if (alloc[ch][sb]) scfsi[ch][sb] = (int32_t)br.get(2);
+
+        uint8_t* sf_f = sfidx + (size_t)f * C * 3 * 32;
+        for (int sb = 0; sb < sblimit; sb++) {
+            for (int ch = 0; ch < C; ch++) {
+                if (!alloc[ch][sb]) continue;
+                uint32_t a, b, c;
+                switch (scfsi[ch][sb]) {
+                    case 0: a = br.get(6); b = br.get(6); c = br.get(6); break;
+                    case 1: a = b = br.get(6); c = br.get(6); break;
+                    case 2: a = b = c = br.get(6); break;
+                    default: a = br.get(6); b = c = br.get(6); break;
+                }
+                uint8_t* sf = sf_f + (size_t)ch * 3 * 32;
+                sf[0 * 32 + sb] = (uint8_t)a;
+                sf[1 * 32 + sb] = (uint8_t)b;
+                sf[2 * 32 + sb] = (uint8_t)c;
+            }
+        }
+        int32_t* lv_f = levels + (size_t)f * C * 32;
+        for (int ch = 0; ch < C; ch++)
+            for (int sb = 0; sb < sblimit; sb++)
+                lv_f[(size_t)ch * 32 + sb] = alloc[ch][sb];
+
+        uint16_t* q_f = codes + (size_t)f * C * 36 * 32;
+        for (int gr = 0; gr < 12; gr++) {
+            int row = gr * 3;
+            for (int sb = 0; sb < sblimit; sb++) {
+                bool shared = sb >= bound;
+                int chs = shared ? 1 : C;
+                for (int ch = 0; ch < chs; ch++) {
+                    int32_t n = alloc[ch][sb];
+                    if (!n) continue;
+                    uint32_t v0, v1, v2;
+                    if (n == 3 || n == 5 || n == 9) {
+                        int gb = n == 3 ? 5 : (n == 5 ? 7 : 10);
+                        uint32_t c = br.get(gb);
+                        v0 = c % n; c /= n;
+                        v1 = c % n;
+                        v2 = c / n;
+                    } else {
+                        int b = 1;
+                        while ((1 << b) - 1 < n) b++;
+                        v0 = br.get(b); v1 = br.get(b); v2 = br.get(b);
+                    }
+                    int last = shared ? C : ch + 1;
+                    for (int dch = shared ? 0 : ch; dch < last; dch++) {
+                        uint16_t* q = q_f + (size_t)dch * 36 * 32;
+                        q[(size_t)(row + 0) * 32 + sb] = (uint16_t)v0;
+                        q[(size_t)(row + 1) * 32 + sb] = (uint16_t)v1;
+                        q[(size_t)(row + 2) * 32 + sb] = (uint16_t)v2;
+                    }
+                }
+            }
+        }
+        if (br.fail) return -1;
+    }
+    return 0;
+}
+
 }  // extern "C"
 

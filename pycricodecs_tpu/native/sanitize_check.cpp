@@ -71,8 +71,40 @@ static void hostile_decompress() {
     printf("  hostile decompress cases OK\n");
 }
 
+static void mp2_unpack_cases() {
+    // well-formed-ish and hostile Layer II frames must never read OOB
+    std::mt19937 rng(123);
+    const int sblimit = 30;
+    int32_t nbal[30]; int32_t classes[30 * 16] = {0};
+    for (int sb = 0; sb < 30; sb++) {
+        nbal[sb] = sb < 4 ? 4 : (sb < 11 ? 3 : 2);
+        int32_t lsf4[16] = {0,3,5,7,9,15,31,63,127,255,511,1023,2047,4095,
+                            8191,16383};
+        int32_t lsf3[8] = {0,3,5,9,15,31,63,127};
+        int32_t lsf2[4] = {0,3,5,9};
+        for (int i = 0; i < (1 << nbal[sb]); i++)
+            classes[sb * 16 + i] = nbal[sb] == 4 ? lsf4[i]
+                                   : (nbal[sb] == 3 ? lsf3[i] : lsf2[i]);
+    }
+    for (int t = 0; t < 300; t++) {
+        int32_t fsize = 16 + (int32_t)(rng() % 640);
+        std::vector<uint8_t> frame(fsize);
+        for (auto& b : frame) b = (uint8_t)rng();
+        std::vector<uint16_t> codes((size_t)1 * 1 * 36 * 32, 0);
+        std::vector<int32_t> levels(32, 0);
+        std::vector<uint8_t> sfidx((size_t)3 * 32, 0);
+        int64_t off = 0;
+        int32_t bound = sblimit;
+        cri_mp2_unpack_frames(frame.data(), &off, &fsize, 1, 1, sblimit,
+                              &bound, t & 1, nbal, classes,
+                              codes.data(), levels.data(), sfidx.data());
+    }
+    printf("  mp2 unpack fuzz OK\n");
+}
+
 int main() {
     hostile_decompress();
+    mp2_unpack_cases();
     std::mt19937 rng(7);
     std::vector<uint8_t> text;
     for (int i = 0; i < 120; i++)

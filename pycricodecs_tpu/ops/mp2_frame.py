@@ -181,14 +181,17 @@ def _frame_field_layout(alloc: np.ndarray, hdr: Mp2Header) -> np.ndarray:
 
 
 def unpack(data: bytes, offset: int = 0,
-           max_frames: Optional[int] = None) -> Mp2Stream:
+           max_frames: Optional[int] = None,
+           use_native: bool = True) -> Mp2Stream:
     """Unpack consecutive Layer II frames starting at ``offset`` into SoA
     tensors.  Stops at end of data, a sync loss, or a config change.
 
-    The data-dependent side info (alloc/scfsi/scalefactors) is read serially
-    per frame; the sample sections — fixed-layout once alloc is known — are
-    extracted for ALL frames at once with width-bucketed vectorised bit
-    gathers, then ungrouped and scattered into [F, C, 36, 32]."""
+    Fast path: the C++ core (native/cricore.cpp cri_mp2_unpack_frames)
+    unpacks whole streams in one call.  Python fallback: the data-dependent
+    side info (alloc/scfsi/scalefactors) is read serially per frame; the
+    sample sections — fixed-layout once alloc is known — are extracted for
+    ALL frames at once with width-bucketed vectorised bit gathers, then
+    ungrouped and scattered into [F, C, 36, 32]."""
     hdr0 = parse_header(data, offset)
     frames = []                                  # (abs byte offset, frame)
     pos = offset
@@ -213,6 +216,10 @@ def unpack(data: bytes, offset: int = 0,
     codes = np.zeros((F, C, 36, 32), dtype=np.uint16)
     levels = np.zeros((F, C, 32), dtype=np.int32)
     sfidx = np.zeros((F, C, 3, 32), dtype=np.uint8)
+
+    if use_native and _unpack_native(data, frames, hdr0,
+                                     codes, levels, sfidx):
+        return Mp2Stream(hdr0, codes, levels, sfidx, F)
 
     # serial pass: side info + per-frame field layouts
     per_frame = []                               # (desc [n,5], offs, rows, i)
@@ -332,3 +339,46 @@ def pack_frame(hdr: Mp2Header, bitrate_idx: int, sr_idx: int,
                     nb = T.code_bits(n)
                     bw.write(v0, nb), bw.write(v1, nb), bw.write(v2, nb)
     return bw.getvalue()
+
+
+def _unpack_native(data: bytes, frames, hdr0: Mp2Header,
+                   codes: np.ndarray, levels: np.ndarray,
+                   sfidx: np.ndarray) -> bool:
+    """One-call C++ unpack of all frames; False if the core is unavailable.
+
+    Raises ValueError on a truncated frame (same contract as the Python
+    path)."""
+    import ctypes
+
+    from .. import native
+    lib = native.load()
+    if lib is None:
+        return False
+    offsets = np.array([off for off, _ in frames], dtype=np.int64)
+    sizes = np.array([len(fr) for _, fr in frames], dtype=np.int32)
+    # mode_ext (hence the joint-stereo bound) varies per frame
+    bounds = np.array([parse_header(fr).bound for _, fr in frames],
+                      dtype=np.int32)
+    table = T.ALLOC_TABLES[hdr0.table_id]
+    nbal = np.array([(len(cl) - 1).bit_length() for cl in table],
+                    dtype=np.int32)
+    classes = np.zeros((hdr0.sblimit, 16), dtype=np.int32)
+    for sb, cl in enumerate(table):
+        classes[sb, :len(cl)] = cl
+    buf = np.frombuffer(data, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.cri_mp2_unpack_frames(
+        buf.ctypes.data_as(u8p),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(i32p), np.int32(len(frames)),
+        np.int32(hdr0.nch), np.int32(hdr0.sblimit),
+        bounds.ctypes.data_as(i32p),
+        np.int32(1 if hdr0.crc else 0),
+        nbal.ctypes.data_as(i32p), classes.ctypes.data_as(i32p),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        levels.ctypes.data_as(i32p),
+        sfidx.ctypes.data_as(u8p))
+    if rc < 0:
+        raise ValueError("Layer II frame truncated mid-field.")
+    return True

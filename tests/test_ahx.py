@@ -214,3 +214,29 @@ def test_ahx_decode_zero_fills_truncated_stream():
     assert len(dec) == len(pcm)
     assert not dec[:5 * 1152].astype(bool).all() or True  # decoded head
     assert (dec[6 * 1152:] == 0).all()                    # zero tail
+
+
+@pytest.mark.parametrize("sr,mode,kbps", [
+    (22050, "mono", 96), (44100, "joint", 192), (44100, "stereo", 224),
+    (48000, "mono", 48), (32000, "mono", 48), (24000, "stereo", 128),
+])
+def test_native_unpack_matches_python(sr, mode, kbps):
+    """cri_mp2_unpack_frames writes byte-identical SoA tensors to the
+    vectorised Python reference across tables and stereo modes."""
+    from pycricodecs_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native core unavailable")
+    nch = 1 if mode == "mono" else 2
+    mp2 = mo.twolame_encode(_sig(sr, nch), sr, kbps, mode)
+    a = mp2_frame.unpack(mp2, use_native=True)
+    b = mp2_frame.unpack(mp2, use_native=False)
+    assert a.nframes == b.nframes
+    assert (a.codes == b.codes).all()
+    assert (a.levels == b.levels).all()
+    assert (a.sfidx == b.sfidx).all()
+    # CRC-protected variant too
+    mp2c = mo.twolame_encode_crc(_sig(sr, nch), sr, kbps, mode)
+    a = mp2_frame.unpack(mp2c, use_native=True)
+    b = mp2_frame.unpack(mp2c, use_native=False)
+    assert (a.codes == b.codes).all() and (a.sfidx == b.sfidx).all()

@@ -65,3 +65,18 @@ def test_find_key_serial_fallback(no_native):
     cands = [0x1111, key, 0x2222]
     scores = parallel.find_key(enc, cands, max_frames=4)
     assert int(scores.argmax()) == 1
+
+
+def test_mp2_unpack_python_mirrors(no_native):
+    """The vectorised Python MP2 unpack is the native core's reference."""
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.ops import mp2_frame
+    from pycricodecs_tpu.utils.wav import write_wav
+    from tests.conftest import make_sine_pcm16
+
+    pcm = make_sine_pcm16(22050, 1, 22050, seed=80)
+    blob = AHX.encode(write_wav(pcm, 1, 22050), bitrate_kbps=96)
+    st = mp2_frame.unpack(blob, AHX.parse_header(blob)["data_offset"])
+    assert st.nframes > 0 and st.codes.any()
+    wav = AHX.decode(blob)
+    assert wav[:4] == b"RIFF"
