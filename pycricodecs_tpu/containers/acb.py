@@ -51,7 +51,11 @@ class ACB(UTF):
         if awb_cell is not None and isinstance(awb_cell, tuple) and awb_cell[1]:
             self.awb = AWB(awb_cell[1])
             return
-        name = self.payload[0]["Name"][1] + ".awb"
+        name_cell = self.payload[0].get("Name")
+        if not (isinstance(name_cell, tuple) and len(name_cell) == 2
+                and isinstance(name_cell[1], str)):
+            raise ValueError("ACB has neither an embedded AwbFile nor a Name.")
+        name = name_cell[1] + ".awb"
         if isinstance(self.filename, str):
             name = os.path.join(os.path.dirname(self.filename), name)
         self.awb = AWB(name)
@@ -110,21 +114,37 @@ class ACB(UTF):
         """
         pl = self.payload[0]
         names: dict = {}
-        cue_names = pl.get("CueNameTable") or []
-        cues = pl.get("CueTable") or []
-        waveforms = pl.get("WaveformTable") or []
-        synths = pl.get("SynthTable") or []
-        sequences = pl.get("SequenceTable") or []
-        tracks = pl.get("TrackTable") or []
-        track_events = pl.get("TrackEventTable") or pl.get("CommandTable") or []
+
+        def table(key, alt=None):
+            # corrupt files may leave a raw (enum, value) cell where a
+            # parsed sub-table (list of row dicts) is expected
+            v = pl.get(key)
+            if not isinstance(v, list) and alt is not None:
+                v = pl.get(alt)
+            return v if isinstance(v, list) else []
+
+        def cell(row, key, types):
+            v = row.get(key) if isinstance(row, dict) else None
+            if isinstance(v, tuple) and len(v) == 2 and isinstance(v[1], types):
+                return v[1]
+            return None
+
+        cue_names = table("CueNameTable")
+        cues = table("CueTable")
+        waveforms = table("WaveformTable")
+        synths = table("SynthTable")
+        sequences = table("SequenceTable")
+        tracks = table("TrackTable")
+        track_events = table("TrackEventTable", "CommandTable")
 
         def waveform_awb_id(widx):
             if widx >= len(waveforms):
                 return None
             w = waveforms[widx]
             for k in ("MemoryAwbId", "Id"):
-                if k in w:
-                    return w[k][1]
+                v = cell(w, k, int)
+                if v is not None:
+                    return v
             return None
 
         def synth_waveforms(sidx, seen=None):
@@ -136,11 +156,12 @@ class ACB(UTF):
             if sidx in seen:
                 return []
             seen.add(sidx)
-            ref = synths[sidx].get("ReferenceItems")
-            if ref is None or not ref[1]:
+            ref = cell(synths[sidx], "ReferenceItems", (bytes, bytearray))
+            if not ref:
                 return []
+            ref = ref[:len(ref) - len(ref) % 4]
             out = []
-            for (item_type, item_index) in iter_unpack(">HH", ref[1]):
+            for (item_type, item_index) in iter_unpack(">HH", ref):
                 if item_type == 1:
                     out.append(item_index)
                 elif item_type == 2 and item_index < len(synths):
@@ -150,14 +171,14 @@ class ACB(UTF):
         def track_waveforms(tidx):
             if tidx >= len(tracks):
                 return []
-            ev = tracks[tidx].get("EventIndex")
-            if ev is None or ev[1] == 65535 or ev[1] >= len(track_events):
+            ev = cell(tracks[tidx], "EventIndex", int)
+            if ev is None or ev == 65535 or ev >= len(track_events):
                 return []
-            cmd = track_events[ev[1]].get("Command")
+            cmd = cell(track_events[ev], "Command", (bytes, bytearray))
             if cmd is None:
                 return []
             out = []
-            data = bytes(cmd[1])
+            data = bytes(cmd)
             pos = 0
             while pos + 3 <= len(data):
                 op = int.from_bytes(data[pos:pos + 2], "big")
@@ -174,12 +195,14 @@ class ACB(UTF):
             return out
 
         for entry in cue_names:
-            cue_index = entry["CueIndex"][1]
-            cue_name = entry["CueName"][1]
-            if cue_index >= len(cues):
+            cue_index = cell(entry, "CueIndex", int)
+            cue_name = cell(entry, "CueName", str)
+            if cue_index is None or cue_name is None or cue_index >= len(cues):
                 continue
-            ref_type = cues[cue_index]["ReferenceType"][1]
-            ref_index = cues[cue_index]["ReferenceIndex"][1]
+            ref_type = cell(cues[cue_index], "ReferenceType", int)
+            ref_index = cell(cues[cue_index], "ReferenceIndex", int)
+            if ref_type is None or ref_index is None:
+                continue
             widxs = []
             if ref_type == 1:
                 widxs = [ref_index]
@@ -187,9 +210,11 @@ class ACB(UTF):
                 widxs = synth_waveforms(ref_index)
             elif ref_type == 3 or ref_type == 8:
                 if ref_index < len(sequences):
-                    ti = sequences[ref_index].get("TrackIndex")
-                    if ti is not None and ti[1]:
-                        for (tidx,) in iter_unpack(">H", ti[1]):
+                    ti = cell(sequences[ref_index], "TrackIndex",
+                              (bytes, bytearray))
+                    if ti:
+                        ti = ti[:len(ti) - len(ti) % 2]
+                        for (tidx,) in iter_unpack(">H", ti):
                             widxs.extend(track_waveforms(tidx))
             for n, widx in enumerate(widxs):
                 awb_id = waveform_awb_id(widx)

@@ -42,6 +42,8 @@ class AWB:
             self.stream.read(AWBChunkHeader.size))
         if magic != b"AFS2":
             raise ValueError("Invalid AWB header.")
+        if self.align == 0:
+            raise ValueError("Invalid AWB alignment.")
         self.id_intsize = id_intsize
         self.ids = [v[0] for v in iter_unpack(
             "<" + _int_code(id_intsize),

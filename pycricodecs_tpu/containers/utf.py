@@ -64,6 +64,11 @@ class UTF:
         (magic, self.table_size, self.rows_offset, self.string_offset,
          self.data_offset, table_name_ptr, self.num_columns, self.row_length,
          self.num_rows) = UTFChunkHeader.unpack(data[:UTFChunkHeader.size])
+        # hostile headers: a u32 row count whose rows cannot fit in the blob
+        # would spin the row loop for minutes (or build a giant payload)
+        cap = len(data) if self.row_length else 0x100000
+        if self.num_rows * max(self.row_length, 1) > max(cap, 1):
+            raise ValueError("Implausible @UTF row count.")
         self.magic = magic
         self._parse(data, table_name_ptr)
 

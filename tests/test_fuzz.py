@@ -20,15 +20,19 @@ N_MUTATIONS = 120
 
 def _mutate(rng, blob: bytes):
     buf = bytearray(blob)
-    kind = rng.integers(0, 3)
+    kind = rng.integers(0, 4)
     if kind == 0 and len(buf) > 4:       # flip random bytes
         for _ in range(rng.integers(1, 8)):
             buf[rng.integers(0, len(buf))] ^= int(rng.integers(1, 256))
     elif kind == 1:                       # truncate
         buf = buf[:rng.integers(0, len(buf))]
-    else:                                 # splice garbage
+    elif kind == 2:                       # splice garbage
         pos = int(rng.integers(0, len(buf)))
         buf[pos:pos] = bytes(rng.integers(0, 256, int(rng.integers(1, 64))).astype(np.uint8))
+    elif len(buf) > 8:                    # zero a span (fake empty tables)
+        a = int(rng.integers(0, len(buf) - 4))
+        b = min(len(buf), a + int(rng.integers(1, 256)))
+        buf[a:b] = b"\x00" * (b - a)
     return bytes(buf)
 
 
