@@ -64,9 +64,17 @@ class CPK:
                 continue
             # constant-storage (0x30/0x70) columns keep raw unpack tuples in
             # the columnar table; _cell normalises them (old CPKs use 0x70)
-            self.stream.seek(self._cell(value, 0), 0)
+            off = self._cell(value, 0)
+            size = self._cell(cpk.get(size_key, [0]), 0)
+            end = self.stream.seek(0, 2)
+            if not isinstance(off, int) or not isinstance(size, int) \
+                    or off < 0 or size < 0 or off > end:
+                raise ValueError(f"Corrupt CPK {off_key}/{size_key}.")
+            self.stream.seek(off, 0)
+            # clamp: FileIO.read pre-allocates the requested size, so a
+            # forged u64 here would be a multi-GB allocation
             self.tables[name] = TOC(
-                self.stream.read(self._cell(cpk[size_key], 0))).table
+                self.stream.read(min(size, end - off))).table
             if name == "ITOC":
                 for sub in ("DataL", "DataH"):
                     if sub in self.tables["ITOC"]:
