@@ -48,7 +48,10 @@ def main():
     blobs = [hca_blob] * n_streams
     audio_seconds = n_streams * duration_s
 
-    print(f"platform={platform} devices={len(jax.devices())}", file=sys.stderr)
+    engine = parallel.pick_hca_engine()
+    print(f"platform={platform} devices={len(jax.devices())} "
+          f"engine={engine} (d2h {parallel.measure_d2h_bandwidth():.0f} MB/s)",
+          file=sys.stderr)
     # warmup at the real batch shape (compiles once; persistent cache reuses)
     t0 = time.perf_counter()
     parallel.decode_batch(blobs)
@@ -68,10 +71,13 @@ def main():
               f" {stats.device_seconds:.2f}s D2H-bound tail"
               f" {stats.fetch_seconds:.2f}s)", file=sys.stderr)
     pcm_bytes = sum(len(o) for o in out)
-    print(f"stage breakdown: PCM out {pcm_bytes/1e6:.0f}MB; the tunnelled"
-          f" TPU's ~40-50MB/s device->host link is the end-to-end bound"
-          f" (device compute is <1% of wallclock; see README 'performance')",
-          file=sys.stderr)
+    print(f"stage breakdown: PCM out {pcm_bytes/1e6:.0f}MB, engine={engine}."
+          f" decode_batch(engine='auto') probes the device->host link once:"
+          f" the tunnelled TPU's ~25-50MB/s link cannot carry bank PCM as"
+          f" fast as the native host lanes produce it (~100MB/s/core), so"
+          f" banks route to the C++ lanes there; on local-PCIe hardware the"
+          f" batched device path wins and is chosen instead"
+          f" (see README 'performance')", file=sys.stderr)
 
     print(json.dumps({
         "metric": "hca_bank_decode_audio_sec_per_sec_per_chip",

@@ -116,6 +116,49 @@ def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
+_d2h_mbps: Optional[float] = None
+
+
+def measure_d2h_bandwidth(nbytes: int = 8 << 20) -> float:
+    """Measure device->host copy bandwidth (MB/s) once per process.
+
+    Remote/tunneled TPU backends can be orders of magnitude slower than
+    local PCIe (tens of MB/s vs ~10 GB/s); the bank-decode engine choice
+    hinges on this number, so probe it instead of guessing from platform
+    names. Cached after the first call.
+    """
+    global _d2h_mbps
+    if _d2h_mbps is not None:
+        return _d2h_mbps
+    try:
+        import jax.numpy as jnp
+        x = (jnp.zeros((nbytes // 4,), jnp.float32) + 1).block_until_ready()
+        np.asarray(x[:1024])  # warm the transfer path
+        t0 = time.perf_counter()
+        out = np.asarray(x)
+        dt = time.perf_counter() - t0
+        _d2h_mbps = out.nbytes / 1e6 / max(dt, 1e-9)
+    except Exception:
+        _d2h_mbps = float("inf")
+    return _d2h_mbps
+
+
+# Below this device->host bandwidth the device engine cannot beat a single
+# host core end-to-end: the native HCA decode produces PCM at ~100 MB/s/core
+# and the device path additionally spends host CPU on unpack + fetch (the
+# fetch itself costs ~0.3 CPU-fraction on the tunneled backend), so a slow
+# link makes the device path strictly worse per CPU-second AND wall-bound.
+D2H_HOST_ENGINE_MBPS = 300.0
+
+
+def pick_hca_engine() -> str:
+    from .. import native
+    if native.load() is None:
+        return "device"
+    return "host" if measure_d2h_bandwidth() < D2H_HOST_ENGINE_MBPS \
+        else "device"
+
+
 def _config_key(info: hca_frame.HcaInfo) -> tuple:
     return (info.channels, info.version, info.frame_size,
             info.min_resolution, info.max_resolution, info.total_band_count,
@@ -129,6 +172,7 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
                  mesh: Optional[Mesh] = None,
                  return_arrays: bool = False,
                  on_error: str = "raise",
+                 engine: str = "auto",
                  stats: Optional[DecodeStats] = None) -> List[bytes]:
     """Decode many HCA streams in device batches.
 
@@ -141,10 +185,19 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
     "isolate" keeps going — failed streams come back as the exception object
     instead of bytes (per-stream error isolation, SURVEY.md §5).
 
+    engine: "device" = batched TPU transform; "host" = per-stream native C++
+    decode lanes; "auto" probes the device->host link once and routes to the
+    host lanes when the link is too slow to carry the PCM (tunneled
+    backends), to the device otherwise. Both engines are bit-exact.
+
     Returns WAV bytes per stream (or (pcm16 array, info) when return_arrays).
     """
     if on_error not in ("raise", "isolate"):
         raise ValueError("on_error must be 'raise' or 'isolate'")
+    if engine not in ("auto", "device", "host"):
+        raise ValueError("engine must be 'auto', 'device' or 'host'")
+    if engine == "auto":
+        engine = pick_hca_engine()
     _ensure_compile_cache()
     t_start = time.perf_counter()
     infos = []
@@ -171,20 +224,26 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
         groups.setdefault(_config_key(entry[0]), []).append(idx)
 
     results: List = [None] * len(blobs)
-    for group in groups.values():
-        if on_error == "raise":
-            _decode_group(group, infos, results, mesh, stats)
-            continue
-        try:
-            _decode_group(group, infos, results, mesh, stats)
-        except Exception:  # noqa: BLE001
-            # a stream in this group is corrupt: fall back to per-stream
-            # decode so one bad member doesn't take down its group
-            for idx in group:
-                try:
-                    _decode_group([idx], infos, results, mesh, stats)
-                except Exception as exc:  # noqa: BLE001
-                    failures[idx] = exc
+    if engine == "host":
+        t0 = time.perf_counter()
+        _decode_host_lanes(infos, results, failures, on_error)
+        if stats is not None:
+            stats.unpack_seconds += time.perf_counter() - t0
+    else:
+        for group in groups.values():
+            if on_error == "raise":
+                _decode_group(group, infos, results, mesh, stats)
+                continue
+            try:
+                _decode_group(group, infos, results, mesh, stats)
+            except Exception:  # noqa: BLE001
+                # a stream in this group is corrupt: fall back to per-stream
+                # decode so one bad member doesn't take down its group
+                for idx in group:
+                    try:
+                        _decode_group([idx], infos, results, mesh, stats)
+                    except Exception as exc:  # noqa: BLE001
+                        failures[idx] = exc
 
     out = []
     for i, entry in enumerate(infos):
@@ -209,6 +268,52 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
             int(np.size(r)) for r in results if r is not None)
         stats.total_seconds += time.perf_counter() - t_start
     return out
+
+
+def _decode_host_lanes(infos, results, failures, on_error) -> None:
+    """Host engine: per-stream native C++ unpack+transform lanes.
+
+    The right engine when the device->host link is slower than a host core
+    can produce PCM (~100 MB/s/core) — e.g. tunneled TPUs, where shipping a
+    256-stream bank's PCM dominates end-to-end wallclock (measured 77x
+    realtime device-path vs ~280x on one host core). Threaded across
+    streams; on a 1-core host the pool degrades to sequential at no cost.
+    """
+    import concurrent.futures as _cf
+
+    def one(idx_entry):
+        idx, (info, blob, hs) = idx_entry
+        frames = blob[hs:hs + info.frame_count * info.frame_size]
+        if len(frames) < info.frame_count * info.frame_size:
+            frames = frames[:len(frames) // info.frame_size * info.frame_size]
+        pcm = hca_model.decode_frames_to_pcm(info, frames, use_jax=False)
+        # same trim/pad as the device path: drop encoder delay, zero-fill
+        # any frames missing from a truncated stream (silence, like the
+        # zero-padded batch tensor decodes to)
+        samples = (info.frame_count * SAMPLES_PER_FRAME
+                   - info.encoder_delay - info.encoder_padding)
+        pcm = pcm[info.encoder_delay:info.encoder_delay + samples]
+        if pcm.shape[0] < samples:
+            full = np.zeros((samples, info.channels), dtype=np.int16)
+            full[:pcm.shape[0]] = pcm
+            pcm = full
+        return idx, pcm
+
+    work = [(i, e) for i, e in enumerate(infos) if e is not None]
+    max_workers = min(8, os.cpu_count() or 1)
+    with _cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {pool.submit(one, w): w[0] for w in work}
+        for fut in _cf.as_completed(futures):
+            idx = futures[fut]
+            try:
+                i, pcm = fut.result()
+                results[i] = pcm
+            except Exception as exc:  # noqa: BLE001
+                if on_error == "raise":
+                    for other in futures:
+                        other.cancel()
+                    raise
+                failures[idx] = exc
 
 
 def _decode_group(group, infos, results, mesh, stats=None) -> None:
@@ -371,7 +476,8 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
 
 
 def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,
-               decode_non_hca: bool = True) -> List[bytes]:
+               decode_non_hca: bool = True,
+               engine: str = "auto") -> List[bytes]:
     """Decode every HCA member of an AWB bank in one device batch."""
     from ..containers.awb import AWB
     from ..models.adx import decode as adx_decode
@@ -382,7 +488,7 @@ def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,
     hca_idx = [i for i, m in enumerate(members)
                if bytes(m[:4]) in (b"HCA\x00", b"\xC8\xC3\xC1\x00")]
     decoded = decode_batch([members[i] for i in hca_idx], key=key,
-                           subkey=awb.subkey, mesh=mesh)
+                           subkey=awb.subkey, mesh=mesh, engine=engine)
     out: List = [None] * len(members)
     for i, wav_bytes in zip(hca_idx, decoded):
         out[i] = wav_bytes
@@ -409,13 +515,14 @@ def decode_awb(awb_obj_or_bytes, key: int = 0, mesh: Optional[Mesh] = None,
 
 
 def decode_acb(acb_obj_or_bytes, key: int = 0,
-               mesh: Optional[Mesh] = None) -> List[bytes]:
+               mesh: Optional[Mesh] = None,
+               engine: str = "auto") -> List[bytes]:
     """Decode an ACB's waveform bank in one device batch (BASELINE config 5)."""
     from ..containers.acb import ACB
 
     acb = acb_obj_or_bytes if isinstance(acb_obj_or_bytes, ACB) \
         else ACB(acb_obj_or_bytes)
-    return decode_awb(acb.awb, key=key, mesh=mesh)
+    return decode_awb(acb.awb, key=key, mesh=mesh, engine=engine)
 
 
 def adx_decode_batch(blobs: Sequence[bytes],

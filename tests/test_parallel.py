@@ -26,6 +26,25 @@ def test_decode_batch_matches_single(oracle):
         assert wav_bytes == hcamod.decode(blob)
 
 
+def test_decode_batch_host_engine_matches_device(oracle):
+    # engine router: host C++ lanes and the batched device path are bit-exact
+    blobs = (_tracks(oracle, 2) + _tracks(oracle, 1, channels=1)
+             + _tracks(oracle, 1, samples=4096))
+    host = parallel.decode_batch(blobs, engine="host")
+    device = parallel.decode_batch(blobs, engine="device")
+    for blob, h, d in zip(blobs, host, device):
+        assert h == d == hcamod.decode(blob)
+
+
+def test_decode_batch_host_engine_isolation(oracle):
+    blobs = _tracks(oracle, 3)
+    blobs[1] = blobs[1][:8]  # truncated header: unparseable
+    out = parallel.decode_batch(blobs, engine="host", on_error="isolate")
+    assert isinstance(out[1], Exception)
+    assert out[0] == hcamod.decode(blobs[0])
+    assert out[2] == hcamod.decode(blobs[2])
+
+
 def test_decode_batch_mixed_configs(oracle):
     # different channel counts force separate groups
     blobs = _tracks(oracle, 2, channels=2) + _tracks(oracle, 2, channels=1)
