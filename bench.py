@@ -59,7 +59,7 @@ def main():
           file=sys.stderr)
 
     best = 0.0
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_RUNS", "5"))):
         stats = parallel.DecodeStats()
         t0 = time.perf_counter()
         out = parallel.decode_batch(blobs, stats=stats)

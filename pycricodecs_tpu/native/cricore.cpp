@@ -12,6 +12,9 @@
 #include <algorithm>
 #include <thread>
 #include <vector>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -38,10 +41,40 @@ const uint16_t* crc_table() {
 }
 }  // namespace
 
+namespace {
+// Slice-by-8 tables: S[k][v] = CRC16 of byte v followed by k zero bytes.
+// Lets 8 input bytes fold with 8 independent lookups instead of an 8-deep
+// serial chain (the frame-unpack hot path CRCs every 512-byte frame).
+struct Crc8Table {
+    uint16_t s[8][256];
+    Crc8Table() {
+        const uint16_t* t = crc_table();
+        for (int v = 0; v < 256; v++) s[0][v] = t[v];
+        for (int k = 1; k < 8; k++)
+            for (int v = 0; v < 256; v++) {
+                uint16_t p = s[k - 1][v];
+                s[k][v] = (uint16_t)((p << 8) ^ t[p >> 8]);
+            }
+    }
+};
+const uint16_t (*crc8_table())[256] {
+    static const Crc8Table tbl;
+    return tbl.s;
+}
+}  // namespace
+
 uint16_t cri_crc16(const uint8_t* data, uint32_t size) {
     const uint16_t* tbl = crc_table();
+    const uint16_t (*s8)[256] = crc8_table();
     uint16_t s = 0;
-    for (uint32_t i = 0; i < size; i++)
+    uint32_t i = 0;
+    for (; i + 8 <= size; i += 8) {
+        const uint8_t* b = data + i;
+        s = (uint16_t)(s8[7][b[0] ^ (s >> 8)] ^ s8[6][b[1] ^ (s & 0xFF)]
+                       ^ s8[5][b[2]] ^ s8[4][b[3]] ^ s8[3][b[4]]
+                       ^ s8[2][b[5]] ^ s8[1][b[6]] ^ s8[0][b[7]]);
+    }
+    for (; i < size; i++)
         s = (uint16_t)((s << 8) ^ tbl[(s >> 8) ^ data[i]]);
     return s;
 }
@@ -292,16 +325,22 @@ uint32_t cri_layla_compress(const uint8_t* src, uint32_t src_len,
 namespace hca {
 
 // Fast MSB-first reader. Requires 8 readable bytes past the logical end
-// (callers pad their buffers); one unaligned 64-bit big-endian load per read.
+// (callers pad their buffers). A cached 64-bit big-endian window serves most
+// peeks without touching memory; it refills (one unaligned load + bswap)
+// only when the requested bits fall outside it, which also covers backward
+// skips (the unsigned diff wraps and forces a refill). Reads of up to 57
+// bits are always available post-refill (window start is byte-aligned).
 struct BitReader {
     const uint8_t* data;
     int size;  // bits
     int pos = 0;
+    uint64_t cache = 0;
+    int cbase = INT32_MIN / 2;  // bit offset of cache start; force 1st refill
     BitReader(const uint8_t* d, int bytes) : data(d), size(bytes * 8) {}
-    inline uint32_t peek(int n) const {
-        if (n <= 0 || pos + n > size) return 0;
+    inline void refill() {
+        const int byte = pos >> 3;
         uint64_t v;
-        std::memcpy(&v, data + (pos >> 3), 8);
+        std::memcpy(&v, data + byte, 8);
 #if defined(__GNUC__)
         v = __builtin_bswap64(v);
 #else
@@ -310,7 +349,17 @@ struct BitReader {
             ((v >> 8) & 0xFF000000ull) | ((v >> 24) & 0xFF0000ull) |
             ((v >> 40) & 0xFF00ull) | (v >> 56);
 #endif
-        return (uint32_t)((v << (pos & 7)) >> (64 - n));
+        cache = v;
+        cbase = byte << 3;
+    }
+    inline uint32_t peek(int n) {
+        if (n <= 0 || pos + n > size) return 0;
+        uint32_t diff = (uint32_t)(pos - cbase);
+        if (diff + (uint32_t)n > 64u) {
+            refill();
+            diff = (uint32_t)(pos & 7);
+        }
+        return (uint32_t)((cache << diff) >> (64 - n));
     }
     inline uint32_t read(int n) {
         uint32_t v = peek(n);
@@ -1082,6 +1131,259 @@ static inline int16_t hca_pcm16(float v) {
     return (int16_t)(int32_t)sc;
 }
 
+// ---------------------------------------------------------------------------
+// Per-channel IMDCT (7+7 stage butterfly network) + window overlap-add,
+// emitting PCM16 into a contiguous [8][128] buffer. All 8 subframes of the
+// channel travel together: the arrays are [128 spectral lines][8 subframe
+// lanes], so one line is exactly one 256-bit vector. GCC refuses to
+// auto-vectorize these loops ("complicated access pattern"), hence the
+// explicit AVX2 twin below — bit-exact with the scalar path (same fp32 ops
+// in the same order; the reversal permutes don't touch arithmetic).
+// ---------------------------------------------------------------------------
+static void hca_imdct_ola_scalar(const float* spc /*[8][128]*/, float* carry,
+                                 const float* sn7, const float* cs7,
+                                 const float* win, int16_t* pcmch) {
+    alignas(32) float va[128][8], vb[128][8];
+    for (int k = 0; k < 128; ++k)
+        for (int t = 0; t < 8; ++t)
+            va[k][t] = spc[t * 128 + k];
+    float (*x)[8] = va;
+    float (*y)[8] = vb;
+    // part 1: add/sub tree (count1 groups of count2 pairs)
+    {
+        int count1 = 1, count2 = 64;
+        for (int st = 0; st < 7; ++st) {
+            for (int g = 0; g < count1; ++g) {
+                const int base_i = g * count2 * 2;
+                for (int j = 0; j < count2; ++j) {
+                    const float* a = x[base_i + 2 * j];
+                    const float* b = x[base_i + 2 * j + 1];
+                    float* yo1 = y[base_i + j];
+                    float* yo2 = y[base_i + count2 + j];
+                    for (int u = 0; u < 8; ++u) {
+                        yo1[u] = a[u] + b[u];
+                        yo2[u] = a[u] - b[u];
+                    }
+                }
+            }
+            std::swap(x, y);
+            count1 <<= 1;
+            count2 >>= 1;
+        }
+    }
+    // part 2: twiddle stages
+    {
+        int count1 = 64, count2 = 1;
+        for (int st = 0; st < 7; ++st) {
+            const float* sn = sn7 + st * 64;
+            const float* cs = cs7 + st * 64;
+            for (int g = 0; g < count1; ++g) {
+                const int base_i = g * 2 * count2;
+                for (int j = 0; j < count2; ++j) {
+                    const float* a = x[base_i + j];
+                    const float* b = x[base_i + count2 + j];
+                    const float w1 = sn[g * count2 + j];
+                    const float w2 = cs[g * count2 + j];
+                    float* yo1 = y[base_i + j];
+                    float* yo2 = y[base_i + 2 * count2 - 1 - j];
+                    for (int u = 0; u < 8; ++u) {
+                        yo1[u] = a[u] * w1 - b[u] * w2;
+                        yo2[u] = a[u] * w2 + b[u] * w1;
+                    }
+                }
+            }
+            std::swap(x, y);
+            count1 >>= 1;
+            count2 <<= 1;
+        }
+    }
+    // overlap-add: wave[k]    = w[k]*dct[64+k]    + prev[k]
+    //              wave[64+k] = w[64+k]*dct[127-k] - prev[64+k]
+    // where prev[k] = w[127-k]*pdct[63-k], prev[64+k] = w[63-k]*pdct[k]
+    for (int t = 0; t < 8; ++t) {
+        int16_t* o = pcmch + (size_t)t * 128;
+        if (t == 0) {
+            for (int k = 0; k < 64; ++k)
+                o[k] = hca_pcm16(win[k] * x[64 + k][0]
+                                 + win[127 - k] * carry[63 - k]);
+            for (int k = 0; k < 64; ++k)
+                o[64 + k] = hca_pcm16(win[64 + k] * x[127 - k][0]
+                                      - win[63 - k] * carry[k]);
+        } else {
+            for (int k = 0; k < 64; ++k)
+                o[k] = hca_pcm16(win[k] * x[64 + k][t]
+                                 + win[127 - k] * x[63 - k][t - 1]);
+            for (int k = 0; k < 64; ++k)
+                o[64 + k] = hca_pcm16(win[64 + k] * x[127 - k][t]
+                                      - win[63 - k] * x[k][t - 1]);
+        }
+    }
+    for (int k = 0; k < 128; ++k) carry[k] = x[k][7];
+}
+
+#if defined(__AVX2__)
+static inline __m256 hca_rev8(__m256 v) {
+    const __m256i idx = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+    return _mm256_permutevar8x32_ps(v, idx);
+}
+
+// 16 floats (already scaled by 32768) -> 16 int16, matching hca_pcm16 lanewise
+// (>=32767 -> 32767, <=-32768 -> -32768, NaN -> 0, else truncate toward 0).
+static inline __m256i hca_clamp16x16(__m256 s0, __m256 s1) {
+    const __m256 hi = _mm256_set1_ps(32767.0f);
+    const __m256 lo = _mm256_set1_ps(-32768.0f);
+    __m256i r[2];
+    __m256 s[2] = {s0, s1};
+    for (int i = 0; i < 2; ++i) {
+        __m256 ge = _mm256_cmp_ps(s[i], hi, _CMP_GE_OQ);
+        __m256 le = _mm256_cmp_ps(s[i], lo, _CMP_LE_OQ);
+        __m256 un = _mm256_cmp_ps(s[i], s[i], _CMP_UNORD_Q);
+        __m256i t = _mm256_cvttps_epi32(s[i]);
+        t = _mm256_blendv_epi8(t, _mm256_set1_epi32(32767),
+                               _mm256_castps_si256(ge));
+        t = _mm256_blendv_epi8(t, _mm256_set1_epi32(-32768),
+                               _mm256_castps_si256(le));
+        t = _mm256_andnot_si256(_mm256_castps_si256(un), t);
+        r[i] = t;
+    }
+    __m256i p = _mm256_packs_epi32(r[0], r[1]);
+    return _mm256_permute4x64_epi64(p, _MM_SHUFFLE(3, 1, 2, 0));
+}
+
+static void hca_imdct_ola_avx2(const float* spc, float* carry,
+                               const float* sn7, const float* cs7,
+                               const float* win, const float* winr,
+                               int16_t* pcmch) {
+    alignas(32) float va[128][8], vb[128][8];
+    for (int k = 0; k < 128; ++k)
+        for (int t = 0; t < 8; ++t)
+            va[k][t] = spc[t * 128 + k];
+    float (*x)[8] = va;
+    float (*y)[8] = vb;
+    {
+        int count1 = 1, count2 = 64;
+        for (int st = 0; st < 7; ++st) {
+            for (int g = 0; g < count1; ++g) {
+                const int base_i = g * count2 * 2;
+                for (int j = 0; j < count2; ++j) {
+                    __m256 a = _mm256_load_ps(x[base_i + 2 * j]);
+                    __m256 b = _mm256_load_ps(x[base_i + 2 * j + 1]);
+                    _mm256_store_ps(y[base_i + j], _mm256_add_ps(a, b));
+                    _mm256_store_ps(y[base_i + count2 + j],
+                                    _mm256_sub_ps(a, b));
+                }
+            }
+            std::swap(x, y);
+            count1 <<= 1;
+            count2 >>= 1;
+        }
+    }
+    {
+        int count1 = 64, count2 = 1;
+        for (int st = 0; st < 7; ++st) {
+            const float* sn = sn7 + st * 64;
+            const float* cs = cs7 + st * 64;
+            for (int g = 0; g < count1; ++g) {
+                const int base_i = g * 2 * count2;
+                for (int j = 0; j < count2; ++j) {
+                    __m256 a = _mm256_load_ps(x[base_i + j]);
+                    __m256 b = _mm256_load_ps(x[base_i + count2 + j]);
+                    __m256 w1 = _mm256_set1_ps(sn[g * count2 + j]);
+                    __m256 w2 = _mm256_set1_ps(cs[g * count2 + j]);
+                    _mm256_store_ps(y[base_i + j],
+                        _mm256_sub_ps(_mm256_mul_ps(a, w1),
+                                      _mm256_mul_ps(b, w2)));
+                    _mm256_store_ps(y[base_i + 2 * count2 - 1 - j],
+                        _mm256_add_ps(_mm256_mul_ps(a, w2),
+                                      _mm256_mul_ps(b, w1)));
+                }
+            }
+            std::swap(x, y);
+            count1 >>= 1;
+            count2 <<= 1;
+        }
+    }
+    // transpose [128][8] -> [8][128] in 8x8 blocks
+    alignas(32) float dct[8][128];
+    for (int k = 0; k < 128; k += 8) {
+        __m256 r0 = _mm256_load_ps(x[k + 0]), r1 = _mm256_load_ps(x[k + 1]),
+               r2 = _mm256_load_ps(x[k + 2]), r3 = _mm256_load_ps(x[k + 3]),
+               r4 = _mm256_load_ps(x[k + 4]), r5 = _mm256_load_ps(x[k + 5]),
+               r6 = _mm256_load_ps(x[k + 6]), r7 = _mm256_load_ps(x[k + 7]);
+        __m256 t0 = _mm256_unpacklo_ps(r0, r1), t1 = _mm256_unpackhi_ps(r0, r1),
+               t2 = _mm256_unpacklo_ps(r2, r3), t3 = _mm256_unpackhi_ps(r2, r3),
+               t4 = _mm256_unpacklo_ps(r4, r5), t5 = _mm256_unpackhi_ps(r4, r5),
+               t6 = _mm256_unpacklo_ps(r6, r7), t7 = _mm256_unpackhi_ps(r6, r7);
+        __m256 s0 = _mm256_shuffle_ps(t0, t2, _MM_SHUFFLE(1, 0, 1, 0)),
+               s1 = _mm256_shuffle_ps(t0, t2, _MM_SHUFFLE(3, 2, 3, 2)),
+               s2 = _mm256_shuffle_ps(t1, t3, _MM_SHUFFLE(1, 0, 1, 0)),
+               s3 = _mm256_shuffle_ps(t1, t3, _MM_SHUFFLE(3, 2, 3, 2)),
+               s4 = _mm256_shuffle_ps(t4, t6, _MM_SHUFFLE(1, 0, 1, 0)),
+               s5 = _mm256_shuffle_ps(t4, t6, _MM_SHUFFLE(3, 2, 3, 2)),
+               s6 = _mm256_shuffle_ps(t5, t7, _MM_SHUFFLE(1, 0, 1, 0)),
+               s7 = _mm256_shuffle_ps(t5, t7, _MM_SHUFFLE(3, 2, 3, 2));
+        _mm256_store_ps(&dct[0][k], _mm256_permute2f128_ps(s0, s4, 0x20));
+        _mm256_store_ps(&dct[1][k], _mm256_permute2f128_ps(s1, s5, 0x20));
+        _mm256_store_ps(&dct[2][k], _mm256_permute2f128_ps(s2, s6, 0x20));
+        _mm256_store_ps(&dct[3][k], _mm256_permute2f128_ps(s3, s7, 0x20));
+        _mm256_store_ps(&dct[4][k], _mm256_permute2f128_ps(s0, s4, 0x31));
+        _mm256_store_ps(&dct[5][k], _mm256_permute2f128_ps(s1, s5, 0x31));
+        _mm256_store_ps(&dct[6][k], _mm256_permute2f128_ps(s2, s6, 0x31));
+        _mm256_store_ps(&dct[7][k], _mm256_permute2f128_ps(s3, s7, 0x31));
+    }
+    // OLA on unit-stride rows: the reversed-index operands become reversed
+    // copies (prerev[k] = pre[127-k]); each subframe's reversed row is the
+    // next subframe's prerev
+    alignas(32) float prerev[128], currev[128];
+    for (int k = 0; k < 128; k += 8)
+        _mm256_store_ps(prerev + k, hca_rev8(_mm256_loadu_ps(carry + 120 - k)));
+    const float* pre = carry;
+    const __m256 k32768 = _mm256_set1_ps(32768.0f);
+    for (int t = 0; t < 8; ++t) {
+        const float* cur = dct[t];
+        for (int k = 0; k < 128; k += 8)
+            _mm256_store_ps(currev + k,
+                            hca_rev8(_mm256_loadu_ps(cur + 120 - k)));
+        int16_t* o = pcmch + (size_t)t * 128;
+        // o[k] = clamp((win[k]*cur[64+k] + win[127-k]*pre[63-k]) * 32768)
+        for (int k = 0; k < 64; k += 16) {
+            __m256 v0 = _mm256_add_ps(
+                _mm256_mul_ps(_mm256_load_ps(win + k),
+                              _mm256_load_ps(cur + 64 + k)),
+                _mm256_mul_ps(_mm256_load_ps(winr + k),
+                              _mm256_load_ps(prerev + 64 + k)));
+            __m256 v1 = _mm256_add_ps(
+                _mm256_mul_ps(_mm256_load_ps(win + k + 8),
+                              _mm256_load_ps(cur + 72 + k)),
+                _mm256_mul_ps(_mm256_load_ps(winr + k + 8),
+                              _mm256_load_ps(prerev + 72 + k)));
+            _mm256_storeu_si256((__m256i*)(o + k),
+                hca_clamp16x16(_mm256_mul_ps(v0, k32768),
+                               _mm256_mul_ps(v1, k32768)));
+        }
+        // o[64+k] = clamp((win[64+k]*cur[127-k] - win[63-k]*pre[k]) * 32768)
+        for (int k = 0; k < 64; k += 16) {
+            __m256 v0 = _mm256_sub_ps(
+                _mm256_mul_ps(_mm256_load_ps(win + 64 + k),
+                              _mm256_load_ps(currev + k)),
+                _mm256_mul_ps(_mm256_load_ps(winr + 64 + k),
+                              _mm256_load_ps(pre + k)));
+            __m256 v1 = _mm256_sub_ps(
+                _mm256_mul_ps(_mm256_load_ps(win + 72 + k),
+                              _mm256_load_ps(currev + k + 8)),
+                _mm256_mul_ps(_mm256_load_ps(winr + 72 + k),
+                              _mm256_load_ps(pre + k + 8)));
+            _mm256_storeu_si256((__m256i*)(o + 64 + k),
+                hca_clamp16x16(_mm256_mul_ps(v0, k32768),
+                               _mm256_mul_ps(v1, k32768)));
+        }
+        pre = cur;
+        std::memcpy(prerev, currev, sizeof(currev));
+    }
+    std::memcpy(carry, dct[7], 128 * sizeof(float));
+}
+#endif  // __AVX2__
+
 void cri_hca_decode_transform(
     const int16_t* qc,          // [F, C, 8, 128]
     const uint8_t* sf,          // [F, C, 128]
@@ -1106,6 +1408,9 @@ void cri_hca_decode_transform(
     std::vector<float> spec((size_t)C * 8 * 128);
     std::vector<float> base(128);
     std::vector<float> prev_dct((size_t)C * 128, 0.0f);
+    alignas(32) float winr[128];
+    for (int k = 0; k < 128; ++k) winr[k] = window128[127 - k];
+    (void)winr;
 
     for (int32_t f = 0; f < F; ++f) {
         // --- per-channel dequant + noise + HFR -------------------------
@@ -1161,99 +1466,27 @@ void cri_hca_decode_transform(
             }
         }
         // --- IMDCT + overlap-add + PCM16 --------------------------------
-        // All 8 subframes of a channel run through identical butterfly
-        // stages, so the hot loops operate on [128][8] panels: each spectral
-        // line carries an 8-wide lane of subframes (one 256-bit SIMD vector)
-        // and gcc auto-vectorizes every stage.
+        // Per-channel helper emits contiguous [8][128] PCM; interleave into
+        // the [F, 8, 128, C] output afterwards (unit-stride stores in the
+        // hot loops instead of stride-C scatter).
         for (int32_t c = 0; c < C; ++c) {
             float* carry = prev_dct.data() + (size_t)c * 128;
-            alignas(32) float va[128][8], vb[128][8];
             const float* spc = spec.data() + (size_t)c * 8 * 128;
-            for (int k = 0; k < 128; ++k)
-                for (int t = 0; t < 8; ++t)
-                    va[k][t] = spc[t * 128 + k];
-            float (*x)[8] = va;
-            float (*y)[8] = vb;
-            // part 1: add/sub tree (count1 groups of count2 pairs)
-            {
-                int count1 = 1, count2 = 64;
-                for (int st = 0; st < 7; ++st) {
-                    for (int g = 0; g < count1; ++g) {
-                        const int base_i = g * count2 * 2;
-                        for (int j = 0; j < count2; ++j) {
-                            const float* a = x[base_i + 2 * j];
-                            const float* b = x[base_i + 2 * j + 1];
-                            float* yo1 = y[base_i + j];
-                            float* yo2 = y[base_i + count2 + j];
-                            for (int u = 0; u < 8; ++u) {
-                                yo1[u] = a[u] + b[u];
-                                yo2[u] = a[u] - b[u];
-                            }
-                        }
-                    }
-                    std::swap(x, y);
-                    count1 <<= 1;
-                    count2 >>= 1;
-                }
+            alignas(32) int16_t pcmch[8 * 128];
+#if defined(__AVX2__)
+            hca_imdct_ola_avx2(spc, carry, imdct_sin, imdct_cos, window128,
+                               winr, pcmch);
+#else
+            hca_imdct_ola_scalar(spc, carry, imdct_sin, imdct_cos, window128,
+                                 pcmch);
+#endif
+            int16_t* o = out + ((size_t)f * 8 * 128) * C + c;
+            if (C == 1) {
+                std::memcpy(o, pcmch, sizeof(pcmch));
+            } else {
+                for (int i = 0; i < 8 * 128; ++i)
+                    o[(size_t)i * C] = pcmch[i];
             }
-            // part 2: twiddle stages
-            {
-                int count1 = 64, count2 = 1;
-                for (int st = 0; st < 7; ++st) {
-                    const float* sn = imdct_sin + st * 64;
-                    const float* cs = imdct_cos + st * 64;
-                    for (int g = 0; g < count1; ++g) {
-                        const int base_i = g * 2 * count2;
-                        for (int j = 0; j < count2; ++j) {
-                            const float* a = x[base_i + j];
-                            const float* b = x[base_i + count2 + j];
-                            const float w1 = sn[g * count2 + j];
-                            const float w2 = cs[g * count2 + j];
-                            float* yo1 = y[base_i + j];
-                            float* yo2 = y[base_i + 2 * count2 - 1 - j];
-                            for (int u = 0; u < 8; ++u) {
-                                yo1[u] = a[u] * w1 - b[u] * w2;
-                                yo2[u] = a[u] * w2 + b[u] * w1;
-                            }
-                        }
-                    }
-                    std::swap(x, y);
-                    count1 >>= 1;
-                    count2 <<= 1;
-                }
-            }
-            // overlap-add: wave[k]    = w[k]*dct[64+k]    + prev[k]
-            //              wave[64+k] = w[64+k]*dct[127-k] - prev[64+k]
-            // where prev[k] = w[127-k]*pdct[63-k], prev[64+k] = w[63-k]*pdct[k]
-            for (int32_t t = 0; t < 8; ++t) {
-                int16_t* o = out + (((size_t)f * 8 + t) * 128) * C + c;
-                if (t == 0) {
-                    for (int k = 0; k < 64; ++k) {
-                        const float v = window128[k] * x[64 + k][0]
-                                        + window128[127 - k] * carry[63 - k];
-                        o[(size_t)k * C] = hca_pcm16(v);
-                    }
-                    for (int k = 0; k < 64; ++k) {
-                        const float v = window128[64 + k] * x[127 - k][0]
-                                        - window128[63 - k] * carry[k];
-                        o[(size_t)(64 + k) * C] = hca_pcm16(v);
-                    }
-                } else {
-                    for (int k = 0; k < 64; ++k) {
-                        const float v =
-                            window128[k] * x[64 + k][t]
-                            + window128[127 - k] * x[63 - k][t - 1];
-                        o[(size_t)k * C] = hca_pcm16(v);
-                    }
-                    for (int k = 0; k < 64; ++k) {
-                        const float v =
-                            window128[64 + k] * x[127 - k][t]
-                            - window128[63 - k] * x[k][t - 1];
-                        o[(size_t)(64 + k) * C] = hca_pcm16(v);
-                    }
-                }
-            }
-            for (int k = 0; k < 128; ++k) carry[k] = x[k][7];
         }
     }
 }
