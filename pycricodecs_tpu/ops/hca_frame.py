@@ -22,6 +22,13 @@ from ..utils.crc import crc16
 from ..utils import hca_crypt
 from . import hca_tables as T
 
+# contiguous copies of the constant decode tables, marshalled once (the
+# ctypes wrappers sit on the per-file hot path)
+_INVERT_U8 = np.ascontiguousarray(T.INVERT_TABLE, dtype=np.uint8)
+_MAX_BIT_U8 = np.ascontiguousarray(T.MAX_BIT_TABLE, dtype=np.uint8)
+_READ_BIT_U8 = np.ascontiguousarray(T.READ_BIT_TABLE, dtype=np.uint8)
+_READ_VAL_I8 = np.ascontiguousarray(T.READ_VAL_TABLE, dtype=np.int8)
+
 HCA_MASK = 0x7F7F7F7F
 
 VERSION_V101 = 0x0101
@@ -465,10 +472,10 @@ def _unpack_frames_native(info: HcaInfo, data: bytes, random_state: int,
         int(info.version), int(info.hfr_group_count),
         int(info.min_resolution), int(info.max_resolution),
         p(ctype, u8), p(coded, i32), p(np.ascontiguousarray(info.ath), u8),
-        p(np.ascontiguousarray(T.INVERT_TABLE), u8),
-        p(np.ascontiguousarray(T.MAX_BIT_TABLE), u8),
-        p(np.ascontiguousarray(T.READ_BIT_TABLE), u8),
-        p(np.ascontiguousarray(T.READ_VAL_TABLE), i8),
+        p(_INVERT_U8, u8),
+        p(_MAX_BIT_U8, u8),
+        p(_READ_BIT_U8, u8),
+        p(_READ_VAL_I8, i8),
         p(rand, u32),
         p(qc, i16), p(sfs, u8), p(ress, u8), p(intens, u8),
         p(ident, i32), p(noise_sci, u8), p(noise_mask, u8),
@@ -858,10 +865,10 @@ def test_frames_native(info: HcaInfo, frames: bytes, cipher_tables,
         int(C), int(info.version), int(info.hfr_group_count),
         int(info.min_resolution), int(info.max_resolution),
         p(ctype, u8), p(coded, i32), p(np.ascontiguousarray(info.ath), u8),
-        p(np.ascontiguousarray(T.INVERT_TABLE), u8),
-        p(np.ascontiguousarray(T.MAX_BIT_TABLE), u8),
-        p(np.ascontiguousarray(T.READ_BIT_TABLE), u8),
-        p(np.ascontiguousarray(T.READ_VAL_TABLE), i8),
+        p(_INVERT_U8, u8),
+        p(_MAX_BIT_U8, u8),
+        p(_READ_BIT_U8, u8),
+        p(_READ_VAL_I8, i8),
         p(status, i32), p(qc, i16), p(sfs, u8), p(ress, u8), p(intens, u8),
         int(min(os.cpu_count() or 1, 16)))
     return status, qc, sfs, ress, intens

@@ -25,6 +25,13 @@ import numpy as np
 
 from . import hca_tables as T
 
+# contiguous fp32 copies of the constant transform tables, marshalled once
+# for the native ctypes call (kept alive for the library's pointer lifetime)
+_TRANSFORM_TABLES_F32 = [np.ascontiguousarray(a, dtype=np.float32) for a in
+                         (T.SCALING_TABLE, T.RANGE_TABLE,
+                          T.SCALE_CONVERSION_TABLE, T.INTENSITY_RATIO_TABLE,
+                          T.IMDCT_SIN, T.IMDCT_COS, T.IMDCT_WINDOW)]
+
 
 # NOTE on bit-exactness: XLA CPU contracts fp32 mul+add chains into FMAs at
 # the LLVM level (barriers and precision flags do not stop it). For bit-exact
@@ -293,11 +300,7 @@ def hca_decode_transform_host(qc, sf, res, intensity, noise_src, noise_sci,
     hfr_is = np.ascontiguousarray(np.asarray(hfr_is), dtype=np.uint8)
     hfr_src = np.ascontiguousarray(hfr_src, dtype=np.int32)
     hfr_group = np.ascontiguousarray(hfr_group, dtype=np.int32)
-    # keep table buffers alive across the call
-    tables = [np.ascontiguousarray(a, dtype=np.float32) for a in
-              (T.SCALING_TABLE, T.RANGE_TABLE, T.SCALE_CONVERSION_TABLE,
-               T.INTENSITY_RATIO_TABLE, T.IMDCT_SIN, T.IMDCT_COS,
-               T.IMDCT_WINDOW)]
+    tables = _TRANSFORM_TABLES_F32
     lib.cri_hca_decode_transform(
         qc.ctypes.data_as(i16p), sf.ctypes.data_as(u8p),
         res.ctypes.data_as(u8p), intensity.ctypes.data_as(u8p),
