@@ -768,7 +768,7 @@ def rank_keys(scores) -> np.ndarray:
     return np.lexsort((s, grp))
 
 
-def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
+def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
                      mesh: Optional[Mesh] = None,
                      on_error: str = "raise") -> List[bytes]:
     """Decode many AHX (or bare MPEG Layer II) streams -> WAV bytes.
@@ -779,9 +779,13 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
     MXU matmul per group (ops/mp2_kernels.py); device->host PCM fetches ride
     a worker pool so later groups' dispatches overlap them.  Unlike ADX's
     serial ADPCM recurrence, MP2 synthesis is pure matmul work, so the
-    device is the right engine for banks.  device=False decodes each stream
-    through the unpadded float64 numpy reference instead (no buckets — the
-    padding only exists to bound compiled-shape count).
+    device is the right engine for banks — unless the device->host link is
+    too slow to carry the PCM back.  device=None (default) probes the link
+    once and picks; device=False decodes each stream through the unpadded
+    float64 numpy reference instead (no buckets — the padding only exists
+    to bound compiled-shape count).  The engines agree within 1 int16 LSB
+    (f32 device matmul vs f64 host; both within 1 LSB of libmpg123), same
+    as the single-file AHX.decode path, which is host-f64 too.
 
     With a `mesh`, the stream axis shards over the first mesh axis (the
     streams are independent, so no collectives are needed).  on_error:
@@ -794,6 +798,8 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: bool = True,
 
     if on_error not in ("raise", "isolate"):
         raise ValueError("on_error must be 'raise' or 'isolate'")
+    if device is None:
+        device = measure_d2h_bandwidth() >= D2H_HOST_ENGINE_MBPS
     _ensure_compile_cache()
     # per stream: (Mp2Stream, total_samples, output rate) or None (corrupt)
     parsed: List = [None] * len(blobs)
