@@ -641,27 +641,36 @@ int cri_hca_unpack_frames(
 // ---------------------------------------------------------------------------
 namespace hca {
 
+// Append-only MSB-first writer: bits collect in a 64-bit accumulator and
+// drain a byte at a time (the buffer is pre-zeroed by callers, so the final
+// partial byte just ORs in). Out-of-bounds writes are dropped whole without
+// advancing, like the masked per-byte writer this replaces. Callers must
+// flush() before reading the buffer back (pack_frames does, before CRC).
 struct BitWriter {
     uint8_t* buf;
     int size_bits;
     int pos = 0;
+    uint64_t acc = 0;
+    int nacc = 0;
+    int bytepos = 0;
     BitWriter(uint8_t* b, int bytes) : buf(b), size_bits(bytes * 8) {}
     inline void write(uint32_t value, int n) {
         if (n <= 0 || n > 32 || pos + n > size_bits) return;
         value &= (n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1);
-        int p = pos;
         pos += n;
-        while (n > 0) {
-            int byte = p >> 3;
-            int bit = p & 7;
-            int take = 8 - bit;
-            if (take > n) take = n;
-            int shift = 8 - bit - take;
-            uint32_t piece = (value >> (n - take)) & ((1u << take) - 1);
-            buf[byte] = (uint8_t)((buf[byte] & ~((((1u << take) - 1)) << shift))
-                                  | (piece << shift));
-            p += take;
-            n -= take;
+        acc = (acc << n) | value;   // nacc < 8 on entry, so nacc + n < 40
+        nacc += n;
+        while (nacc >= 8) {
+            nacc -= 8;
+            buf[bytepos++] = (uint8_t)(acc >> nacc);
+        }
+    }
+    inline void flush() {
+        if (nacc > 0) {
+            buf[bytepos] |= (uint8_t)((acc & ((1u << nacc) - 1))
+                                      << (8 - nacc));
+            acc = 0;
+            nacc = 0;
         }
     }
 };
@@ -746,6 +755,7 @@ void cri_hca_pack_frames(
                 }
             }
         }
+        bw.flush();
         uint16_t crc = cri_crc16(frame, frame_size - 2);
         frame[frame_size - 2] = (uint8_t)(crc >> 8);
         frame[frame_size - 1] = (uint8_t)crc;
@@ -1523,16 +1533,104 @@ static inline int32_t resolution_enc(int64_t sfv, int64_t noise,
 
 // Per-band bit cost for every possible resolution 0..15 (the only input the
 // spectra contribute to CalculateUsedBits, hca.cpp:2763-2790). Precomputed
-// once per frame so each bisection step is a table walk.
-static void band_costs(const float* panels,  // [C, 128, 8]
-                       const int32_t* coded_count, int32_t C,
-                       const Tables& tb,
-                       int32_t* cost) {      // [C, 128, 16]
+// once per frame so each bisection step is a table walk. Output layout is
+// uint8 [C, 16 resolutions, 128 bands] (every value fits: res<8 cost is at
+// most 8*4 bits, res>=8 is 8*(max_bits-1)+popcount <= 96) so the AVX2 twin
+// can produce 32 bands per vector. Reads the subframe-major spectra
+// directly ([C, 8, 128]).
+static void band_costs(const float* scf,  // [C, 8, 128]
+                       int32_t C, const Tables& tb,
+                       uint8_t* cost) {    // [C, 16, 128]
+#if defined(__AVX2__)
+    const __m256i perm = _mm256_setr_epi32(0, 4, 1, 5, 2, 6, 3, 7);
+    const __m256i k15 = _mm256_set1_epi32(15);
+    const __m256 sgnmask = _mm256_castsi256_ps(_mm256_set1_epi32(0x7FFFFFFF));
     for (int32_t c = 0; c < C; ++c) {
-        const int32_t cc = coded_count[c];
-        for (int32_t k = 0; k < cc; ++k) {
-            const float* lane = panels + ((size_t)c * 128 + k) * 8;
-            int32_t* ck = cost + ((size_t)c * 128 + k) * 16;
+        const float* scfc = scf + (size_t)c * 8 * 128;
+        uint8_t* costc = cost + (size_t)c * 16 * 128;
+        for (int32_t res = 0; res < 8; ++res) {
+            const float ssi = tb.inv_step[res];
+            const __m256 vssi = _mm256_set1_ps(ssi);
+            const __m256 vup = _mm256_set1_ps(ssi + 1.0f);
+            const __m256i vdown = _mm256_set1_epi32(
+                (int32_t)(int64_t)std::trunc((double)ssi + 0.5 - 8.0));
+            __m128i lut128 =
+                _mm_loadu_si128((const __m128i*)(tb.qbits + (size_t)res * 16));
+            __m256i lut = _mm256_broadcastsi128_si256(lut128);
+            uint8_t* out = costc + (size_t)res * 128;
+            for (int k0 = 0; k0 < 128; k0 += 32) {
+                __m256i acc = _mm256_setzero_si256();
+                for (int t = 0; t < 8; ++t) {
+                    const float* base = scfc + (size_t)t * 128 + k0;
+                    __m256i q0 = _mm256_cvttps_epi32(_mm256_add_ps(
+                        _mm256_mul_ps(_mm256_loadu_ps(base + 0), vssi), vup));
+                    __m256i q1 = _mm256_cvttps_epi32(_mm256_add_ps(
+                        _mm256_mul_ps(_mm256_loadu_ps(base + 8), vssi), vup));
+                    __m256i q2 = _mm256_cvttps_epi32(_mm256_add_ps(
+                        _mm256_mul_ps(_mm256_loadu_ps(base + 16), vssi), vup));
+                    __m256i q3 = _mm256_cvttps_epi32(_mm256_add_ps(
+                        _mm256_mul_ps(_mm256_loadu_ps(base + 24), vssi), vup));
+                    q0 = _mm256_sub_epi32(q0, vdown);
+                    q1 = _mm256_sub_epi32(q1, vdown);
+                    q2 = _mm256_sub_epi32(q2, vdown);
+                    q3 = _mm256_sub_epi32(q3, vdown);
+                    const __m256i z0 = _mm256_setzero_si256();
+                    q0 = _mm256_min_epi32(_mm256_max_epi32(q0, z0), k15);
+                    q1 = _mm256_min_epi32(_mm256_max_epi32(q1, z0), k15);
+                    q2 = _mm256_min_epi32(_mm256_max_epi32(q2, z0), k15);
+                    q3 = _mm256_min_epi32(_mm256_max_epi32(q3, z0), k15);
+                    __m256i x = _mm256_packus_epi32(q0, q1);
+                    __m256i y = _mm256_packus_epi32(q2, q3);
+                    __m256i z = _mm256_packus_epi16(x, y);
+                    z = _mm256_permutevar8x32_epi32(z, perm);
+                    acc = _mm256_add_epi8(acc, _mm256_shuffle_epi8(lut, z));
+                }
+                _mm256_storeu_si256((__m256i*)(out + k0), acc);
+            }
+        }
+        for (int32_t res = 8; res < 16; ++res) {
+            const __m256 vdz = _mm256_set1_ps(tb.dead_zone[res]);
+            const int32_t base_v = 8 * ((int32_t)tb.max_bits[res] - 1);
+            uint8_t* out = costc + (size_t)res * 128;
+            for (int k0 = 0; k0 < 128; k0 += 32) {
+                __m256i e0 = _mm256_setzero_si256(), e1 = e0, e2 = e0, e3 = e0;
+                for (int t = 0; t < 8; ++t) {
+                    const float* base = scfc + (size_t)t * 128 + k0;
+                    __m256 a0 = _mm256_and_ps(_mm256_loadu_ps(base + 0),
+                                              sgnmask);
+                    __m256 a1 = _mm256_and_ps(_mm256_loadu_ps(base + 8),
+                                              sgnmask);
+                    __m256 a2 = _mm256_and_ps(_mm256_loadu_ps(base + 16),
+                                              sgnmask);
+                    __m256 a3 = _mm256_and_ps(_mm256_loadu_ps(base + 24),
+                                              sgnmask);
+                    e0 = _mm256_sub_epi32(e0, _mm256_castps_si256(
+                        _mm256_cmp_ps(a0, vdz, _CMP_GE_OQ)));
+                    e1 = _mm256_sub_epi32(e1, _mm256_castps_si256(
+                        _mm256_cmp_ps(a1, vdz, _CMP_GE_OQ)));
+                    e2 = _mm256_sub_epi32(e2, _mm256_castps_si256(
+                        _mm256_cmp_ps(a2, vdz, _CMP_GE_OQ)));
+                    e3 = _mm256_sub_epi32(e3, _mm256_castps_si256(
+                        _mm256_cmp_ps(a3, vdz, _CMP_GE_OQ)));
+                }
+                __m256i vb = _mm256_set1_epi32(base_v);
+                e0 = _mm256_add_epi32(e0, vb);
+                e1 = _mm256_add_epi32(e1, vb);
+                e2 = _mm256_add_epi32(e2, vb);
+                e3 = _mm256_add_epi32(e3, vb);
+                __m256i x = _mm256_packus_epi32(e0, e1);
+                __m256i y = _mm256_packus_epi32(e2, e3);
+                __m256i z = _mm256_packus_epi16(x, y);
+                z = _mm256_permutevar8x32_epi32(z, perm);
+                _mm256_storeu_si256((__m256i*)(out + k0), z);
+            }
+        }
+    }
+#else
+    for (int32_t c = 0; c < C; ++c) {
+        const float* scfc = scf + (size_t)c * 8 * 128;
+        uint8_t* costc = cost + (size_t)c * 16 * 128;
+        for (int32_t k = 0; k < 128; ++k) {
             for (int32_t res = 0; res < 8; ++res) {
                 const float ssi = tb.inv_step[res];
                 const float shift_up = ssi + 1.0f;
@@ -1541,28 +1639,31 @@ static void band_costs(const float* panels,  // [C, 128, 8]
                 const uint8_t* qb = tb.qbits + (size_t)res * 16;
                 int32_t bits = 0;
                 for (int32_t t = 0; t < 8; ++t) {
-                    int64_t q = (int64_t)std::truncf(lane[t] * ssi + shift_up)
-                                - shift_down;
+                    int64_t q = (int64_t)std::truncf(
+                        scfc[(size_t)t * 128 + k] * ssi + shift_up)
+                        - shift_down;
                     if (q < 0) q = 0;
                     if (q > 15) q = 15;
                     bits += qb[q];
                 }
-                ck[res] = bits;
+                costc[(size_t)res * 128 + k] = (uint8_t)bits;
             }
             for (int32_t res = 8; res < 16; ++res) {
                 const float dz = tb.dead_zone[res];
                 int32_t extra = 0;
                 for (int32_t t = 0; t < 8; ++t)
-                    extra += std::fabs(lane[t]) >= dz;
-                ck[res] = 8 * ((int32_t)tb.max_bits[res] - 1) + extra;
+                    extra += std::fabs(scfc[(size_t)t * 128 + k]) >= dz;
+                costc[(size_t)res * 128 + k] =
+                    (uint8_t)(8 * ((int32_t)tb.max_bits[res] - 1) + extra);
             }
         }
     }
+#endif
 }
 
 // CalculateUsedBits via the precomputed per-band cost table.
 static int64_t used_bits(const int32_t* sf,      // [C, 128]
-                         const int32_t* cost,    // [C, 128, 16]
+                         const uint8_t* cost,    // [C, 16, 128]
                          const int32_t* header_len,  // [C]
                          const int32_t* coded_count, int32_t C,
                          int64_t noise_level, int64_t eval_boundary,
@@ -1572,12 +1673,12 @@ static int64_t used_bits(const int32_t* sf,      // [C, 128]
         length += header_len[c];
         const int32_t cc = coded_count[c];
         const int32_t* sfc = sf + (size_t)c * 128;
-        const int32_t* cstc = cost + (size_t)c * 128 * 16;
+        const uint8_t* cstc = cost + (size_t)c * 16 * 128;
         for (int32_t k = 0; k < cc; ++k) {
             const int64_t noise =
                 k < eval_boundary ? noise_level - 1 : noise_level;
             const int32_t res = resolution_enc(sfc[k], noise, tb.curve);
-            length += cstc[(size_t)k * 16 + res];
+            length += cstc[(size_t)res * 128 + k];
         }
     }
     return length;
@@ -1637,19 +1738,12 @@ int32_t cri_hca_search_levels(
     hcaenc::Tables tb{curve, max_bits, dead_zone, inv_step, qbits};
     std::vector<int32_t> rc(F, 0);
     auto run = [&](int32_t lo_f, int32_t hi_f) {
-        std::vector<float> panels((size_t)C * 128 * 8);
-        std::vector<int32_t> costs((size_t)C * 128 * 16);
+        std::vector<uint8_t> costs((size_t)C * 16 * 128);
         for (int32_t f = lo_f; f < hi_f; ++f) {
             int32_t* sff = sf + (size_t)f * C * 128;
             const float* scf_raw = scaled + (size_t)f * C * 8 * 128;
-            for (int32_t c = 0; c < C; ++c)
-                for (int32_t k = 0; k < 128; ++k)
-                    for (int32_t t = 0; t < 8; ++t)
-                        panels[((size_t)c * 128 + k) * 8 + t] =
-                            scf_raw[((size_t)c * 8 + t) * 128 + k];
-            hcaenc::band_costs(panels.data(), coded_count, C, tb,
-                               costs.data());
-            const int32_t* scf = costs.data();
+            hcaenc::band_costs(scf_raw, C, tb, costs.data());
+            const uint8_t* scf = costs.data();
             int32_t* hlf = header_len + (size_t)f * C;
             int32_t* dbf = delta_bits + (size_t)f * C;
             // --- BinarySearchLevel (hca.cpp:2792-2807) ------------------
@@ -1740,11 +1834,189 @@ int32_t cri_hca_search_levels(
 // ops/hca_tables.py (table for `bits` starts at (1 << bits) - 1).
 // ---------------------------------------------------------------------------
 
+#if defined(__AVX2__)
+// 8x8-block transposes between subframe-major rows[8][128] and the
+// [128 lines][8 lanes] panel layout the stage network runs in.
+static inline void hca_tr8x8_in(const float* rows, int k0, float (*dst)[8]) {
+    __m256 r0 = _mm256_loadu_ps(rows + 0 * 128 + k0),
+           r1 = _mm256_loadu_ps(rows + 1 * 128 + k0),
+           r2 = _mm256_loadu_ps(rows + 2 * 128 + k0),
+           r3 = _mm256_loadu_ps(rows + 3 * 128 + k0),
+           r4 = _mm256_loadu_ps(rows + 4 * 128 + k0),
+           r5 = _mm256_loadu_ps(rows + 5 * 128 + k0),
+           r6 = _mm256_loadu_ps(rows + 6 * 128 + k0),
+           r7 = _mm256_loadu_ps(rows + 7 * 128 + k0);
+    __m256 t0 = _mm256_unpacklo_ps(r0, r1), t1 = _mm256_unpackhi_ps(r0, r1),
+           t2 = _mm256_unpacklo_ps(r2, r3), t3 = _mm256_unpackhi_ps(r2, r3),
+           t4 = _mm256_unpacklo_ps(r4, r5), t5 = _mm256_unpackhi_ps(r4, r5),
+           t6 = _mm256_unpacklo_ps(r6, r7), t7 = _mm256_unpackhi_ps(r6, r7);
+    __m256 s0 = _mm256_shuffle_ps(t0, t2, _MM_SHUFFLE(1, 0, 1, 0)),
+           s1 = _mm256_shuffle_ps(t0, t2, _MM_SHUFFLE(3, 2, 3, 2)),
+           s2 = _mm256_shuffle_ps(t1, t3, _MM_SHUFFLE(1, 0, 1, 0)),
+           s3 = _mm256_shuffle_ps(t1, t3, _MM_SHUFFLE(3, 2, 3, 2)),
+           s4 = _mm256_shuffle_ps(t4, t6, _MM_SHUFFLE(1, 0, 1, 0)),
+           s5 = _mm256_shuffle_ps(t4, t6, _MM_SHUFFLE(3, 2, 3, 2)),
+           s6 = _mm256_shuffle_ps(t5, t7, _MM_SHUFFLE(1, 0, 1, 0)),
+           s7 = _mm256_shuffle_ps(t5, t7, _MM_SHUFFLE(3, 2, 3, 2));
+    _mm256_store_ps(dst[k0 + 0], _mm256_permute2f128_ps(s0, s4, 0x20));
+    _mm256_store_ps(dst[k0 + 1], _mm256_permute2f128_ps(s1, s5, 0x20));
+    _mm256_store_ps(dst[k0 + 2], _mm256_permute2f128_ps(s2, s6, 0x20));
+    _mm256_store_ps(dst[k0 + 3], _mm256_permute2f128_ps(s3, s7, 0x20));
+    _mm256_store_ps(dst[k0 + 4], _mm256_permute2f128_ps(s0, s4, 0x31));
+    _mm256_store_ps(dst[k0 + 5], _mm256_permute2f128_ps(s1, s5, 0x31));
+    _mm256_store_ps(dst[k0 + 6], _mm256_permute2f128_ps(s2, s6, 0x31));
+    _mm256_store_ps(dst[k0 + 7], _mm256_permute2f128_ps(s3, s7, 0x31));
+}
+
+static inline void hca_tr8x8_out(float (*src)[8], int k0, float* rows) {
+    __m256 r0 = _mm256_load_ps(src[k0 + 0]), r1 = _mm256_load_ps(src[k0 + 1]),
+           r2 = _mm256_load_ps(src[k0 + 2]), r3 = _mm256_load_ps(src[k0 + 3]),
+           r4 = _mm256_load_ps(src[k0 + 4]), r5 = _mm256_load_ps(src[k0 + 5]),
+           r6 = _mm256_load_ps(src[k0 + 6]), r7 = _mm256_load_ps(src[k0 + 7]);
+    __m256 t0 = _mm256_unpacklo_ps(r0, r1), t1 = _mm256_unpackhi_ps(r0, r1),
+           t2 = _mm256_unpacklo_ps(r2, r3), t3 = _mm256_unpackhi_ps(r2, r3),
+           t4 = _mm256_unpacklo_ps(r4, r5), t5 = _mm256_unpackhi_ps(r4, r5),
+           t6 = _mm256_unpacklo_ps(r6, r7), t7 = _mm256_unpackhi_ps(r6, r7);
+    __m256 s0 = _mm256_shuffle_ps(t0, t2, _MM_SHUFFLE(1, 0, 1, 0)),
+           s1 = _mm256_shuffle_ps(t0, t2, _MM_SHUFFLE(3, 2, 3, 2)),
+           s2 = _mm256_shuffle_ps(t1, t3, _MM_SHUFFLE(1, 0, 1, 0)),
+           s3 = _mm256_shuffle_ps(t1, t3, _MM_SHUFFLE(3, 2, 3, 2)),
+           s4 = _mm256_shuffle_ps(t4, t6, _MM_SHUFFLE(1, 0, 1, 0)),
+           s5 = _mm256_shuffle_ps(t4, t6, _MM_SHUFFLE(3, 2, 3, 2)),
+           s6 = _mm256_shuffle_ps(t5, t7, _MM_SHUFFLE(1, 0, 1, 0)),
+           s7 = _mm256_shuffle_ps(t5, t7, _MM_SHUFFLE(3, 2, 3, 2));
+    _mm256_storeu_ps(rows + 0 * 128 + k0, _mm256_permute2f128_ps(s0, s4, 0x20));
+    _mm256_storeu_ps(rows + 1 * 128 + k0, _mm256_permute2f128_ps(s1, s5, 0x20));
+    _mm256_storeu_ps(rows + 2 * 128 + k0, _mm256_permute2f128_ps(s2, s6, 0x20));
+    _mm256_storeu_ps(rows + 3 * 128 + k0, _mm256_permute2f128_ps(s3, s7, 0x20));
+    _mm256_storeu_ps(rows + 4 * 128 + k0, _mm256_permute2f128_ps(s0, s4, 0x31));
+    _mm256_storeu_ps(rows + 5 * 128 + k0, _mm256_permute2f128_ps(s1, s5, 0x31));
+    _mm256_storeu_ps(rows + 6 * 128 + k0, _mm256_permute2f128_ps(s2, s6, 0x31));
+    _mm256_storeu_ps(rows + 7 * 128 + k0, _mm256_permute2f128_ps(s3, s7, 0x31));
+}
+
+// AVX2 twin of the scalar MDCT below — bit-exact: the sign-folded windowing
+// identities ((-x)*y == -(x*y); a-b with b negated == add) round identically,
+// and every stage performs the same fp32 ops in the same order, one spectral
+// line per ymm vector.
+static void hca_mdct_avx2(const int16_t* timeline, int32_t C, int32_t F,
+                          const float* window128, const float* dct4_sin,
+                          const float* dct4_cos, const int32_t* shuffle,
+                          float* out) {
+    const float inv = 1.0f / 32768.0f;
+    const float* sin7 = dct4_sin + 127;
+    const float* cos7 = dct4_cos + 127;
+    const int64_t Tn = (int64_t)F * 8;
+    alignas(32) float va[128][8], vb[128][8], vs[128][8];
+    alignas(32) float rows[8][128];
+    alignas(32) float wave[128], prev[128], wrev_lo[64], prevrev_hi[64];
+    alignas(32) float w_rev63[64], w_tail[64], w_head[64], w_rev127[64];
+    for (int k = 0; k < 64; ++k) {
+        w_rev63[k] = window128[63 - k];
+        w_tail[k] = window128[64 + k];
+        w_head[k] = window128[k];
+        w_rev127[k] = window128[127 - k];
+    }
+    for (int32_t c = 0; c < C; ++c) {
+        std::memset(prev, 0, sizeof(prev));
+        const int16_t* tl = timeline + (size_t)c * Tn * 128;
+        for (int32_t f = 0; f < F; ++f) {
+            for (int32_t t = 0; t < 8; ++t) {
+                const int16_t* pc = tl + ((size_t)f * 8 + t) * 128;
+                for (int k = 0; k < 128; k += 8) {
+                    __m128i w16 = _mm_loadu_si128((const __m128i*)(pc + k));
+                    __m256 vf = _mm256_cvtepi32_ps(_mm256_cvtepi16_epi32(w16));
+                    _mm256_store_ps(wave + k,
+                                    _mm256_mul_ps(vf, _mm256_set1_ps(inv)));
+                }
+                for (int k = 0; k < 64; k += 8)
+                    _mm256_store_ps(wrev_lo + k,
+                                    hca_rev8(_mm256_loadu_ps(wave + 56 - k)));
+                for (int k = 0; k < 64; k += 8)
+                    _mm256_store_ps(prevrev_hi + k,
+                                    hca_rev8(_mm256_loadu_ps(prev + 120 - k)));
+                float* r = rows[t];
+                // scalar: a = w[63-k]*(-wave[64+k]); b = (-w[64+k])*wave[63-k]
+                // r[k] = a - b  ==  fl(w[64+k]*wave[63-k] - w[63-k]*wave[64+k])
+                for (int k = 0; k < 64; k += 8) {
+                    __m256 p = _mm256_mul_ps(_mm256_load_ps(w_rev63 + k),
+                                             _mm256_load_ps(wave + 64 + k));
+                    __m256 q = _mm256_mul_ps(_mm256_load_ps(w_tail + k),
+                                             _mm256_load_ps(wrev_lo + k));
+                    _mm256_storeu_ps(r + k, _mm256_sub_ps(q, p));
+                }
+                // scalar: cc2 = w[k]*prev[k]; dd = (-w[127-k])*prev[127-k]
+                // r[64+k] = cc2 - dd == fl(w[k]*prev[k] + w[127-k]*prev[127-k])
+                for (int k = 0; k < 64; k += 8) {
+                    __m256 cc2 = _mm256_mul_ps(_mm256_load_ps(w_head + k),
+                                               _mm256_load_ps(prev + k));
+                    __m256 rr = _mm256_mul_ps(_mm256_load_ps(w_rev127 + k),
+                                              _mm256_load_ps(prevrev_hi + k));
+                    _mm256_storeu_ps(r + 64 + k, _mm256_add_ps(cc2, rr));
+                }
+                std::memcpy(prev, wave, sizeof(wave));
+            }
+            for (int k = 0; k < 128; k += 8) hca_tr8x8_in(&rows[0][0], k, va);
+            for (int i = 0; i < 64; ++i) {
+                __m256 a = _mm256_load_ps(va[2 * i]);
+                __m256 b = _mm256_load_ps(va[127 - 2 * i]);
+                __m256 cw = _mm256_set1_ps(cos7[i]);
+                __m256 sw = _mm256_set1_ps(sin7[i]);
+                _mm256_store_ps(vb[2 * i],
+                    _mm256_add_ps(_mm256_mul_ps(a, cw), _mm256_mul_ps(b, sw)));
+                _mm256_store_ps(vb[2 * i + 1],
+                    _mm256_sub_ps(_mm256_mul_ps(a, sw), _mm256_mul_ps(b, cw)));
+            }
+            for (int stage = 0; stage < 6; ++stage) {
+                const int block_count = 1 << stage;
+                const int bhs_bits = 5 - stage;
+                const int bhs = 1 << bhs_bits;
+                const float* sn = dct4_sin + ((1 << bhs_bits) - 1);
+                const float* cs = dct4_cos + ((1 << bhs_bits) - 1);
+                const int blk_len = 128 / block_count;
+                for (int g = 0; g < block_count; ++g) {
+                    float (*base)[8] = vb + g * blk_len;
+                    for (int j = 0; j < bhs; ++j) {
+                        __m256 fe = _mm256_load_ps(base[2 * j]);
+                        __m256 fo = _mm256_load_ps(base[2 * j + 1]);
+                        __m256 be = _mm256_load_ps(base[2 * bhs + 2 * j]);
+                        __m256 bo = _mm256_load_ps(base[2 * bhs + 2 * j + 1]);
+                        __m256 cw = _mm256_set1_ps(cs[j]);
+                        __m256 sw = _mm256_set1_ps(sn[j]);
+                        __m256 a2 = _mm256_sub_ps(fe, be);
+                        __m256 b2 = _mm256_sub_ps(fo, bo);
+                        _mm256_store_ps(base[2 * j], _mm256_add_ps(fe, be));
+                        _mm256_store_ps(base[2 * j + 1], _mm256_add_ps(fo, bo));
+                        _mm256_store_ps(base[2 * bhs + 2 * j],
+                            _mm256_add_ps(_mm256_mul_ps(a2, cw),
+                                          _mm256_mul_ps(b2, sw)));
+                        _mm256_store_ps(base[2 * bhs + 2 * j + 1],
+                            _mm256_sub_ps(_mm256_mul_ps(a2, sw),
+                                          _mm256_mul_ps(b2, cw)));
+                    }
+                }
+            }
+            const __m256 kEighth = _mm256_set1_ps(0.125f);
+            for (int k = 0; k < 128; ++k)
+                _mm256_store_ps(vs[k],
+                    _mm256_mul_ps(_mm256_load_ps(vb[shuffle[k]]), kEighth));
+            float* of = out + (((size_t)f * C + c) * 8) * 128;
+            for (int k = 0; k < 128; k += 8) hca_tr8x8_out(vs, k, of);
+        }
+    }
+}
+#endif  // __AVX2__
+
 void cri_hca_mdct(const int16_t* timeline,  // [C, F*1024]
                   int32_t C, int32_t F, const float* window128,
                   const float* dct4_sin, const float* dct4_cos,
                   const int32_t* shuffle,   // [128]
                   float* out) {             // [F, C, 8, 128]
+#if defined(__AVX2__)
+    hca_mdct_avx2(timeline, C, F, window128, dct4_sin, dct4_cos, shuffle,
+                  out);
+    return;
+#else
     const float inv = 1.0f / 32768.0f;
     const float* sin7 = dct4_sin + 127;
     const float* cos7 = dct4_cos + 127;
@@ -1821,6 +2093,7 @@ void cri_hca_mdct(const int16_t* timeline,  // [C, F*1024]
             }
         }
     }
+#endif
 }
 
 
@@ -1839,6 +2112,70 @@ void cri_hca_scalefactors_scale(const float* spectra,  // [F, C, 8, 128]
                                 const float* qscaling64, float clamp_lim,
                                 int32_t* sf_out,     // [F, C, 128]
                                 float* scaled_out) { // [F, C, 8, 128]
+#if defined(__AVX2__)
+    // vectorised over bands: abs-max peaks, a fixed-6-step gather binary
+    // search (64-entry table halves exactly 6 times), one qscaling gather
+    // per band reused by all 8 subframes. Same compares/ops as the scalar
+    // path below, so results are identical.
+    const __m256 sgnmask = _mm256_castsi256_ps(_mm256_set1_epi32(0x7FFFFFFF));
+    for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
+        const int32_t c = (int32_t)(fc % C);
+        const int32_t cc = coded_count[c];
+        const float* sp = spectra + (size_t)fc * 8 * 128;
+        int32_t* sf = sf_out + (size_t)fc * 128;
+        float* out = scaled_out + (size_t)fc * 8 * 128;
+        alignas(32) float qs[128];
+        for (int k0 = 0; k0 < 128; k0 += 8) {
+            __m256 peak = _mm256_setzero_ps();
+            for (int t = 0; t < 8; ++t)
+                peak = _mm256_max_ps(peak, _mm256_and_ps(
+                    _mm256_loadu_ps(sp + (size_t)t * 128 + k0), sgnmask));
+            __m256i lo = _mm256_setzero_si256();
+            __m256i hi = _mm256_set1_epi32(64);
+            for (int it = 0; it < 6; ++it) {
+                __m256i mid = _mm256_srai_epi32(_mm256_add_epi32(lo, hi), 1);
+                __m256 g = _mm256_i32gather_ps(scaling64, mid, 4);
+                __m256i take = _mm256_castps_si256(
+                    _mm256_cmp_ps(g, peak, _CMP_LE_OQ));
+                lo = _mm256_blendv_epi8(
+                    lo, _mm256_add_epi32(mid, _mm256_set1_epi32(1)), take);
+                hi = _mm256_blendv_epi8(mid, hi, take);
+            }
+            lo = _mm256_min_epi32(lo, _mm256_set1_epi32(63));
+            // zero sf for k >= cc
+            __m256i kidx = _mm256_add_epi32(
+                _mm256_set1_epi32(k0), _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7));
+            __m256i in_cc = _mm256_cmpgt_epi32(_mm256_set1_epi32(cc), kidx);
+            lo = _mm256_and_si256(lo, in_cc);
+            _mm256_storeu_si256((__m256i*)(sf + k0), lo);
+            // qscaling gather; force 0 where sf==0 or k>=cc (the scalar
+            // path never multiplies there — it writes literal 0.0f)
+            __m256 q = _mm256_i32gather_ps(qscaling64, lo, 4);
+            __m256i nz = _mm256_cmpgt_epi32(lo, _mm256_setzero_si256());
+            q = _mm256_and_ps(q, _mm256_castsi256_ps(
+                _mm256_and_si256(nz, in_cc)));
+            _mm256_store_ps(qs + k0, q);
+        }
+        const __m256 vlim = _mm256_set1_ps(clamp_lim);
+        const __m256 vnlim = _mm256_set1_ps(-clamp_lim);
+        for (int t = 0; t < 8; ++t) {
+            const float* row = sp + (size_t)t * 128;
+            float* orow = out + (size_t)t * 128;
+            for (int k0 = 0; k0 < 128; k0 += 8) {
+                __m256 v = _mm256_mul_ps(_mm256_loadu_ps(row + k0),
+                                         _mm256_load_ps(qs + k0));
+                v = _mm256_min_ps(v, vlim);
+                v = _mm256_max_ps(v, vnlim);
+                // qs==0 lanes: scalar writes literal 0 (0*x could be -0/NaN
+                // only for x inf/nan, impossible here; keep the and anyway)
+                v = _mm256_and_ps(v, _mm256_cmp_ps(
+                    _mm256_load_ps(qs + k0), _mm256_setzero_ps(),
+                    _CMP_NEQ_OQ));
+                _mm256_storeu_ps(orow + k0, v);
+            }
+        }
+    }
+#else
     for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
         const int32_t c = (int32_t)(fc % C);
         const int32_t cc = coded_count[c];
@@ -1873,6 +2210,7 @@ void cri_hca_scalefactors_scale(const float* spectra,  // [F, C, 8, 128]
             }
         }
     }
+#endif
 }
 
 // noise-level resolutions + spectrum quantisation.
@@ -1884,6 +2222,64 @@ void cri_hca_resolution_quantize(const int32_t* sf,   // [F, C, 128]
                                  const uint8_t* curve, const float* inv_step,
                                  int32_t* res_out,    // [F, C, 128]
                                  int32_t* q_out) {    // [F, C, 8, 128]
+#if defined(__AVX2__)
+    // vectorised over bands: curve/step lookups become gathers on widened
+    // LUTs; the per-resolution shift constants are precomputed 16-entry
+    // tables so no per-lane double math is needed. Identical ops/rounding
+    // to the scalar path below.
+    alignas(32) int32_t curve_i32[64];
+    for (int i = 0; i < 64; ++i) curve_i32[i] = i <= 58 ? curve[i] : 0;
+    alignas(32) float up_lut[16];
+    alignas(32) int32_t down_lut[16];
+    for (int r = 0; r < 16; ++r) {
+        up_lut[r] = inv_step[r] + 1.0f;
+        down_lut[r] = (int32_t)(int64_t)std::trunc((double)inv_step[r] + 0.5);
+    }
+    const __m256i seq = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+    for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
+        const int32_t f = (int32_t)(fc / C);
+        const int32_t c = (int32_t)(fc % C);
+        const int32_t cc = coded_count[c];
+        const int32_t* sfr = sf + (size_t)fc * 128;
+        const float* sc = scaled + (size_t)fc * 8 * 128;
+        int32_t* res = res_out + (size_t)fc * 128;
+        int32_t* q = q_out + (size_t)fc * 8 * 128;
+        const __m256i vlevel = _mm256_set1_epi32(level[f]);
+        const __m256i vbound = _mm256_set1_epi32(boundary[f]);
+        for (int k0 = 0; k0 < 128; k0 += 8) {
+            __m256i kidx = _mm256_add_epi32(_mm256_set1_epi32(k0), seq);
+            __m256i in_cc = _mm256_cmpgt_epi32(_mm256_set1_epi32(cc), kidx);
+            __m256i sfv = _mm256_loadu_si256((const __m256i*)(sfr + k0));
+            // noise = level - (k < boundary)
+            __m256i noise = _mm256_add_epi32(
+                vlevel, _mm256_cmpgt_epi32(vbound, kidx));
+            // cidx = clamp(noise - (5*sf)/2 + 2, 0, 58); sf >= 0 so /2 == >>1
+            __m256i s52 = _mm256_srai_epi32(
+                _mm256_mullo_epi32(sfv, _mm256_set1_epi32(5)), 1);
+            __m256i cidx = _mm256_add_epi32(
+                _mm256_sub_epi32(noise, s52), _mm256_set1_epi32(2));
+            cidx = _mm256_max_epi32(cidx, _mm256_setzero_si256());
+            cidx = _mm256_min_epi32(cidx, _mm256_set1_epi32(58));
+            __m256i r = _mm256_i32gather_epi32(curve_i32, cidx, 4);
+            // sf == 0 -> r = 0; k >= cc -> r = 0
+            __m256i nz = _mm256_cmpgt_epi32(sfv, _mm256_setzero_si256());
+            r = _mm256_and_si256(r, _mm256_and_si256(nz, in_cc));
+            _mm256_storeu_si256((__m256i*)(res + k0), r);
+            __m256 ssi = _mm256_i32gather_ps(inv_step, r, 4);
+            __m256 up = _mm256_i32gather_ps(up_lut, r, 4);
+            __m256i down = _mm256_i32gather_epi32(down_lut, r, 4);
+            for (int t = 0; t < 8; ++t) {
+                __m256 v = _mm256_loadu_ps(sc + (size_t)t * 128 + k0);
+                __m256i qq = _mm256_sub_epi32(
+                    _mm256_cvttps_epi32(
+                        _mm256_add_ps(_mm256_mul_ps(v, ssi), up)),
+                    down);
+                qq = _mm256_and_si256(qq, in_cc);  // k >= cc -> 0
+                _mm256_storeu_si256((__m256i*)(q + (size_t)t * 128 + k0), qq);
+            }
+        }
+    }
+#else
     for (int64_t fc = 0; fc < (int64_t)F * C; ++fc) {
         const int32_t f = (int32_t)(fc / C);
         const int32_t c = (int32_t)(fc % C);
@@ -1913,6 +2309,7 @@ void cri_hca_resolution_quantize(const int32_t* sf,   // [F, C, 128]
                               - shift_down);
         }
     }
+#endif
 }
 
 // batch CalculateOptimalDeltaLength + header lengths.
