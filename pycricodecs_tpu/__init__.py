@@ -9,10 +9,17 @@ for bitstream work. The public API mirrors the reference package:
 
 plus new batched/sharded entry points under ``pycricodecs_tpu.parallel``.
 """
+from enum import Enum
+from struct import Struct
+
 from .containers.acb import ACB, ACBBuilder
-from .containers.chunk import (AWBType, CPKChunkHeaderType, CriHcaQuality,
-                               HCAType, USMChunckHeaderType, UTFType,
-                               UTFTypeValues, VideoType)
+from .containers.chunk import (AWBChunkHeader, AWBType, CPKChunkHeader,
+                               CPKChunkHeaderType, CriHcaQuality, HCAType,
+                               SBTChunkHeader, USMChunckHeaderType,
+                               USMChunkHeader, UTFChunkHeader, UTFType,
+                               UTFTypeValues, VideoType, WavDataHeaderStruct,
+                               WavHeaderStruct, WavNoteHeaderStruct,
+                               WavSmplHeaderStruct)
 from .containers.awb import AWB, AWBBuilder
 from .containers.cpk import CPK, CPKBuilder
 from .containers.ivf import IVF
@@ -23,9 +30,20 @@ from .models.ahx import AHX
 from .models.hca import HCA
 from .models import crilayla
 
+# submodule aliases matching the reference package layout (its __init__ does
+# star-imports, so `PyCriCodecs.usm` / `from PyCriCodecs import chunk` are
+# reachable; mirror that surface onto our modules)
+from .containers import acb, awb, chunk, cpk, ivf, usm, utf
+from .models import adx, ahx, hca
+
 __all__ = ["ADX", "AHX", "HCA", "CPK", "CPKBuilder", "USM", "USMBuilder",
            "UTF", "UTFBuilder", "ACB", "ACBBuilder", "AWB", "AWBBuilder",
            "IVF", "crilayla", "USMChunckHeaderType", "CPKChunkHeaderType",
            "UTFType", "AWBType", "HCAType", "VideoType", "UTFTypeValues",
-           "CriHcaQuality"]
+           "CriHcaQuality", "Enum", "Struct", "UTFChunkHeader",
+           "USMChunkHeader", "CPKChunkHeader", "AWBChunkHeader",
+           "SBTChunkHeader", "WavHeaderStruct", "WavSmplHeaderStruct",
+           "WavNoteHeaderStruct", "WavDataHeaderStruct",
+           "acb", "adx", "ahx", "awb", "chunk", "cpk", "hca", "ivf",
+           "usm", "utf"]
 __version__ = "0.1.0"

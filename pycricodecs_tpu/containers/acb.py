@@ -224,6 +224,13 @@ class ACB(UTF):
                 names.setdefault(awb_id, name)
         return names
 
+    def exp_extract(self, decode: bool = False, key: int = 0,
+                    dirname: str = "") -> None:
+        """Drop-in alias for the reference's experimental named extract
+        (acb.py:46-109, unfinished there — complete here)."""
+        return self.extract_with_names(decode=decode, key=key,
+                                       dirname=dirname)
+
     def extract_with_names(self, decode: bool = False, key: int = 0,
                            dirname: str = "") -> None:
         """Extract AWB members using resolved cue names where available."""

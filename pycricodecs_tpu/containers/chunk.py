@@ -11,6 +11,14 @@ USMChunkHeader = Struct(">4sIBBHBBBBIIII")
 CPKChunkHeader = Struct("<4sIII")
 AWBChunkHeader = Struct("<4sBBHIHH")
 SBTChunkHeader = Struct("<IIIII")
+# WAV structs kept for drop-in compatibility (chunk.py:9-12). The reference's
+# own comment admits WavHeaderStruct wrongly fuses RIFF+fmt; utils/wav.py is
+# the real parser — these exist only so `from <pkg> import WavHeaderStruct`
+# keeps working for reference users.
+WavHeaderStruct = Struct("<4sI4s4sIHHIIHH")
+WavSmplHeaderStruct = Struct("<4sIIIIIIIIIIIIIIII")
+WavNoteHeaderStruct = Struct("<4sII")
+WavDataHeaderStruct = Struct("<4sI")
 
 
 class USMChunckHeaderType(Enum):

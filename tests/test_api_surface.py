@@ -67,3 +67,25 @@ def test_cricodecs_module_functions(oracle):
                and callable(getattr(oracle, n))]
     missing = [n for n in ref_fns if not hasattr(cricodecs, n)]
     assert not missing, f"missing CriCodecs functions: {missing}"
+
+
+def test_reference_toplevel_export_parity():
+    """Every top-level name the reference package exposes (its __init__ does
+    star-imports of chunk + submodules) must resolve on ours too, so
+    `from PyCriCodecs import X` ports by renaming the package alone."""
+    import pycricodecs_tpu as pkg
+
+    names = ["ACB", "ACBBuilder", "ADX", "AWB", "AWBBuilder",
+             "AWBChunkHeader", "AWBType", "CPK", "CPKBuilder",
+             "CPKChunkHeader", "CPKChunkHeaderType", "CriHcaQuality",
+             "Enum", "HCA", "HCAType", "IVF", "SBTChunkHeader", "Struct",
+             "USM", "USMBuilder", "USMChunckHeaderType", "USMChunkHeader",
+             "UTF", "UTFBuilder", "UTFChunkHeader", "UTFType",
+             "UTFTypeValues", "VideoType", "WavDataHeaderStruct",
+             "WavHeaderStruct", "WavNoteHeaderStruct", "WavSmplHeaderStruct",
+             "acb", "adx", "awb", "chunk", "cpk", "hca", "ivf", "usm", "utf"]
+    missing = [n for n in names if not hasattr(pkg, n)]
+    assert not missing, missing
+    assert pkg.UTFChunkHeader.format == ">4sIIIIIHHI"
+    assert pkg.WavHeaderStruct.format == "<4sI4s4sIHHIIHH"
+    assert hasattr(pkg.ACB, "exp_extract")
