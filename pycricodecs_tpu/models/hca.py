@@ -169,6 +169,13 @@ class HCA:
         self.filetype = ""
         self.hca: dict = {}
         self.looping = False
+        # drop-in attributes reference users reach for (hca.py:55-75):
+        # two independent cursors over the input and empty cipher tables
+        import io as _io
+        self.stream = _io.BytesIO(raw)
+        self.hcastream = _io.BytesIO(raw)
+        self.enc_table = b""
+        self.table = b""
         self._parse()
 
     # -- parsing ------------------------------------------------------------
@@ -177,6 +184,7 @@ class HCA:
         raw = self._hca_buffer()
         sig = raw[:4] if len(raw) >= 4 else b""
         masked = bytes(b & 0x7F for b in sig)
+        self.HcaSig = sig
         if masked == b"HCA\x00":
             self.filetype = "hca"
             self.encrypted = sig != b"HCA\x00"
@@ -229,6 +237,38 @@ class HCA:
             self.filetype = "wav"
             self._wav = wavmod.parse_wav(raw)
             self.looping = self._wav.looping
+            # drop-in header attributes (the reference unpacks the fused
+            # RIFF+fmt WavHeaderStruct, hca.py:197-232; version/header_size
+            # come from interpreting bytes 4..8 as the HCA header even for
+            # WAVs — mirror that so introspection code ports unchanged)
+            self.version = int.from_bytes(raw[4:6], "big")
+            self.header_size = int.from_bytes(raw[6:8], "big")
+            w = self._wav
+            from ..containers.chunk import WavHeaderStruct
+            try:
+                (self.riffSignature, self.riffSize, self.wave, self.fmt,
+                 self.fmtSize, self.fmtType, self.fmtChannelCount,
+                 self.fmtSamplingRate, self.fmtSamplesPerSec,
+                 self.fmtSamplingSize, self.fmtBitCount) = \
+                    WavHeaderStruct.unpack(raw[:WavHeaderStruct.size])
+                if (self.wave, self.fmt) != (b"WAVE", b"fmt "):
+                    raise ValueError
+            except Exception:
+                # fmt not at the canonical offset: fill from the real parser
+                self.riffSignature, self.riffSize = b"RIFF", len(raw) - 8
+                self.wave, self.fmt = b"WAVE", b"fmt "
+                self.fmtSize, self.fmtType = 16, w.compression
+                self.fmtChannelCount = w.channels
+                self.fmtSamplingRate = w.sample_rate
+                self.fmtSamplesPerSec = w.sample_rate * w.channels * 2
+                self.fmtSamplingSize = w.channels * 2
+                self.fmtBitCount = w.bit_depth
+            self.dataSig = b"data"
+            self.dataSize = w.num_samples * 2
+            if w.looping:
+                self.LoopCount = 1
+                self.LoopStartSample = w.loop_start
+                self.LoopEndSample = w.loop_end
         else:
             raise ValueError("Invalid HCA or WAV file.")
 
@@ -244,10 +284,19 @@ class HCA:
     def info(self) -> dict:
         if self.filetype == "hca":
             return self.hca
-        w = self._wav
-        return dict(RiffSignature="RIFF", fmtChannelCount=w.channels,
-                    fmtSamplingRate=w.sample_rate, fmtBitCount=w.bit_depth,
-                    dataSize=w.num_samples * 2)
+        # same key set as the reference's WAV info() (hca.py:243-245)
+        return dict(RiffSignature=self.riffSignature.decode(),
+                    riffSize=self.riffSize,
+                    WaveSignature=self.wave.decode(),
+                    fmtSignature=self.fmt.decode(), fmtSize=self.fmtSize,
+                    fmtType=self.fmtType,
+                    fmtChannelCount=self.fmtChannelCount,
+                    fmtSamplingRate=self.fmtSamplingRate,
+                    fmtSamplesPerSec=self.fmtSamplesPerSec,
+                    fmtSamplingSize=self.fmtSamplingSize,
+                    fmtBitCount=self.fmtBitCount,
+                    dataSignature=self.dataSig.decode(),
+                    dataSize=self.dataSize)
 
     def decode(self) -> bytes:
         if self.filetype == "wav":

@@ -89,3 +89,37 @@ def test_reference_toplevel_export_parity():
     assert pkg.UTFChunkHeader.format == ">4sIIIIIHHI"
     assert pkg.WavHeaderStruct.format == "<4sI4s4sIHHIIHH"
     assert hasattr(pkg.ACB, "exp_extract")
+
+
+def test_hca_instance_attribute_parity():
+    """The reference HCA declares __slots__ users introspect (hca.py:10-53);
+    both input types must expose the same set of populated attributes."""
+    import numpy as np
+    from pycricodecs_tpu import HCA
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.utils.wav import write_wav
+
+    pcm = (np.sin(np.arange(9600) / 48000 * 2 * np.pi * 440)
+           * 12000).astype(np.int16)
+    wav = write_wav(np.repeat(pcm, 2), 2, 48000,
+                    looping=True, loop_start=10, loop_end=9000)
+    h = HCA(wav)
+    for a in ("stream", "hcastream", "HcaSig", "enc_table", "table",
+              "riffSignature", "riffSize", "wave", "fmt", "fmtSize",
+              "fmtType", "fmtChannelCount", "fmtSamplingRate",
+              "fmtSamplesPerSec", "fmtSamplingSize", "fmtBitCount",
+              "dataSig", "dataSize", "LoopCount", "LoopStartSample",
+              "LoopEndSample", "version", "header_size"):
+        assert hasattr(h, a), a
+    assert h.riffSignature == b"RIFF" and h.fmtChannelCount == 2
+    assert h.LoopCount == 1 and h.LoopEndSample == 9000
+    info = h.info()
+    assert info["dataSignature"] == "data" and info["fmtBitCount"] == 16
+
+    blob = hca_encode_host.encode(wav, quality=2)
+    h2 = HCA(blob)
+    for a in ("stream", "hcastream", "HcaSig", "version", "header_size",
+              "hca", "filetype", "encrypted", "looping"):
+        assert hasattr(h2, a), a
+    assert h2.HcaSig == b"HCA\x00" and h2.filetype == "hca"
+    assert h2.stream.read(4) == blob[:4]
