@@ -58,6 +58,17 @@ def main():
     print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
+    # real-chip coverage of the batched device engine (Pallas IMDCT+OLA):
+    # with auto routing to host lanes on slow links, this parity assertion
+    # is what keeps the device path exercised on actual TPU hardware.
+    if engine == "host" and platform == "tpu":
+        n_guard = 4
+        dev = parallel.decode_batch(blobs[:n_guard], engine="device")
+        host = parallel.decode_batch(blobs[:n_guard], engine="host")
+        assert dev == host, "device engine diverged from host lanes on TPU"
+        print(f"device-engine parity guard: {n_guard} streams bit-exact "
+              f"on the real chip", file=sys.stderr)
+
     best = 0.0
     for _ in range(int(os.environ.get("BENCH_RUNS", "5"))):
         stats = parallel.DecodeStats()
