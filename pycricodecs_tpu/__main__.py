@@ -117,6 +117,44 @@ def cmd_bank_decode(args) -> None:
     print(out)
 
 
+def cmd_build(args) -> None:
+    """Build a container from a directory (cpk/awb/acb) or video+audio (usm)."""
+    ext = os.path.splitext(args.output)[1].lower().lstrip(".")
+    if ext == "cpk":
+        from .containers.cpk import CPKBuilder
+        CPKBuilder(args.input, args.output, CpkMode=args.cpk_mode,
+                   encrypt=args.encrypt, compress=args.compress)
+    elif ext == "awb":
+        from .containers.awb import AWBBuilder
+        AWBBuilder(args.input, subkey=args.subkey).build(args.output)
+    elif ext == "acb":
+        from .containers.acb import ACBBuilder
+        names, tracks = [], []
+        for fn in sorted(os.listdir(args.input)):
+            path = os.path.join(args.input, fn)
+            if os.path.isfile(path):
+                names.append(os.path.splitext(fn)[0])
+                tracks.append(open(path, "rb").read())
+        if not tracks:
+            raise SystemExit(f"no files in {args.input}")
+        blob = ACBBuilder(tracks, name=os.path.splitext(
+            os.path.basename(args.output))[0], cue_names=names).build()
+        open(args.output, "wb").write(blob)
+    elif ext == "usm":
+        from .containers.usm import USMBuilder
+        if not args.audio:
+            builder = USMBuilder(args.input, key=args.key or False)
+        else:
+            builder = USMBuilder(args.input, args.audio,
+                                 key=args.key or False,
+                                 audio_codec=args.codec,
+                                 encryptAudio=bool(args.key and args.encrypt))
+        open(args.output, "wb").write(builder.build())
+    else:
+        raise SystemExit("build output must end in .cpk/.awb/.acb/.usm")
+    print(args.output)
+
+
 def cmd_find_key(args) -> None:
     import numpy as np
 
@@ -209,6 +247,22 @@ def main(argv=None) -> None:
     p = sub.add_parser("bank-decode", help="ACB/AWB -> WAVs (one TPU batch)")
     common(p)
     p.set_defaults(fn=cmd_bank_decode)
+
+    p = sub.add_parser("build", help="dir -> CPK/AWB/ACB, or IVF(+WAV) -> USM")
+    p.add_argument("input", help="directory (cpk/awb/acb) or IVF video (usm)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output file; extension picks the container")
+    p.add_argument("--audio", help="audio track for USM (WAV/ADX/HCA)")
+    p.add_argument("--codec", default="adx", choices=["adx", "hca"],
+                   help="USM audio codec")
+    p.add_argument("--cpk-mode", type=int, default=1, choices=[0, 1, 2, 3])
+    p.add_argument("--compress", action="store_true",
+                   help="CRILAYLA-compress CPK members")
+    p.add_argument("--encrypt", action="store_true",
+                   help="encrypt CPK tables / USM streams")
+    p.add_argument("--key", type=_int0, default=0)
+    p.add_argument("--subkey", type=_int0, default=0)
+    p.set_defaults(fn=cmd_build)
 
     p = sub.add_parser("find-key", help="batched keycode search")
     common(p, key=False)

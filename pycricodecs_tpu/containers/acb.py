@@ -244,12 +244,15 @@ class ACB(UTF):
             awb_id = ids[index] if index < len(ids) else index
             stem = names.get(awb_id, str(index))
             ext = get_extension(self._encode_type(index))
+            # cue names are archive data: anchor them under the output dir
+            from ..utils.paths import anchored_join
             if decode and ext == ".hca":
                 payload = HCA(data, key=key, subkey=self.awb.subkey).decode()
-                path = os.path.join(dirname, f"{stem}.wav")
+                path = anchored_join(dirname, f"{stem}.wav")
             else:
                 payload = data
-                path = os.path.join(dirname, f"{stem}{ext}")
+                path = anchored_join(dirname, f"{stem}{ext}")
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             with open(path, "wb") as fh:
                 fh.write(payload)
 

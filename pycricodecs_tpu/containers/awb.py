@@ -88,6 +88,10 @@ class AWB:
         if dirname:
             os.makedirs(dirname, exist_ok=True)
         base = self.filename.rsplit(".", 1)[0] if self.filename else ""
+        if dirname:
+            # keep output under dirname even when the AWB was opened via an
+            # absolute path (os.path.join would discard dirname otherwise)
+            base = os.path.basename(base)
         for count, data in enumerate(self.getfiles()):
             is_hca = data.startswith(HCAType.HCA.value) or \
                 data.startswith(HCAType.EHCA.value)

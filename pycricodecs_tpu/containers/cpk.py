@@ -111,17 +111,20 @@ class CPK:
             toc = self.tables["TOC"]
             base = dirname or (self.filename.rsplit(".", 1)[0]
                                if self.filename else "") or "cpk_out"
+            from ..utils.paths import anchored_join
             for i in range(len(toc["FileName"])):
                 subdir = self._cell(toc["DirName"], i)
-                target_dir = os.path.join(base, subdir) if subdir else base
-                os.makedirs(target_dir, exist_ok=True)
                 filename = self._cell(toc["FileName"], i)
                 if len(filename) >= 255:
                     filename = filename[:250] + "_" + str(i)
+                # DirName/FileName are archive data: anchor them under the
+                # output dir (the reference joins them raw — traversal hole)
+                target = anchored_join(base, subdir or "", filename)
+                os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
                 self.stream.seek(0x800 + self._cell(toc["FileOffset"], i), 0)
                 data = self._read_entry(self._cell(toc["FileSize"], i),
                                         self._cell(toc["ExtractSize"], i))
-                with open(os.path.join(target_dir, filename), "wb") as fh:
+                with open(target, "wb") as fh:
                     fh.write(data)
         elif "ITOC" in self.tables:
             align = self._cell(self.tables["CPK"]["Align"], 0)
@@ -169,13 +172,13 @@ class CPK:
             base = dirname or (self.filename.rsplit(".", 1)[0]
                                if self.filename else "")
             subdir = self._cell(toc["DirName"], idx)
-            target = os.path.join(base, subdir) if subdir else base
-            if target:
-                os.makedirs(target, exist_ok=True)
+            from ..utils.paths import anchored_join
+            target = anchored_join(base, subdir or "", filename)
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
             self.stream.seek(0x800 + self._cell(toc["FileOffset"], idx), 0)
             data = self._read_entry(self._cell(toc["FileSize"], idx),
                                     self._cell(toc["ExtractSize"], idx))
-            with open(os.path.join(target, filename), "wb") as fh:
+            with open(target, "wb") as fh:
                 fh.write(data)
         elif "ITOC" in self.tables:
             file_id = int(filename)

@@ -260,7 +260,13 @@ class USM:
                     filename = filename.rsplit(sep, 1)[1]
                     break
             filename = "".join(ch for ch in filename if ch not in ':?*<>|"')
-            filename = os.path.join(dirname, filename)
+            # anchor under dirname: drop leading separators and any parent
+            # segments the patterns above missed (the reference only strips
+            # drive-letter absolutes, so a POSIX-absolute or crafted name
+            # escapes its output directory — usm.py:205-220; not reproduced)
+            parts = [p for p in filename.replace("\\", "/").split("/")
+                     if p not in ("", ".", "..")]
+            filename = os.path.join(dirname, *parts) if parts else dirname
             if filename not in filenames:
                 filenames.append(filename)
             else:
@@ -405,7 +411,10 @@ class USMBuilder:
         Round-trips through USM.demux / sbt_to_srt."""
         if isinstance(video, str):
             videostream = FileIO(video)
-            self.video_filename = video
+            # CRID carries the bare name: embedding the builder host's full
+            # path both leaks it and (on naive extractors, the reference
+            # included) makes extraction write outside the target directory
+            self.video_filename = os.path.basename(video)
         else:
             videostream = BytesIO(video)
             self.video_filename = "temp.ivf"
@@ -452,7 +461,7 @@ class USMBuilder:
         self.audio_filenames = []
         for count, track in enumerate(tracks):
             if isinstance(track, str):
-                self.audio_filenames.append(track)
+                self.audio_filenames.append(os.path.basename(track))
             else:
                 self.audio_filenames.append("{:02d}.sfa".format(count))
         self.streams = []

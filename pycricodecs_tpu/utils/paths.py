@@ -1,0 +1,32 @@
+"""Path anchoring for archive extraction.
+
+Container tables (CPK DirName/FileName, ACB cue names, USM CRID filenames)
+are attacker-controlled data; joining them into an output path naively lets
+a crafted archive write outside the extraction directory (absolute paths,
+`..` segments, drive prefixes). The reference only strips drive-letter
+absolutes (usm.py:205-220) and joins CPK names unsanitized — a traversal
+hole we deliberately do not reproduce.
+"""
+from __future__ import annotations
+
+import os
+
+
+def safe_parts(name: str) -> list:
+    """Split an archive-supplied name into traversal-free path segments."""
+    name = str(name)
+    # a drive prefix ("A:\\x", "C:/x") means everything before the colon is
+    # not a real segment; the reference strips these too
+    if ":" in name:
+        name = name.split(":", 1)[1]
+    name = name.replace("\\", "/")
+    return [p for p in name.split("/") if p not in ("", ".", "..")]
+
+
+def anchored_join(dirname: str, *names: str) -> str:
+    """Join archive-supplied names under `dirname`, never escaping it."""
+    parts: list = []
+    for n in names:
+        parts.extend(safe_parts(n))
+    base = dirname if dirname else "."
+    return os.path.join(base, *parts) if parts else base

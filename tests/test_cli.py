@@ -72,3 +72,40 @@ def test_cli_ahx_roundtrip(tmp_path):
     assert dec[:4] == b"RIFF"
     got = np.frombuffer(dec[0x2C:], dtype="<i2")
     assert len(got) == len(pcm)
+
+
+def test_cli_build_containers(tmp_path):
+    """`build` constructs CPK/AWB/ACB from a directory and USM from IVF+WAV,
+    each round-trippable by the extract/bank-decode commands."""
+    from pycricodecs_tpu.containers.ivf import build_ivf
+
+    wav = write_wav(make_sine_pcm16(8192, 2, 48000, seed=77), 2, 48000)
+    blob = hca_encode_host.encode(wav, quality=2)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.hca").write_bytes(blob)
+    (src / "b.hca").write_bytes(blob)
+
+    for ext, extra in (("cpk", ["--compress"]), ("awb", []), ("acb", [])):
+        out = tmp_path / f"t.{ext}"
+        _run("build", str(src), "-o", str(out), *extra, cwd=tmp_path)
+        assert out.stat().st_size > 0
+
+    vp = tmp_path / "v.ivf"
+    vp.write_bytes(build_ivf([b"\x82I\x83B" + b"v" * 400, b"w" * 200]))
+    ap = tmp_path / "a.wav"
+    ap.write_bytes(wav)
+    usm = tmp_path / "t.usm"
+    _run("build", str(vp), "-o", str(usm), "--audio", str(ap),
+         "--codec", "hca", cwd=tmp_path)
+
+    _run("extract", str(tmp_path / "t.cpk"), "-o",
+         str(tmp_path / "out_cpk"), cwd=tmp_path)
+    assert (tmp_path / "out_cpk" / "a.hca").read_bytes() == blob
+    _run("bank-decode", str(tmp_path / "t.acb"), "-o",
+         str(tmp_path / "out_acb"), cwd=tmp_path)
+    wavs = list((tmp_path / "out_acb").glob("*.wav"))
+    assert len(wavs) == 2
+    _run("extract", str(usm), "-o", str(tmp_path / "out_usm"),
+         "--decode", cwd=tmp_path)
+    assert list((tmp_path / "out_usm").glob("*.wav"))
