@@ -248,10 +248,12 @@ class ACB(UTF):
             from ..utils.paths import anchored_join
             if decode and ext == ".hca":
                 payload = HCA(data, key=key, subkey=self.awb.subkey).decode()
-                path = anchored_join(dirname, f"{stem}.wav")
+                path = anchored_join(dirname, f"{stem}.wav",
+                                     fallback=f"{index}.wav")
             else:
                 payload = data
-                path = anchored_join(dirname, f"{stem}{ext}")
+                path = anchored_join(dirname, f"{stem}{ext}",
+                                     fallback=f"{index}{ext or '.dat'}")
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             with open(path, "wb") as fh:
                 fh.write(payload)

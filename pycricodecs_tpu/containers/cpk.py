@@ -119,7 +119,8 @@ class CPK:
                     filename = filename[:250] + "_" + str(i)
                 # DirName/FileName are archive data: anchor them under the
                 # output dir (the reference joins them raw — traversal hole)
-                target = anchored_join(base, subdir or "", filename)
+                target = anchored_join(base, subdir or "", filename,
+                                       fallback=f"member_{i}")
                 os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
                 self.stream.seek(0x800 + self._cell(toc["FileOffset"], i), 0)
                 data = self._read_entry(self._cell(toc["FileSize"], i),
@@ -173,7 +174,8 @@ class CPK:
                                if self.filename else "")
             subdir = self._cell(toc["DirName"], idx)
             from ..utils.paths import anchored_join
-            target = anchored_join(base, subdir or "", filename)
+            target = anchored_join(base, subdir or "", filename,
+                                   fallback=f"member_{idx}")
             os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
             self.stream.seek(0x800 + self._cell(toc["FileOffset"], idx), 0)
             data = self._read_entry(self._cell(toc["FileSize"], idx),

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..models.adx import ADX, parse_adx_header
 from ..models.hca import HCA
+from ..utils.paths import safe_parts
 from .chunk import (SBTChunkHeader, USMChunckHeaderType,
                     USMChunkHeader, UTFTypeValues, VideoType)
 from .ivf import IVF
@@ -260,13 +261,13 @@ class USM:
                     filename = filename.rsplit(sep, 1)[1]
                     break
             filename = "".join(ch for ch in filename if ch not in ':?*<>|"')
-            # anchor under dirname: drop leading separators and any parent
-            # segments the patterns above missed (the reference only strips
-            # drive-letter absolutes, so a POSIX-absolute or crafted name
-            # escapes its output directory — usm.py:205-220; not reproduced)
-            parts = [p for p in filename.replace("\\", "/").split("/")
-                     if p not in ("", ".", "..")]
-            filename = os.path.join(dirname, *parts) if parts else dirname
+            # anchor under dirname (the reference only strips drive-letter
+            # absolutes, so a POSIX-absolute or crafted name escapes its
+            # output directory — usm.py:205-220; not reproduced). Empty
+            # results fall through to _chunk_filename's <chunk>.bin name.
+            from ..utils.paths import anchored_join
+            filename = anchored_join(dirname, filename) \
+                if safe_parts(filename) else dirname
             if filename not in filenames:
                 filenames.append(filename)
             else:

@@ -109,8 +109,10 @@ def decode(data: bytes, key: int = 0, subkey: int = 0) -> bytes:
                            - info.encoder_delay - info.encoder_padding)
     frames = data[header_size:header_size + info.frame_count * info.frame_size]
     if len(frames) < info.frame_count * info.frame_size:
-        # decode what's available; remaining output stays zero (reference
-        # memsets the tail when it runs out of blocks, hca.cpp:3428-3430)
+        # decode what's available; remaining output stays zero. Deliberate
+        # divergence: the reference memcpy's frame_count frames with no
+        # length check (hca.cpp:3434-3435), so truncated input reads out of
+        # bounds and errors on the garbage — undefined, not matchable.
         usable = len(frames) // info.frame_size
         frames = frames[:usable * info.frame_size]
     pcm = decode_frames_to_pcm(info, frames)
@@ -170,7 +172,9 @@ class HCA:
         self.hca: dict = {}
         self.looping = False
         # drop-in attributes reference users reach for (hca.py:55-75):
-        # two independent cursors over the input and empty cipher tables
+        # two independent cursors over the input and empty cipher tables.
+        # (BytesIO over a bytes object is copy-on-write in CPython — these
+        # cost no memory until someone writes through them.)
         import io as _io
         self.stream = _io.BytesIO(raw)
         self.hcastream = _io.BytesIO(raw)

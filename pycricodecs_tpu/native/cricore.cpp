@@ -1355,15 +1355,19 @@ static void hca_imdct_ola_avx2(const float* spc, float* carry,
             _mm256_store_ps(currev + k,
                             hca_rev8(_mm256_loadu_ps(cur + 120 - k)));
         int16_t* o = pcmch + (size_t)t * 128;
+        // win comes from numpy and pre may be the caller's carry vector:
+        // neither is 32-byte aligned, so those loads must be loadu
+        // (_mm256_load_ps on them is UB that only works while the compiler
+        // folds the load into an alignment-tolerant memory operand)
         // o[k] = clamp((win[k]*cur[64+k] + win[127-k]*pre[63-k]) * 32768)
         for (int k = 0; k < 64; k += 16) {
             __m256 v0 = _mm256_add_ps(
-                _mm256_mul_ps(_mm256_load_ps(win + k),
+                _mm256_mul_ps(_mm256_loadu_ps(win + k),
                               _mm256_load_ps(cur + 64 + k)),
                 _mm256_mul_ps(_mm256_load_ps(winr + k),
                               _mm256_load_ps(prerev + 64 + k)));
             __m256 v1 = _mm256_add_ps(
-                _mm256_mul_ps(_mm256_load_ps(win + k + 8),
+                _mm256_mul_ps(_mm256_loadu_ps(win + k + 8),
                               _mm256_load_ps(cur + 72 + k)),
                 _mm256_mul_ps(_mm256_load_ps(winr + k + 8),
                               _mm256_load_ps(prerev + 72 + k)));
@@ -1374,15 +1378,15 @@ static void hca_imdct_ola_avx2(const float* spc, float* carry,
         // o[64+k] = clamp((win[64+k]*cur[127-k] - win[63-k]*pre[k]) * 32768)
         for (int k = 0; k < 64; k += 16) {
             __m256 v0 = _mm256_sub_ps(
-                _mm256_mul_ps(_mm256_load_ps(win + 64 + k),
+                _mm256_mul_ps(_mm256_loadu_ps(win + 64 + k),
                               _mm256_load_ps(currev + k)),
                 _mm256_mul_ps(_mm256_load_ps(winr + 64 + k),
-                              _mm256_load_ps(pre + k)));
+                              _mm256_loadu_ps(pre + k)));
             __m256 v1 = _mm256_sub_ps(
-                _mm256_mul_ps(_mm256_load_ps(win + 72 + k),
+                _mm256_mul_ps(_mm256_loadu_ps(win + 72 + k),
                               _mm256_load_ps(currev + k + 8)),
                 _mm256_mul_ps(_mm256_load_ps(winr + 72 + k),
-                              _mm256_load_ps(pre + k + 8)));
+                              _mm256_loadu_ps(pre + k + 8)));
             _mm256_storeu_si256((__m256i*)(o + 64 + k),
                 hca_clamp16x16(_mm256_mul_ps(v0, k32768),
                                _mm256_mul_ps(v1, k32768)));
@@ -2132,9 +2136,18 @@ void cri_hca_scalefactors_scale(const float* spectra,  // [F, C, 8, 128]
                     _mm256_loadu_ps(sp + (size_t)t * 128 + k0), sgnmask));
             __m256i lo = _mm256_setzero_si256();
             __m256i hi = _mm256_set1_epi32(64);
-            for (int it = 0; it < 6; ++it) {
+            // 7 steps, not 6: the [0,64) range halves to width 1 after six
+            // comparisons and the seventh resolves it (lo==hi afterwards).
+            // With only six, peaks inside [table[0], table[1]) misclassify
+            // as scalefactor 0 and the band is silenced.
+            for (int it = 0; it < 7; ++it) {
                 __m256i mid = _mm256_srai_epi32(_mm256_add_epi32(lo, hi), 1);
-                __m256 g = _mm256_i32gather_ps(scaling64, mid, 4);
+                // lanes already converged at lo==hi==64 would gather one
+                // past the table; clamp the index (their blend outcome is
+                // identical either way — the final min(lo,63) absorbs it)
+                __m256 g = _mm256_i32gather_ps(
+                    scaling64, _mm256_min_epi32(mid, _mm256_set1_epi32(63)),
+                    4);
                 __m256i take = _mm256_castps_si256(
                     _mm256_cmp_ps(g, peak, _CMP_LE_OQ));
                 lo = _mm256_blendv_epi8(

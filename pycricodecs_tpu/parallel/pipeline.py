@@ -372,6 +372,7 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
                         chunk_sizes, chunk, B, fmax, C, info0, hfr, pairs,
                         need_noise, hfr_args):
     pending = []  # (fetched_future, [(batch_row, stream_idx), ...])
+    real_frames = {}  # stream idx -> frames actually present in the blob
     start = 0
     t_unpack = 0.0
     t_device = 0.0
@@ -402,6 +403,7 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
         for b, idx in enumerate(members):
             info, blob, hs = infos[idx]
             frames = blob[hs:hs + info.frame_count * info.frame_size]
+            real_frames[idx] = len(frames) // info.frame_size
             # the unpacker writes straight into this stream's slice of the
             # stacked batch tensors (no intermediate copies)
             dest = hca_frame.UnpackedFrames(
@@ -468,7 +470,17 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
             pcm = out[b].reshape(-1, info.channels)
             pcm = pcm[info.encoder_delay:info.encoder_delay + samples]
             # owned copy: a view would pin the whole fetched chunk buffer
-            results[idx] = pcm.copy()
+            pcm = pcm.copy()
+            # truncated stream: the reference zeroes everything past the
+            # last real frame (hca.cpp:3428-3430); the padded batch rows
+            # decode to silence EXCEPT the first one, where the last real
+            # frame's IMDCT carry bleeds through the overlap-add — zero it
+            # so the device engine matches the host lanes byte-for-byte
+            usable = (real_frames[idx] * SAMPLES_PER_FRAME
+                      - info.encoder_delay)
+            if usable < pcm.shape[0]:
+                pcm[max(usable, 0):] = 0
+            results[idx] = pcm
     if stats is not None:
         stats.unpack_seconds += t_unpack
         stats.device_seconds += t_device

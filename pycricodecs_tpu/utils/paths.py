@@ -23,10 +23,17 @@ def safe_parts(name: str) -> list:
     return [p for p in name.split("/") if p not in ("", ".", "..")]
 
 
-def anchored_join(dirname: str, *names: str) -> str:
-    """Join archive-supplied names under `dirname`, never escaping it."""
+def anchored_join(dirname: str, *names: str, fallback: str = "") -> str:
+    """Join archive-supplied names under `dirname`, never escaping it.
+
+    When every segment strips away (a name that is only separators or
+    `..`), `fallback` supplies the member name — otherwise the bare
+    directory comes back and a caller that open()s it would crash.
+    """
     parts: list = []
     for n in names:
         parts.extend(safe_parts(n))
+    if not parts and fallback:
+        parts = [fallback]
     base = dirname if dirname else "."
     return os.path.join(base, *parts) if parts else base

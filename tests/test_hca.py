@@ -298,3 +298,65 @@ def test_v1_dec_chunk_with_ath_matches_reference(oracle):
     info = parse_header(hca_v1[:_hdr_size(hca_v1)])
     assert info.version == 0x0101 and info.ath_type == 1
     assert info.ath.any(), "v1.1 must use a non-zero ATH curve"
+
+
+def test_native_scalefactor_search_critical_interval(oracle):
+    """Peaks inside [SCALING_TABLE[0], SCALING_TABLE[1]) need the 7th
+    bisection step: the 64-entry range halves to width 1 after six and the
+    seventh resolves it. A 6-step search silently returned scalefactor 0
+    (band muted) for such quiet-but-nonzero bands."""
+    import numpy as np
+    from pycricodecs_tpu.ops import hca_encode_host as E
+    from pycricodecs_tpu.ops import hca_tables as T
+
+    tbl = np.asarray(T.SCALING_TABLE, np.float32)
+    info = type("I", (), {})()
+
+    class FakeInfo:
+        channels = 1
+        coded_count = np.array([128], np.int32)
+
+    rng = np.random.default_rng(11)
+    spectra = (rng.standard_normal((3, 1, 8, 128)) * 0.3).astype(np.float32)
+    # plant criticals: between tbl[0] and tbl[1], exactly tbl[1], above tbl[63]
+    spectra[0, 0, :, 5] = np.float32((tbl[0] + tbl[1]) / 2)
+    spectra[1, 0, :, 7] = tbl[1]
+    spectra[2, 0, :, 9] = np.float32(2e9)
+    sf_n, scaled_n = E._scalefactors_scale_native(FakeInfo, spectra)
+    peaks = np.abs(spectra).max(axis=2)  # [F, C, 128]
+    sf_ref = np.minimum(
+        np.searchsorted(tbl, peaks, side="right"), 63).astype(np.int32)
+    assert np.array_equal(np.asarray(sf_n), sf_ref)
+    assert sf_n[0, 0, 5] == 1 and sf_n[2, 0, 9] == 63
+
+
+def test_truncated_stream_engines_agree(oracle):
+    """A stream cut mid-file must decode identically through the single-file
+    path, the host lanes and the batched device engine: decode what is
+    there, zero the tail. (The reference memcpy's frame_count frames with
+    no length check — hca.cpp:3434-3435 reads out of bounds on truncated
+    input and errors on the resulting garbage, so there is no defined
+    reference behaviour to match; our leniency is a documented divergence.)
+    The device engine used to leak the last real frame's IMDCT carry into
+    the first padded frame instead of silence."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+
+    wav = write_wav(make_sine_pcm16(4096 * 24, 2, 48000, seed=21), 2, 48000)
+    blob = bytes(oracle.HcaEncode(wav, 0, 2))
+    hs = int.from_bytes(blob[6:8], "big")
+    info = parse_header(blob[:hs])
+    full = hcamod.decode(blob)
+    for extra in (0, 7):
+        cut = blob[:hs + (info.frame_count - 3) * info.frame_size + extra]
+        single = hcamod.decode(cut)
+        host = parallel.decode_batch([cut], engine="host")[0]
+        device = parallel.decode_batch([cut], engine="device")[0]
+        assert single == host == device
+        assert len(single) == len(full)
+        # decoded prefix matches the full decode; tail is silence
+        keep = (info.frame_count - 4) * 1024 * info.channels * 2
+        assert single[44:44 + keep] == full[44:44 + keep]
+        tail = np.frombuffer(single, np.int16,
+                             offset=44 + keep + 2048 * info.channels * 2)
+        assert not tail.any()

@@ -117,3 +117,21 @@ def test_usm_builder_writes_basenames(tmp_path):
     u.demux()
     names = [r["filename"][1] for r in u.CRIDObj.get_payload()]
     assert all(str(tmp_path) not in n for n in names), names
+
+
+def test_extract_fallback_names_for_fully_stripped_members(tmp_path):
+    """Member names that sanitise to nothing ("..", "/", "C:") must still
+    extract under a synthesised name instead of open()ing the directory."""
+    from pycricodecs_tpu.containers.cpk import CPK, CPKBuilder
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"payload" * 5)
+    cpk_path = tmp_path / "t.cpk"
+    CPKBuilder(str(src), str(cpk_path), CpkMode=1)
+    cpk = CPK(str(cpk_path))
+    cpk.tables["TOC"]["FileName"] = [".."]
+    cpk.tables["TOC"]["DirName"] = [("",)]
+    out = tmp_path / "out"
+    cpk.extract(dirname=str(out))
+    assert (out / "member_0").read_bytes() == b"payload" * 5
