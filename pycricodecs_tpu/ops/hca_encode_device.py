@@ -396,13 +396,15 @@ def _delta_lengths(sf, coded_counts, channel_types, hfr_group_count):
 # ---------------------------------------------------------------------------
 
 def encode_batch_device(wav_blobs, quality: int = 1,
-                        force_not_looping: bool = False):
+                        force_not_looping: bool = False, mesh=None):
     """Encode a batch of same-format WAVs to HCA with the device pipeline.
 
     Streams must share (channels, sample_rate) so they form one jitted shape
     group; differing lengths are frame-padded. Rate-control fallback frames
     (level < 0) reroute the whole stream to the exact host encoder.
     Output is byte-identical to hca_encode_host.encode / the C++ reference.
+    With a `mesh`, the stream axis shards over the first mesh axis (the
+    encode transform is per-stream; no collectives needed).
     """
     from . import hca_encode_host as H
     from ..utils import wav as wavmod
@@ -419,12 +421,21 @@ def encode_batch_device(wav_blobs, quality: int = 1,
 
     B = len(wavs)
     C = info0.channels
+    Bp = B
+    if mesh is not None:
+        nd = int(mesh.devices.shape[0])
+        Bp = -(-B // nd) * nd  # pad streams to shard evenly (silence rows)
     fmax = max(cfg.info.frame_count for cfg in cfgs)
     fmax = -(-fmax // 16) * 16
-    pcm = np.zeros((B, C, fmax * 1024), dtype=np.int16)
+    pcm = np.zeros((Bp, C, fmax * 1024), dtype=np.int16)
     for b, (w, cfg) in enumerate(zip(wavs, cfgs)):
         tl = H.build_timeline(cfg, w)
         pcm[b, :, :tl.shape[1]] = tl
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pcm = jax.device_put(
+            pcm, NamedSharding(mesh, P(mesh.axis_names[0], None, None)))
 
     pairs = tuple((c, c + 1) for c in range(C - 1)
                   if info0.channel_type[c] == T.STEREO_PRIMARY) \

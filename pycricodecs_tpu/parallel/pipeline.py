@@ -909,7 +909,8 @@ def encode_batch(wavs: Sequence[bytes], **adx_kwargs) -> List[bytes]:
 
 def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
                      force_not_looping: bool = False,
-                     max_workers: int = 0, device: bool = False) -> List[bytes]:
+                     max_workers: int = 0, device: bool = False,
+                     mesh: Optional[Mesh] = None) -> List[bytes]:
     """Encode many WAVs to HCA concurrently.
 
     device=True runs the numeric pipeline on the accelerator
@@ -935,7 +936,7 @@ def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
         for members in groups.values():
             encoded = hca_encode_device.encode_batch_device(
                 [wavs[i] for i in members], quality=quality,
-                force_not_looping=force_not_looping)
+                force_not_looping=force_not_looping, mesh=mesh)
             for i, blob in zip(members, encoded):
                 results[i] = blob
         return results

@@ -337,3 +337,15 @@ def test_decode_awb_mixed_members_isolated():
     assert out[0][:4] == b"RIFF" and out[1][:4] == b"RIFF"
     assert out[2][:4] == b"RIFF"
     assert out[3].startswith(bad_m)            # raw pass-through (padded)
+
+
+def test_hca_encode_batch_device_sharded(oracle):
+    """Device encode with the stream axis sharded over the mesh is
+    byte-identical to the host encoder (odd count exercises the padding)."""
+    mesh = parallel.make_mesh((8, 1))
+    wavs = [write_wav(make_sine_pcm16(8192, 2, 48000, seed=900 + i),
+                      2, 48000) for i in range(9)]
+    sharded = parallel.hca_encode_batch(wavs, quality=2, device=True,
+                                        mesh=mesh)
+    for wav, blob in zip(wavs, sharded):
+        assert blob == bytes(oracle.HcaEncode(wav, 0, 2))
