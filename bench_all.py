@@ -170,10 +170,26 @@ def config8():
             "audio-sec/sec")
 
 
+def config9():
+    """CRILAYLA compress (hash-chain matcher vs the reference's O(n*window)
+    brute force; byte-identical output)."""
+    import numpy as np
+
+    from pycricodecs_tpu.models import crilayla
+    rng = np.random.default_rng(1)
+    chunk = rng.integers(0, 64, 4096, dtype=np.uint8).tobytes()
+    data = (chunk * 64)[:256 * 1024] + bytes(256)
+    blob = crilayla.compress(data)
+    assert crilayla.decompress(blob) == data
+    dt = _time(lambda: crilayla.compress(data), reps=10)
+    return ("crilayla_compress_mb_per_sec", len(data) / 1e6 / dt, "MB/sec")
+
+
 def main():
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
-               "5": config5, "6": config6, "7": config7, "8": config8}
+               "5": config5, "6": config6, "7": config7, "8": config8,
+               "9": config9}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",

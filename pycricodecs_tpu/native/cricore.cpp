@@ -1750,13 +1750,59 @@ int32_t cri_hca_search_levels(
             const uint8_t* scf = costs.data();
             int32_t* hlf = header_len + (size_t)f * C;
             int32_t* dbf = delta_bits + (size_t)f * C;
+            // --- scalefactor-bucketed cost sums -------------------------
+            // used_bits at eval_boundary 0 only depends on each band's
+            // scalefactor VALUE (resolution = curve[level - (5*sf)/2 + 2]),
+            // so fold the per-band cost rows into 63 buckets once per
+            // frame: every bisection step becomes a 63-entry walk instead
+            // of a full 128*C-band re-evaluation. Integer sums reassociate
+            // exactly, so this is bit-identical to hcaenc::used_bits.
+            int32_t bucket[64][16];
+            int64_t level_const = 0;
+            uint8_t present[64];
+            int32_t npresent = 0;
+            auto rebuild_buckets = [&]() {
+                std::memset(bucket, 0, sizeof(bucket));
+                level_const = 16 + 16 + 16;
+                bool occupied[64] = {false};
+                for (int32_t c = 0; c < C; ++c) {
+                    level_const += hlf[c];
+                    const int32_t cc = coded_count[c];
+                    const int32_t* sfc = sff + (size_t)c * 128;
+                    const uint8_t* cstc = scf + (size_t)c * 16 * 128;
+                    for (int32_t k = 0; k < cc; ++k) {
+                        const int32_t v = sfc[k];
+                        if (v == 0) {
+                            level_const += cstc[k];  // resolution 0 row
+                        } else {
+                            occupied[v] = true;
+                            for (int32_t r = 0; r < 16; ++r)
+                                bucket[v][r] += cstc[(size_t)r * 128 + k];
+                        }
+                    }
+                }
+                npresent = 0;
+                for (int32_t v = 1; v < 64; ++v)
+                    if (occupied[v]) present[npresent++] = (uint8_t)v;
+            };
+            rebuild_buckets();
+            auto used_bits_level = [&](int64_t noise) -> int64_t {
+                int64_t length = level_const;
+                for (int32_t i = 0; i < npresent; ++i) {
+                    const int32_t v = present[i];
+                    int64_t cpos = noise - (5 * (int64_t)v) / 2 + 2;
+                    if (cpos < 0) cpos = 0;
+                    if (cpos > 58) cpos = 58;
+                    length += bucket[v][tb.curve[cpos]];
+                }
+                return length;
+            };
             // --- BinarySearchLevel (hca.cpp:2792-2807) ------------------
             auto search_level = [&]() -> int32_t {
                 int64_t low = 0, high = 255, mid_value = 0;
                 while (low != high) {
                     const int64_t mid = (low + high) / 2;
-                    mid_value = hcaenc::used_bits(sff, scf, hlf, coded_count,
-                                                  C, mid, 0, tb);
+                    mid_value = used_bits_level(mid);
                     if (mid_value > avail) low = mid + 1;
                     else high = mid;
                 }
@@ -1778,27 +1824,53 @@ int32_t cri_hca_search_levels(
                             channel_type[c], hfr_group_count,
                             stereo_secondary_tag, dbf + c, hlf + c);
                     }
+                    rebuild_buckets();  // sff and header lengths changed
                     level = search_level();
                 }
                 if (rc[f] != 0) continue;
             }
             level_out[f] = level;
             // --- BinarySearchBoundary (hca.cpp:2834-2850) ---------------
+            // used_bits(level, eb) differs from used_bits(level, 0) only by
+            // the bands below eb evaluating at noise level-1: precompute the
+            // per-band cost delta once and prefix-sum it, making each
+            // bisection step O(1). Integer sums — bit-identical.
             int32_t boundary = 0;
             if (level != 0) {
+                const int64_t f_level = used_bits_level(level);
+                int64_t P[129];
+                P[0] = 0;
+                for (int32_t e = 1; e <= 128; ++e) {
+                    const int32_t k = e - 1;
+                    int64_t d = 0;
+                    for (int32_t c = 0; c < C; ++c) {
+                        if (k >= coded_count[c]) continue;
+                        const int32_t v = sff[(size_t)c * 128 + k];
+                        if (v == 0) continue;  // resolution 0 at any noise
+                        const uint8_t* cstc = scf + (size_t)c * 16 * 128;
+                        const int32_t r_lo = hcaenc::resolution_enc(
+                            v, (int64_t)level - 1, tb.curve);
+                        const int32_t r_hi = hcaenc::resolution_enc(
+                            v, (int64_t)level, tb.curve);
+                        d += (int64_t)cstc[(size_t)r_lo * 128 + k]
+                             - cstc[(size_t)r_hi * 128 + k];
+                    }
+                    P[e] = P[e - 1] + d;
+                }
+                auto used_at = [&](int64_t eb) -> int64_t {
+                    return f_level + (eb > 0 ? P[eb] : 0);
+                };
                 int64_t low = 0, high = 127;
                 while (std::llabs(high - low) > 1) {
                     const int64_t mid = (low + high) / 2;
-                    const int64_t mv = hcaenc::used_bits(
-                        sff, scf, hlf, coded_count, C, level, mid, tb);
+                    const int64_t mv = used_at(mid);
                     if (avail < mv) high = mid - 1;
                     else low = mid;
                 }
                 if (low == high) {
                     boundary = low < 127 ? (int32_t)low : -1;
                 } else {
-                    const int64_t hi_val = hcaenc::used_bits(
-                        sff, scf, hlf, coded_count, C, level, high, tb);
+                    const int64_t hi_val = used_at(high);
                     boundary = (int32_t)(hi_val > avail ? low : high);
                 }
                 if (boundary < 0) { rc[f] = -1; continue; }

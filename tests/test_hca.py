@@ -360,3 +360,58 @@ def test_truncated_stream_engines_agree(oracle):
         tail = np.frombuffer(single, np.int16,
                              offset=44 + keep + 2048 * info.channels * 2)
         assert not tail.any()
+
+
+def test_native_rate_control_fallback_matches_numpy():
+    """Starve the bit budget so EVERY frame takes the zero-top-bands
+    fallback (hca.cpp:2816-2828): the native search (bucketed costs +
+    prefix-delta boundary, rebuilt after each mutation) must reproduce the
+    numpy implementation's levels, boundaries and mutated sf/header state
+    exactly."""
+    from pycricodecs_tpu.ops import hca_encode_host as E
+    from pycricodecs_tpu.utils import wav as wavmod
+
+    rng = np.random.default_rng(7)
+    pcm = np.clip(rng.standard_normal((48000, 2)) * 32767,
+                  -32768, 32767).astype(np.int16)
+    wav = write_wav(pcm.reshape(-1), 2, 48000)
+    w = wavmod.parse_wav(wav)
+    cfg = E.init_encode(w, 2, False)
+    spec = E.run_mdct(E.build_timeline(cfg, w))
+    info = cfg.info
+    sf = E.calc_scalefactors(info, spec)
+    scaled = E.scale_spectra(info, spec, sf)
+    db, hl = E.calc_delta_lengths(info, sf)
+    avail = np.int64(info.frame_size * 8 // 3)
+
+    sf_py, db_py, hl_py = sf.copy(), db.copy(), hl.copy()
+    level_py = E.binary_search_level(info, sf_py, scaled, hl_py, avail)
+    assert (level_py < 0).all(), "budget not starved enough to force fallback"
+    for fidx in np.nonzero(level_py < 0)[0]:
+        highest = info.base_band_count + info.stereo_band_count - 1
+        while level_py[fidx] < 0:
+            highest -= 2
+            assert highest >= 0
+            sf_py[fidx, :, highest + 1] = 0
+            sf_py[fidx, :, highest + 2] = 0
+            d1, h1 = E.calc_delta_lengths(info, sf_py[fidx:fidx + 1])
+            db_py[fidx] = d1[0]
+            hl_py[fidx] = h1[0]
+            level_py[fidx] = E.binary_search_level(
+                info, sf_py[fidx:fidx + 1], scaled[fidx:fidx + 1],
+                hl_py[fidx:fidx + 1], avail)[0]
+    bnd_py = np.zeros(level_py.shape[0], np.int32)
+    nz = level_py != 0
+    bnd_py[nz] = E.binary_search_boundary(
+        info, sf_py[nz], scaled[nz], hl_py[nz], avail, level_py[nz])
+
+    sf_n, db_n, hl_n = sf.copy(), db.copy(), hl.copy()
+    res = E._search_levels_native(info, sf_n, scaled, db_n, hl_n, avail)
+    if res is None:
+        pytest.skip("native core unavailable")
+    level_n, bnd_n = res
+    assert np.array_equal(level_py.astype(np.int32), np.asarray(level_n))
+    assert np.array_equal(bnd_py, np.asarray(bnd_n))
+    assert np.array_equal(sf_py, sf_n)
+    assert np.array_equal(hl_py, hl_n)
+    assert np.array_equal(db_py, db_n)
