@@ -97,6 +97,16 @@ def config4():
         e = hca_encode_host.encode(wav, quality=2)
         hca.crypt(e, True, hs, 56, key)
     dt = _time(run, reps=3)
+
+    # real-chip parity guard for the DEVICE encoder (the TPU's default
+    # bf16 matmul precision silently corrupted the MP2 synthesis before;
+    # keep the HCA encode transform covered on actual hardware too)
+    import jax
+    if jax.devices()[0].platform == "tpu":
+        from pycricodecs_tpu import parallel
+        dev = parallel.hca_encode_batch([wav], quality=2, device=True)
+        assert dev[0] == blob, "device encoder diverged from host on TPU"
+        print("-- config 4: device-encoder parity guard OK", file=sys.stderr)
     return "hca_encode_encrypt_single_stereo", dur / dt
 
 
