@@ -269,20 +269,29 @@ class ACBBuilder:
 
     def __init__(self, tracks: list, name: str = "pycricodecs_acb",
                  encode_type: int = 2, sample_rate: int = 48000,
-                 channels: int = 2, cue_names=None) -> None:
-        """tracks: list of encoded audio payloads (e.g. HCA bytes)."""
+                 channels: int = 2, cue_names=None,
+                 embed_awb: bool = True) -> None:
+        """tracks: list of encoded audio payloads (e.g. HCA bytes).
+
+        embed_awb=False leaves the AwbFile cell empty and exposes the bank
+        as `self.awb_blob` after build(); write it as `<Name>.awb` next to
+        the ACB — the extractor resolves that sibling, like the reference
+        (acb.py:33-43)."""
         self.tracks = [bytes(t) for t in tracks]
         self.name = name
         self.encode_type = encode_type
         self.sample_rate = sample_rate
         self.channels = channels
         self.cue_names = cue_names or [f"cue_{i:04d}" for i in range(len(tracks))]
+        self.embed_awb = bool(embed_awb)
+        self.awb_blob: bytes = b""
 
     def build(self) -> bytes:
         from .awb import build_afs2
         from .utf import UTFBuilder
 
         awb_blob = build_afs2(self.tracks, subkey=0)
+        self.awb_blob = awb_blob
 
         waveform_rows = [{
             "MemoryAwbId": (UTFTypeValues.ushort, i),
@@ -307,7 +316,8 @@ class ACBBuilder:
 
         header = [{
             "Name": (UTFTypeValues.string, self.name),
-            "AwbFile": (UTFTypeValues.bytes, awb_blob),
+            "AwbFile": (UTFTypeValues.bytes,
+                        awb_blob if self.embed_awb else b""),
             "CueTable": (UTFTypeValues.bytes, table(cue_rows, "Cue")),
             "CueNameTable": (UTFTypeValues.bytes, table(cue_name_rows, "CueName")),
             "WaveformTable": (UTFTypeValues.bytes, table(waveform_rows, "Waveform")),

@@ -615,3 +615,28 @@ def test_usm_builder_rejects_sub_960hz_adx():
     wav = write_wav(make_sine_pcm16(2048, 1, 800, seed=63), 1, 800)
     with pytest.raises(ValueError):
         USMBuilder(ivf_blob, audio=[wav], audio_codec="adx").build()
+
+
+def test_acb_external_sibling_awb(tmp_path, oracle):
+    """An ACB without an embedded AwbFile resolves `<Name>.awb` next to it
+    (reference acb.py:33-43); extraction and bank decode work through the
+    sibling file."""
+    from pycricodecs_tpu.containers.acb import ACB, ACBBuilder
+    from pycricodecs_tpu import parallel
+
+    wav = write_wav(make_sine_pcm16(4096, 2, 48000, seed=55), 2, 48000)
+    hca_blob = bytes(oracle.HcaEncode(wav, 0, 2))
+    builder = ACBBuilder([hca_blob, hca_blob], name="bank", embed_awb=False)
+    acb_bytes = builder.build()
+    acb_path = tmp_path / "bank.acb"
+    acb_path.write_bytes(acb_bytes)
+    (tmp_path / "bank.awb").write_bytes(builder.awb_blob)
+
+    acb = ACB(str(acb_path))
+    members = list(acb.awb.getfiles())
+    assert members == [hca_blob, hca_blob]
+    out = tmp_path / "out"
+    acb.extract(decode=True, dirname=str(out))
+    assert sorted(p.name for p in out.iterdir()) == ["0.wav", "1.wav"]
+    wavs = parallel.decode_acb(acb)
+    assert len(wavs) == 2 and wavs[0] == wavs[1]
