@@ -112,6 +112,7 @@ class CPK:
             base = dirname or (self.filename.rsplit(".", 1)[0]
                                if self.filename else "") or "cpk_out"
             from ..utils.paths import anchored_join
+            written = set()
             for i in range(len(toc["FileName"])):
                 subdir = self._cell(toc["DirName"], i)
                 filename = self._cell(toc["FileName"], i)
@@ -121,6 +122,14 @@ class CPK:
                 # output dir (the reference joins them raw — traversal hole)
                 target = anchored_join(base, subdir or "", filename,
                                        fallback=f"member_{i}")
+                if target in written:
+                    # duplicate member names lose data in the reference
+                    # ("will overwrite each other", README.md:134); suffix
+                    # the row index instead
+                    stem, dot, ext = target.rpartition(".")
+                    target = f"{stem}_{i}{dot}{ext}" if dot \
+                        else f"{target}_{i}"
+                written.add(target)
                 os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
                 self.stream.seek(0x800 + self._cell(toc["FileOffset"], i), 0)
                 data = self._read_entry(self._cell(toc["FileSize"], i),

@@ -640,3 +640,23 @@ def test_acb_external_sibling_awb(tmp_path, oracle):
     assert sorted(p.name for p in out.iterdir()) == ["0.wav", "1.wav"]
     wavs = parallel.decode_acb(acb)
     assert len(wavs) == 2 and wavs[0] == wavs[1]
+
+
+def test_cpk_duplicate_filenames_do_not_overwrite(tmp_path):
+    """Duplicate member names must not lose data (the reference's extract
+    overwrites them — README.md:134; not reproduced)."""
+    from pycricodecs_tpu.containers.cpk import CPK, CPKBuilder
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "x.bin").write_bytes(b"AAAA" * 50)
+    cp = tmp_path / "t.cpk"
+    CPKBuilder(str(src), str(cp), CpkMode=1)
+    cpk = CPK(str(cp))
+    toc = cpk.tables["TOC"]
+    toc["FileName"] = ["dup.bin", "dup.bin"]
+    toc["DirName"] = [("",)]
+    out = tmp_path / "out"
+    cpk.extract(dirname=str(out))
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["dup.bin", "dup_1.bin"]
