@@ -55,7 +55,8 @@ def cmd_encode(args) -> None:
         raise SystemExit("encode expects a WAV input")
     if args.format == "adx":
         blob = adx.encode(data, bit_depth=args.bitdepth,
-                          encoding_mode=args.mode)
+                          encoding_mode=args.mode,
+                          scale_fix=args.scale_fix)
         ext = ".adx"
     elif args.format == "ahx":
         from .models.ahx import AHX
@@ -228,6 +229,10 @@ def main(argv=None) -> None:
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("encode", help="WAV -> ADX/AHX/HCA")
+    p.add_argument("--scale-fix", action="store_true", dest="scale_fix",
+                   help="ADX: decoder-exact quantiser (fixes the "
+                        "reference's high-bitdepth popping; output stays "
+                        "standard ADX)")
     common(p)
     p.add_argument("--format", choices=("adx", "ahx", "hca"), default="hca")
     p.add_argument("--bitrate", type=int, default=None,

@@ -321,12 +321,19 @@ def _get_next_multiple(value: int, multiple: int) -> int:
 def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
            encoding_mode: int = 3, highpass_frequency: int = 0x1F4,
            filter_: int = 0, version: int = 4, force_not_looping: bool = False,
-           use_jax=None) -> bytes:
+           use_jax=None, scale_fix: bool = False) -> bytes:
     """WAV -> ADX, mirroring CriCodecs.AdxEncode (adx.cpp:416-506).
 
     use_jax=None (default) auto-selects the native C++ encoder for single
     files (bit-exact with the device scan); use_jax=True forces the device
     path. Banks should use parallel.encode_batch.
+
+    scale_fix=True quantises against the decoder's exact arithmetic
+    instead of the reference encoder's mismatched one (it divides by
+    Scale, the decoder multiplies by Scale+1 — the documented popping at
+    high bitdepths, README.md:133). Output is still standard ADX that any
+    decoder (the reference included) plays; default False keeps byte
+    parity with the reference encoder.
     """
     if use_jax is None:
         use_jax = False
@@ -408,19 +415,21 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
             np.ascontiguousarray(h1, dtype=np.int32).ctypes.data_as(i32p),
             np.ascontiguousarray(h2, dtype=np.int32).ctypes.data_as(i32p),
             payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            np.int32(0))
+            np.int32(0), np.int32(1 if scale_fix else 0))
     else:
         if use_jax:
             codes, scale_raw, zero = adx_kernels.adx_encode_scan(
                 blocks.astype(np.int32), c0a, c1a, h1.astype(np.int32), h2.astype(np.int32),
-                spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth)
+                spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth,
+                scale_fix=scale_fix)
             codes = np.asarray(codes)
             scale_raw = np.asarray(scale_raw)
             zero = np.asarray(zero)
         else:
             codes, scale_raw, zero = adx_kernels.adx_encode_host(
                 blocks, c0a, c1a, h1, h2,
-                spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth)
+                spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth,
+                scale_fix=scale_fix)
 
         if encoding_mode == 2:
             scale_field = np.where(zero, 0, (filter_ << 13) | (scale_raw & 0x1FFF))

@@ -91,7 +91,8 @@ def load():
         lib.cri_adx_encode_scan.argtypes = [
             i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32]
+            ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32,
+            ctypes.c_int32]
         lib.cri_adx_decode_blocks.restype = None
         lib.cri_adx_decode_blocks.argtypes = [
             u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -101,7 +102,8 @@ def load():
         lib.cri_adx_encode_blocks.argtypes = [
             i16p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32]
+            ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int32,
+            ctypes.c_int32]
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.cri_hca_search_levels.restype = ctypes.c_int32
         lib.cri_hca_search_levels.argtypes = [

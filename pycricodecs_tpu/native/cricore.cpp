@@ -849,7 +849,7 @@ void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
                          int32_t spb, int32_t encoding_mode,
                          int32_t bit_depth, int32_t* codes,
                          int32_t* scale_raw_out, uint8_t* zero_out,
-                         int32_t nthreads) {
+                         int32_t nthreads, int32_t scale_fix) {
     const int64_t limit = ((int64_t)1 << (bit_depth - 1)) - 1;
     auto run = [&](int32_t lo, int32_t hi) {
         for (int32_t l = lo; l < hi; ++l) {
@@ -893,6 +893,24 @@ void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
                 if (scale_eff < 1) scale_eff = 1;
                 // pass 2: quantise with decoder feedback
                 int64_t q1 = h1, q2 = h2;
+                if (scale_fix) {
+                    // decoder-exact arithmetic; see cri_adx_encode_blocks
+                    const int64_t eff =
+                        encoding_mode == 4 ? scale_eff : scale + 1;
+                    for (int32_t t = 0; t < spb; ++t) {
+                        const int64_t pred =
+                            ((a0 * q1) >> 12) + ((a1 * q2) >> 12);
+                        int64_t d = (int64_t)blk[t] - pred;
+                        d = d > 0 ? d + (eff >> 1) : d - (eff >> 1);
+                        d = adx_tdiv(d, eff);
+                        if (d < -limit - 1) d = -limit - 1;
+                        if (d > limit) d = limit;
+                        const int64_t sim = adx_clamp16(d * eff + pred);
+                        q2 = q1;
+                        q1 = sim;
+                        cod[t] = (int32_t)d;
+                    }
+                } else {
                 for (int32_t t = 0; t < spb; ++t) {
                     int64_t d = (((int64_t)blk[t] * 4096) - a0 * q1 - a1 * q2)
                                 >> 12;
@@ -906,6 +924,7 @@ void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
                     q2 = q1;
                     q1 = sim;
                     cod[t] = (int32_t)d;
+                }
                 }
                 if (zero) {
                     for (int32_t t = 0; t < spb; ++t) cod[t] = 0;
@@ -1022,7 +1041,7 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
                            int32_t mode, int32_t filter, int32_t c0f,
                            int32_t c1f, const int32_t* h1v,
                            const int32_t* h2v, uint8_t* payload,
-                           int32_t nthreads) {
+                           int32_t nthreads, int32_t scale_fix) {
     const int32_t spb = (block_size - 2) * 8 / bit_depth;
     const int64_t limit = ((int64_t)1 << (bit_depth - 1)) - 1;
     auto run = [&](int32_t c) {
@@ -1065,6 +1084,30 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
             }
             if (scale_eff < 1) scale_eff = 1;
             int64_t q1 = h1, q2 = h2;
+            if (scale_fix) {
+                // quantise against the DECODER's exact arithmetic. The
+                // reference encoder divides by Scale while the decoder
+                // multiplies by Scale+1 (modes 2/3, adx.cpp:193-206 vs
+                // 254-266) and rounds the prediction terms differently —
+                // the source of its documented high-bitdepth popping
+                // (README.md:133). Same bitstream format; any ADX decoder
+                // (the reference included) plays these files, just closer
+                // to the source.
+                const int64_t eff = mode == 4 ? scale_eff : scale + 1;
+                for (int32_t t = 0; t < spb; ++t) {
+                    const int64_t pred =
+                        ((a0 * q1) >> 12) + ((a1 * q2) >> 12);
+                    int64_t d = (int64_t)blk[t] - pred;
+                    d = d > 0 ? d + (eff >> 1) : d - (eff >> 1);
+                    d = adx_tdiv(d, eff);
+                    if (d < -limit - 1) d = -limit - 1;
+                    if (d > limit) d = limit;
+                    const int64_t sim = adx_clamp16(d * eff + pred);
+                    q2 = q1;
+                    q1 = sim;
+                    cod[t] = (int32_t)d;
+                }
+            } else {
             for (int32_t t = 0; t < spb; ++t) {
                 int64_t d =
                     (((int64_t)blk[t] * 4096) - a0 * q1 - a1 * q2) >> 12;
@@ -1078,6 +1121,7 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
                 q2 = q1;
                 q1 = sim;
                 cod[t] = (int32_t)d;
+            }
             }
             int64_t field;
             if (zero) {

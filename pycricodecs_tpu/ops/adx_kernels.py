@@ -128,7 +128,7 @@ def adx_decode_host(codes, scales, c0, c1, h1, h2):
 
 
 def adx_encode_host(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
-                    bit_depth):
+                    bit_depth, scale_fix=False):
     """Host fast path for adx_encode_scan: native C++ when available."""
     import ctypes
 
@@ -138,7 +138,7 @@ def adx_encode_host(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
     if lib is None or pcm.size == 0:
         return adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, spb=spb,
                                 encoding_mode=encoding_mode,
-                                bit_depth=bit_depth)
+                                bit_depth=bit_depth, scale_fix=scale_fix)
     c0 = np.ascontiguousarray(c0, dtype=np.int32)
     c1 = np.ascontiguousarray(c1, dtype=np.int32)
     h1 = np.ascontiguousarray(h1_init, dtype=np.int32)
@@ -154,7 +154,8 @@ def adx_encode_host(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
         h2.ctypes.data_as(i32p), np.int32(L), np.int32(B), np.int32(spb),
         np.int32(encoding_mode), np.int32(bit_depth),
         codes.ctypes.data_as(i32p), scale_raw.ctypes.data_as(i32p),
-        zero.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), np.int32(0))
+        zero.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), np.int32(0),
+        np.int32(1 if scale_fix else 0))
     return codes, scale_raw, zero.astype(bool)
 
 
@@ -202,8 +203,10 @@ def _ilog2(value):
     return ones - 1
 
 
-@partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth"))
-def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_depth):
+@partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth",
+                                   "scale_fix"))
+def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
+                    bit_depth, scale_fix=False):
     """Encode PCM16 into ADPCM codes + per-block raw scale fields.
 
     pcm     : int32 [L, B, spb]  input samples grouped by block
@@ -247,6 +250,20 @@ def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_de
         scale_eff = jnp.maximum(scale_eff, 1)
 
         # Pass 2: serial quantisation with decoder-feedback history.
+        eff = scale_eff if encoding_mode == 4 else scale + 1
+
+        def qstep_fixed(qcarry, x):
+            # decoder-exact arithmetic; see cri_adx_encode_blocks
+            q1, q2 = qcarry
+            pred = ((c0 * q1) >> 12) + ((c1 * q2) >> 12)
+            delta = x - pred
+            delta = jnp.where(delta > 0, delta + (eff >> 1),
+                              delta - (eff >> 1))
+            delta = _tdiv(delta, eff)
+            delta = jnp.clip(delta, -limit - 1, limit)
+            sim = _clamp16(delta * eff + pred)
+            return (sim, q1), delta
+
         def qstep(qcarry, x):
             q1, q2 = qcarry
             delta = ((x << 12) - c0 * q1 - c1 * q2) >> 12
@@ -261,7 +278,8 @@ def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_de
             sim = _clamp16(sim)
             return (sim, q1), delta
 
-        (h1q, h2q), codes = jax.lax.scan(qstep, (h1, h2), block.T)
+        (h1q, h2q), codes = jax.lax.scan(
+            qstep_fixed if scale_fix else qstep, (h1, h2), block.T)
         codes = codes.T
         codes = jnp.where(zero[:, None], 0, codes)
         scale_raw = jnp.where(zero, 0, scale_raw)
@@ -280,7 +298,8 @@ def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_de
             jnp.moveaxis(zero, 0, 1))
 
 
-def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_depth):
+def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
+                     bit_depth, scale_fix=False):
     """Bit-exact numpy mirror of adx_encode_scan."""
     def tdiv(a, b):
         q = np.abs(a) // np.abs(b)
@@ -321,13 +340,24 @@ def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode, bit_d
         scale_eff = np.maximum(scale_eff, 1)
 
         q1, q2 = h1.copy(), h2.copy()
+        eff = scale_eff if encoding_mode == 4 else scale + 1
         for t in range(spb):
             x = block[:, t]
-            delta = ((x << 12) - c0 * q1 - c1 * q2) >> 12
-            delta = np.where(delta > 0, delta + (scale_eff >> 1), delta - (scale_eff >> 1))
-            delta = tdiv(delta, scale_eff)
-            delta = np.clip(delta, -limit - 1, limit)
-            sim = (((delta << 12) * scale_eff) + c0 * q1 + c1 * q2) >> 12
+            if scale_fix:
+                # decoder-exact arithmetic; see cri_adx_encode_blocks
+                pred = ((c0 * q1) >> 12) + ((c1 * q2) >> 12)
+                delta = x - pred
+                delta = np.where(delta > 0, delta + (eff >> 1),
+                                 delta - (eff >> 1))
+                delta = tdiv(delta, eff)
+                delta = np.clip(delta, -limit - 1, limit)
+                sim = delta * eff + pred
+            else:
+                delta = ((x << 12) - c0 * q1 - c1 * q2) >> 12
+                delta = np.where(delta > 0, delta + (scale_eff >> 1), delta - (scale_eff >> 1))
+                delta = tdiv(delta, scale_eff)
+                delta = np.clip(delta, -limit - 1, limit)
+                sim = (((delta << 12) * scale_eff) + c0 * q1 + c1 * q2) >> 12
             np.clip(sim, -MAX_S16 - 1, MAX_S16, out=sim)
             q2 = q1
             q1 = sim
