@@ -175,7 +175,11 @@ int main() {
         std::vector<uint8_t> zero((size_t)L * B);
         cri_adx_encode_scan(pcm.data(), c0.data(), c1.data(), h1.data(),
                             h2.data(), L, B, spb, 3, 4, codes.data(),
-                            sraw.data(), zero.data(), 4);
+                            sraw.data(), zero.data(), 4, 0);
+        // decoder-exact quantiser variant (scale_fix)
+        cri_adx_encode_scan(pcm.data(), c0.data(), c1.data(), h1.data(),
+                            h2.data(), L, B, spb, 3, 4, codes.data(),
+                            sraw.data(), zero.data(), 4, 1);
         const int64_t N = (int64_t)B * spb;
         std::vector<int32_t> scales((size_t)L * N), dc0((size_t)L * N),
             dc1((size_t)L * N);
