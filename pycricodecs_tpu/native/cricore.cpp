@@ -470,7 +470,66 @@ static int hca_unpack_frame_body(
         int cc = coded_count[c];
         int noise_count = 0, valid_count = 0;
         uint8_t* noises = noises_f ? noises_f + (size_t)c * 128 : nullptr;
-        for (int i = 0; i < cc; i++) {
+        int i = 0;
+#if defined(__AVX2__)
+        if (!noises) {
+            // the noise/valid list build is order-dependent; without it the
+            // per-band resolution derivation is elementwise (also feeds the
+            // batched key scorer via cri_hca_test_frames)
+            alignas(32) static thread_local int32_t inv32[72];
+            static thread_local bool inv_ready = false;
+            if (!inv_ready) {
+                for (int k = 0; k < 72; ++k)
+                    inv32[k] = k <= 65 ? invert_table[k] : 0;
+                inv_ready = true;
+            }
+            const __m256i vmaxr = _mm256_set1_epi32(max_resolution);
+            const __m256i vminr = _mm256_set1_epi32(min_resolution);
+            const __m256i seq = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+            const __m256i vpn = _mm256_set1_epi32(packed_noise);
+            for (; i + 8 <= cc; i += 8) {
+                __m256i sv = _mm256_cvtepu8_epi32(
+                    _mm_loadl_epi64((const __m128i*)(sf + i)));
+                __m256i av = _mm256_cvtepu8_epi32(
+                    _mm_loadl_epi64((const __m128i*)(ath + i)));
+                __m256i iv = _mm256_add_epi32(_mm256_set1_epi32(i), seq);
+                __m256i nl = _mm256_add_epi32(
+                    av, _mm256_srai_epi32(_mm256_add_epi32(vpn, iv), 8));
+                __m256i cp = _mm256_sub_epi32(
+                    _mm256_add_epi32(nl, _mm256_set1_epi32(1)),
+                    _mm256_srai_epi32(
+                        _mm256_mullo_epi32(sv, _mm256_set1_epi32(5)), 1));
+                __m256i neg = _mm256_cmpgt_epi32(_mm256_setzero_si256(), cp);
+                __m256i over = _mm256_cmpgt_epi32(cp,
+                                                  _mm256_set1_epi32(65));
+                __m256i idx = _mm256_min_epi32(
+                    _mm256_max_epi32(cp, _mm256_setzero_si256()),
+                    _mm256_set1_epi32(65));
+                __m256i r = _mm256_i32gather_epi32(inv32, idx, 4);
+                r = _mm256_andnot_si256(over, r);           // > 65 -> 0
+                r = _mm256_blendv_epi8(r, _mm256_set1_epi32(15), neg);
+                // exact scalar clamp order: r>max -> max, ELSE r<min -> min
+                // (a min/max chain would differ on hostile min>max headers)
+                __m256i gt = _mm256_cmpgt_epi32(r, vmaxr);
+                __m256i lt = _mm256_cmpgt_epi32(vminr, r);
+                r = _mm256_blendv_epi8(r, vmaxr, gt);
+                r = _mm256_blendv_epi8(r, vminr, _mm256_andnot_si256(gt, lt));
+                // s == 0 -> r = 0 (overrides the min-clamp, like the scalar
+                // early-out)
+                r = _mm256_and_si256(
+                    r, _mm256_cmpgt_epi32(sv, _mm256_setzero_si256()));
+                __m256i p16 = _mm256_packus_epi32(r, r);
+                __m256i p8 = _mm256_packus_epi16(p16, p16);
+                const uint32_t lo =
+                    (uint32_t)_mm256_extract_epi32(p8, 0);
+                const uint32_t hi =
+                    (uint32_t)_mm256_extract_epi32(p8, 4);
+                std::memcpy(res + i, &lo, 4);
+                std::memcpy(res + i + 4, &hi, 4);
+            }
+        }
+#endif
+        for (; i < cc; i++) {
             int r = 0;
             int s = sf[i];
             if (s > 0) {
