@@ -125,10 +125,12 @@ class CPK:
                 if target in written:
                     # duplicate member names lose data in the reference
                     # ("will overwrite each other", README.md:134); suffix
-                    # the row index instead
-                    stem, dot, ext = target.rpartition(".")
-                    target = f"{stem}_{i}{dot}{ext}" if dot \
-                        else f"{target}_{i}"
+                    # the row index. splitext keeps the split inside the
+                    # basename (a dot in a directory component must not
+                    # become the split point — that would write outside
+                    # the anchored output dir).
+                    stem, ext = os.path.splitext(target)
+                    target = f"{stem}_{i}{ext}"
                 written.add(target)
                 os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
                 self.stream.seek(0x800 + self._cell(toc["FileOffset"], i), 0)

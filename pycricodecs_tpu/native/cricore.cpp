@@ -1768,29 +1768,6 @@ static void band_costs(const float* scf,  // [C, 8, 128]
 #endif
 }
 
-// CalculateUsedBits via the precomputed per-band cost table.
-static int64_t used_bits(const int32_t* sf,      // [C, 128]
-                         const uint8_t* cost,    // [C, 16, 128]
-                         const int32_t* header_len,  // [C]
-                         const int32_t* coded_count, int32_t C,
-                         int64_t noise_level, int64_t eval_boundary,
-                         const Tables& tb) {
-    int64_t length = 16 + 16 + 16;
-    for (int32_t c = 0; c < C; ++c) {
-        length += header_len[c];
-        const int32_t cc = coded_count[c];
-        const int32_t* sfc = sf + (size_t)c * 128;
-        const uint8_t* cstc = cost + (size_t)c * 16 * 128;
-        for (int32_t k = 0; k < cc; ++k) {
-            const int64_t noise =
-                k < eval_boundary ? noise_level - 1 : noise_level;
-            const int32_t res = resolution_enc(sfc[k], noise, tb.curve);
-            length += cstc[(size_t)res * 128 + k];
-        }
-    }
-    return length;
-}
-
 // CalculateOptimalDeltaLength + header length for one frame/channel
 // (hca.cpp:2708-2750; mirrors calc_delta_lengths).
 static void delta_length(const int32_t* sfc, int32_t cc, int32_t chan_type,
@@ -1859,7 +1836,9 @@ int32_t cri_hca_search_levels(
             // so fold the per-band cost rows into 63 buckets once per
             // frame: every bisection step becomes a 63-entry walk instead
             // of a full 128*C-band re-evaluation. Integer sums reassociate
-            // exactly, so this is bit-identical to hcaenc::used_bits.
+            // exactly, so this is bit-identical to CalculateUsedBits
+            // (hca.cpp:2763-2790; pinned against the numpy mirror by
+            // test_native_rate_control_fallback_matches_numpy).
             int32_t bucket[64][16];
             int64_t level_const = 0;
             uint8_t present[64];

@@ -451,8 +451,10 @@ def encode_batch_device(wav_blobs, quality: int = 1,
         bands_per_hfr_group=int(info0.bands_per_hfr_group),
         hfr_band_count=int(cfgs[0].hfr_band_count),
         frame_size=int(info0.frame_size))
+    # slice padded mesh rows off on device BEFORE fetching: on slow
+    # device->host links the silence rows are pure wasted transfer
     sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \
-        [np.asarray(x) for x in out]
+        [np.asarray(x[:B]) for x in out]
 
     # host: HFR scale normalisation (float64, matches hca.cpp:2699-2703)
     hfr_scales = _host_hfr_scales(info0, cfgs[0], ga, gs)

@@ -923,6 +923,9 @@ def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
 
     from ..ops import hca_encode_host
 
+    if mesh is not None and not device:
+        raise ValueError("hca_encode_batch: mesh sharding requires "
+                         "device=True (the host path is per-stream)")
     if device:
         from ..utils import wav as wavmod
         from ..ops import hca_encode_device

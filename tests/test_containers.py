@@ -660,3 +660,28 @@ def test_cpk_duplicate_filenames_do_not_overwrite(tmp_path):
     cpk.extract(dirname=str(out))
     names = sorted(p.name for p in out.iterdir())
     assert names == ["dup.bin", "dup_1.bin"]
+
+
+def test_cpk_duplicate_names_with_dotted_base_stay_anchored(
+        tmp_path, monkeypatch):
+    """The duplicate suffix must split inside the basename: with a dotted
+    archive name ('archive.v2') and extensionless duplicate members, an
+    rpartition on the whole path would write a sibling directory OUTSIDE
+    the extraction root."""
+    from pycricodecs_tpu.containers.cpk import CPK, CPKBuilder
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "x.bin").write_bytes(b"Z" * 64)
+    cp = tmp_path / "archive.v2.cpk"
+    CPKBuilder(str(src), str(cp), CpkMode=1)
+    cpk = CPK(str(cp))
+    toc = cpk.tables["TOC"]
+    toc["FileName"] = ["track", "track"]
+    toc["DirName"] = [("sound",)]
+    monkeypatch.chdir(tmp_path)
+    cpk.extract()  # no dirname: base = 'archive.v2' (dotted)
+    base = tmp_path / "archive.v2"
+    assert sorted(p.name for p in (base / "sound").iterdir()) \
+        == ["track", "track_1"]
+    assert not (tmp_path / "archive_1.v2").exists()

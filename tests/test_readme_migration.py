@@ -51,14 +51,14 @@ def test_readme_hca_snippet(tmp_path, wav_file):
     wavObj2.encrypt()
 
 
-def test_readme_cpk_snippet(tmp_path, wav_file):
+def test_readme_cpk_snippet(tmp_path, wav_file, monkeypatch):
     # (README "For CPK extraction and building")
     src = tmp_path / "dirname"
     src.mkdir()
     (src / "a.bin").write_bytes(b"hello" * 100)
     CPKBuilder(str(src), str(tmp_path / "outfile.cpk"), CpkMode=1)  # noqa: F405
     CpkObj = CPK(str(tmp_path / "outfile.cpk"))  # noqa: F405
-    os.chdir(tmp_path)  # README extracts relative to the CWD
+    monkeypatch.chdir(tmp_path)  # README extracts relative to the CWD
     CpkObj.extract()
     assert (tmp_path / "outfile" / "a.bin").read_bytes() == b"hello" * 100
     CpkObj.extract_file("a.bin")
@@ -86,7 +86,7 @@ def test_readme_usm_snippet(tmp_path, wav_file):
     assert list(out.iterdir())
 
 
-def test_readme_acb_awb_snippet(tmp_path, wav_file):
+def test_readme_acb_awb_snippet(tmp_path, wav_file, monkeypatch):
     # (README "For ACB or AWB extraction")
     from pycricodecs_tpu.ops import hca_encode_host
     hca_blob = hca_encode_host.encode(open(wav_file, "rb").read(), quality=2)
@@ -102,5 +102,5 @@ def test_readme_acb_awb_snippet(tmp_path, wav_file):
     awbObj = AWB(str(tmp_path / "filename.awb"))  # noqa: F405
     files = list(awbObj.getfiles())
     assert files == [hca_blob]
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     awbObj.extract()
