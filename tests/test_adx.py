@@ -254,3 +254,52 @@ def test_adx_scale_fix_quality_and_compat(oracle):
                 assert s_fixed > s_legacy + 20, (mode, bd, s_legacy, s_fixed)
             if mode == 3 and bd >= 12:
                 assert s_fixed > 170, (bd, s_fixed)  # lossless here
+
+
+def test_adx_unaligned_sample_count_decode(oracle):
+    """Per-channel sample counts that are not a multiple of
+    samples-per-block must decode with the tail clipped exactly. (The
+    reference decoder heap-overflows here: it decodes the padded final
+    block into an unpadded output buffer — (spb - ns%spb)*ch*2 bytes past
+    the end, SIGABRT observed at 6 channels. Found by the randomized
+    differential campaign; verified in a subprocess below.)"""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+    from pycricodecs_tpu.models import adx
+    from pycricodecs_tpu.utils.wav import write_wav
+
+    sr, ch, ns = 8000, 6, 5881  # 5881 % 32 != 0
+    t = np.arange(ns) / sr
+    x = np.stack([np.sin(2 * np.pi * (200 + 50 * c) * t) * 0.5
+                  for c in range(ch)], 1)
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    wav = write_wav(pcm.reshape(-1), ch, sr)
+    blob = adx.encode(wav, bit_depth=15, block_size=62, encoding_mode=4)
+    out = adx.decode(blob)
+    dec = np.frombuffer(out[44:], np.int16).reshape(-1, ch)
+    assert dec.shape[0] == ns  # tail clipped, not padded
+    # with the decoder-exact quantiser, bitdepth 15 carries the content
+    # near-losslessly (the default encode keeps the reference's popping)
+    fixed = adx.encode(wav, bit_depth=15, block_size=62, encoding_mode=4,
+                       scale_fix=True)
+    dec_f = np.frombuffer(adx.decode(fixed)[44:], np.int16).reshape(-1, ch)
+    assert dec_f.shape[0] == ns
+    # skip the first samples: the v4 header's history area holds only two
+    # channels' seeds (reproduced reference layout, adx.cpp:482), so
+    # channels >= 2 start from zero history and settle within a few samples
+    assert np.abs(dec_f.astype(int) - pcm.astype(int))[8:].max() < 64
+
+    code = ("import sys; sys.path.insert(0, '/tmp/refbuild'); "
+            "import CriCodecs; "
+            "CriCodecs.AdxDecode(open(r'{}', 'rb').read()); print('OK')")
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".adx", delete=False) as fh:
+        fh.write(blob)
+        path = fh.name
+    r = subprocess.run([_sys.executable, "-c", code.format(path)],
+                       capture_output=True, text=True, timeout=120)
+    # documents the reference defect: crash (negative rc) or, if the
+    # allocator absorbs the overflow someday, at most a clean exit
+    assert r.returncode != 0 or "OK" in r.stdout
