@@ -286,10 +286,11 @@ def test_adx_unaligned_sample_count_decode(oracle):
                        scale_fix=True)
     dec_f = np.frombuffer(adx.decode(fixed)[44:], np.int16).reshape(-1, ch)
     assert dec_f.shape[0] == ns
-    # skip the first samples: the v4 header's history area holds only two
-    # channels' seeds (reproduced reference layout, adx.cpp:482), so
-    # channels >= 2 start from zero history and settle within a few samples
-    assert np.abs(dec_f.astype(int) - pcm.astype(int))[8:].max() < 64
+    # skip the initial transient: the v4 header's history area holds only
+    # two channels' seeds (reproduced reference layout, adx.cpp:482), so
+    # channels >= 2 start from zero history; the predictor error decays
+    # geometrically and is gone by sample ~20
+    assert np.abs(dec_f.astype(int) - pcm.astype(int))[32:].max() < 8
 
     code = ("import sys; sys.path.insert(0, '/tmp/refbuild'); "
             "import CriCodecs; "
