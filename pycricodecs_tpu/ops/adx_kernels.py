@@ -183,10 +183,12 @@ def adx_decode_numpy(codes, scales, c0, c1, h1, h2):
 # ---------------------------------------------------------------------------
 
 def _scale_from_minmax(minimum, maximum, limit):
-    """Reference scale selection (adx.cpp:236-238): C truncating division."""
+    """Reference scale selection (adx.cpp:236-238): C truncating division,
+    then the assignment to `unsigned short` truncates mod 65536 BEFORE the
+    0x1000 cap — residuals >= 65536*limit wrap (reproduced for parity)."""
     cand_max = _tdiv(maximum, limit)
     cand_min = _tdiv(minimum, ~limit + 0)  # ~limit == -(limit+1)
-    scale = jnp.maximum(cand_max, cand_min)
+    scale = jnp.maximum(cand_max, cand_min) & 0xFFFF
     return jnp.minimum(scale, 0x1000)
 
 
@@ -325,6 +327,7 @@ def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
         zero = (minimum == 0) & (maximum == 0)
 
         scale = np.maximum(tdiv(maximum, limit), tdiv(minimum, -(limit + 1)))
+        scale = scale & 0xFFFF  # reference u16 truncation BEFORE the cap
         scale = np.minimum(scale, 0x1000)
         if encoding_mode == 4:
             power = np.where(scale >= 1,

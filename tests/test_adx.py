@@ -304,3 +304,27 @@ def test_adx_unaligned_sample_count_decode(oracle):
     # documents the reference defect: crash (negative rc) or, if the
     # allocator absorbs the overflow someday, at most a clean exit
     assert r.returncode != 0 or "OK" in r.stdout
+
+
+def test_adx_scale_u16_truncation_parity(oracle):
+    """The reference assigns the block scale to `unsigned short` BEFORE the
+    0x1000 cap (adx.cpp:236-238), so residuals >= 65536*limit wrap mod
+    65536. Found by the randomized differential campaign (96 kHz clipping
+    content at bitdepth 2, where the 500 Hz highpass coefficients make
+    residuals exceed 2^16); reproduced for byte parity in all encoders."""
+    import numpy as np
+    from pycricodecs_tpu.models import adx
+    from pycricodecs_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(42)
+    ns = 4096
+    pcm = np.clip(rng.standard_normal(ns) * 3.0 * 32767,
+                  -32768, 32767).astype(np.int16)
+    wav = write_wav(pcm, 1, 96000)
+    for mode in (2, 3, 4):
+        ours = adx.encode(wav, bit_depth=2, block_size=10,
+                          encoding_mode=mode)
+        theirs = bytes(oracle.AdxEncode(wav, 2, 10, mode, 0x1F4, 0, 4, 0))
+        assert ours == theirs, f"mode {mode}"
+        assert ours == adx.encode(wav, bit_depth=2, block_size=10,
+                                  encoding_mode=mode, use_jax=True)
