@@ -87,7 +87,7 @@ class AWB:
 
         if dirname:
             os.makedirs(dirname, exist_ok=True)
-        base = self.filename.rsplit(".", 1)[0] if self.filename else ""
+        base = os.path.splitext(self.filename)[0] if self.filename else ""
         if dirname:
             # keep output under dirname even when the AWB was opened via an
             # absolute path (os.path.join would discard dirname otherwise)

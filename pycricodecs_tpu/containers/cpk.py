@@ -109,7 +109,7 @@ class CPK:
         """Extract all files (TOC mode by name, ITOC mode by ID)."""
         if "TOC" in self.tables:
             toc = self.tables["TOC"]
-            base = dirname or (self.filename.rsplit(".", 1)[0]
+            base = dirname or (os.path.splitext(self.filename)[0]
                                if self.filename else "") or "cpk_out"
             from ..utils.paths import anchored_join
             written = set()
@@ -141,7 +141,7 @@ class CPK:
         elif "ITOC" in self.tables:
             align = self._cell(self.tables["CPK"]["Align"], 0)
             offset = self._cell(self.tables["CPK"]["ContentOffset"], 0)
-            base = dirname or (self.filename.rsplit(".", 1)[0]
+            base = dirname or (os.path.splitext(self.filename)[0]
                                if self.filename else "")
             if base:
                 os.makedirs(base, exist_ok=True)
@@ -181,7 +181,7 @@ class CPK:
             if filename not in toc["FileName"]:
                 raise ValueError("Given filename does not exist inside the provided CPK.")
             idx = toc["FileName"].index(filename)
-            base = dirname or (self.filename.rsplit(".", 1)[0]
+            base = dirname or (os.path.splitext(self.filename)[0]
                                if self.filename else "")
             subdir = self._cell(toc["DirName"], idx)
             from ..utils.paths import anchored_join
@@ -202,7 +202,7 @@ class CPK:
                 if fid == file_id:
                     self.stream.seek(pos, 0)
                     data = self._read_entry(size, extract_size)
-                    base = dirname or (self.filename.rsplit(".", 1)[0]
+                    base = dirname or (os.path.splitext(self.filename)[0]
                                        if self.filename else "")
                     if base:
                         os.makedirs(base, exist_ok=True)

@@ -271,11 +271,10 @@ class USM:
             if filename not in filenames:
                 filenames.append(filename)
             else:
-                if "." in filename:
-                    stem, ext = filename.rsplit(".", 1)
-                    filenames.append(f"{stem}_{point}.{ext}")
-                else:
-                    filenames.append(f"{filename}_{point}")
+                # splitext keeps the split inside the basename — a dot in a
+                # directory component must not become the split point
+                stem, ext = os.path.splitext(filename)
+                filenames.append(f"{stem}_{point}{ext}")
                 point += 1
         point = 0
         written: set = set()
@@ -322,9 +321,8 @@ class USM:
                             if "." in os.path.basename(name) else name
                         name = base + ".wav"
                 if name in written:
-                    stem, dot, ext = name.rpartition(".")
-                    name = f"{stem}_{point}{dot}{ext}" if dot \
-                        else f"{name}_{point}"
+                    stem, ext = os.path.splitext(name)
+                    name = f"{stem}_{point}{ext}"
                 with open(name, "wb") as fh:
                     fh.write(payload)
                 written.add(name)

@@ -931,7 +931,8 @@ void cri_adx_encode_scan(const int32_t* pcm, const int32_t* c0v,
                 bool zero = (mn == 0 && mx == 0);
                 int64_t scale = std::max(adx_tdiv(mx, limit),
                                          adx_tdiv(mn, -(limit + 1)));
-                scale &= 0xFFFF;  // reference u16 truncation BEFORE the cap
+                // reference u16 truncation BEFORE the cap; not in scale_fix
+                if (!scale_fix) scale &= 0xFFFF;
                 if (scale > 0x1000) scale = 0x1000;
                 int64_t scale_raw, scale_eff;
                 if (encoding_mode == 4) {
@@ -1127,8 +1128,9 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
             // the reference assigns to unsigned short BEFORE the 0x1000 cap
             // (adx.cpp:236): residuals >= 65536*limit wrap mod 65536. Found
             // by the randomized differential campaign (96kHz clip content
-            // at bitdepth 2).
-            scale &= 0xFFFF;
+            // at bitdepth 2). scale_fix mode does NOT reproduce the wrap —
+            // a wrapped near-zero scale quantises the block into garbage.
+            if (!scale_fix) scale &= 0xFFFF;
             if (scale > 0x1000) scale = 0x1000;
             int64_t scale_raw, scale_eff;
             if (mode == 4) {

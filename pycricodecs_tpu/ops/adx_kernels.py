@@ -182,13 +182,16 @@ def adx_decode_numpy(codes, scales, c0, c1, h1, h2):
 # Encode
 # ---------------------------------------------------------------------------
 
-def _scale_from_minmax(minimum, maximum, limit):
+def _scale_from_minmax(minimum, maximum, limit, scale_fix=False):
     """Reference scale selection (adx.cpp:236-238): C truncating division,
     then the assignment to `unsigned short` truncates mod 65536 BEFORE the
-    0x1000 cap — residuals >= 65536*limit wrap (reproduced for parity)."""
+    0x1000 cap — residuals >= 65536*limit wrap (reproduced for parity;
+    scale_fix mode caps without wrapping instead)."""
     cand_max = _tdiv(maximum, limit)
     cand_min = _tdiv(minimum, ~limit + 0)  # ~limit == -(limit+1)
-    scale = jnp.maximum(cand_max, cand_min) & 0xFFFF
+    scale = jnp.maximum(cand_max, cand_min)
+    if not scale_fix:
+        scale = scale & 0xFFFF
     return jnp.minimum(scale, 0x1000)
 
 
@@ -235,7 +238,8 @@ def adx_encode_scan(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
         maximum = jnp.maximum(jnp.max(resid, axis=1), 0)
         zero = (minimum == 0) & (maximum == 0)
 
-        scale = _scale_from_minmax(minimum, maximum, limit)
+        scale = _scale_from_minmax(minimum, maximum, limit,
+                                   scale_fix=scale_fix)
         if encoding_mode == 4:
             # Scale == 0 -> Power = 0 (adx.cpp:242); quiet non-zero blocks
             # hit this (residual range within the bitdepth limit)
@@ -327,7 +331,8 @@ def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
         zero = (minimum == 0) & (maximum == 0)
 
         scale = np.maximum(tdiv(maximum, limit), tdiv(minimum, -(limit + 1)))
-        scale = scale & 0xFFFF  # reference u16 truncation BEFORE the cap
+        if not scale_fix:
+            scale = scale & 0xFFFF  # reference u16 truncation BEFORE the cap
         scale = np.minimum(scale, 0x1000)
         if encoding_mode == 4:
             power = np.where(scale >= 1,

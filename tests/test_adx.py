@@ -295,15 +295,35 @@ def test_adx_unaligned_sample_count_decode(oracle):
     code = ("import sys; sys.path.insert(0, '/tmp/refbuild'); "
             "import CriCodecs; "
             "CriCodecs.AdxDecode(open(r'{}', 'rb').read()); print('OK')")
+    import os as _os
     import tempfile
-    with tempfile.NamedTemporaryFile(suffix=".adx", delete=False) as fh:
-        fh.write(blob)
-        path = fh.name
-    r = subprocess.run([_sys.executable, "-c", code.format(path)],
-                       capture_output=True, text=True, timeout=120)
-    # documents the reference defect: crash (negative rc) or, if the
-    # allocator absorbs the overflow someday, at most a clean exit
-    assert r.returncode != 0 or "OK" in r.stdout
+
+    aligned = adx.encode(
+        write_wav(pcm[: (ns // 32) * 32].reshape(-1), ch, sr),
+        bit_depth=15, block_size=62, encoding_mode=4)
+    paths = {}
+    try:
+        for label, data in (("aligned", aligned), ("unaligned", blob)):
+            with tempfile.NamedTemporaryFile(suffix=".adx",
+                                             delete=False) as fh:
+                fh.write(data)
+                paths[label] = fh.name
+        # control: proves the oracle build works and aligned counts decode
+        r = subprocess.run([_sys.executable, "-c",
+                            code.format(paths["aligned"])],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-300:]
+        # the unaligned file overflows the oracle's output buffer; with
+        # glibc that aborts deterministically (SIGABRT observed). If this
+        # ever starts passing, the allocator absorbed the overflow —
+        # re-examine rather than delete the assertion.
+        r = subprocess.run([_sys.executable, "-c",
+                            code.format(paths["unaligned"])],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode != 0, "oracle no longer crashes: re-examine"
+    finally:
+        for p in paths.values():
+            _os.unlink(p)
 
 
 def test_adx_scale_u16_truncation_parity(oracle):
@@ -328,3 +348,26 @@ def test_adx_scale_u16_truncation_parity(oracle):
         assert ours == theirs, f"mode {mode}"
         assert ours == adx.encode(wav, bit_depth=2, block_size=10,
                                   encoding_mode=mode, use_jax=True)
+
+
+def test_adx_scale_fix_does_not_inherit_u16_wrap():
+    """The reproduced u16 scale wrap is a reference defect; scale_fix mode
+    must cap the scale instead of wrapping it (a wrapped near-zero scale
+    quantises the block into garbage). Crafted history puts the block's
+    residual inside the wrap window [65536, 65536+0x1000); all three
+    engines must agree in both modes."""
+    import numpy as np
+    from pycricodecs_tpu.models.adx import calculate_coefficients
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    c0, c1 = calculate_coefficients(0x1F4, 96000)
+    pcm = np.zeros((1, 1, 32), np.int32)
+    pcm[0, 0, 0] = -25000
+    args = (pcm, np.array([c0], np.int32), np.array([c1], np.int32),
+            np.array([-32768], np.int32), np.array([32767], np.int32))
+    for sfix, expect in ((False, 1335), (True, 0x1000)):
+        for engine in (K.adx_encode_numpy, K.adx_encode_host,
+                       K.adx_encode_scan):
+            _, sraw, _ = engine(*args, spb=32, encoding_mode=3, bit_depth=2,
+                                scale_fix=sfix)
+            assert int(np.asarray(sraw)[0, 0]) == expect, (engine, sfix)

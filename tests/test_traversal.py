@@ -135,3 +135,29 @@ def test_extract_fallback_names_for_fully_stripped_members(tmp_path):
     out = tmp_path / "out"
     cpk.extract(dirname=str(out))
     assert (out / "member_0").read_bytes() == b"payload" * 5
+
+
+def test_usm_extract_duplicate_names_dotted_dirname(tmp_path):
+    """Duplicate chunk output names must suffix inside the basename even
+    when the extraction dir itself contains a dot (an rpartition on the
+    whole path wrote a sibling directory outside the anchored root)."""
+    from pycricodecs_tpu.containers.ivf import build_ivf
+    from pycricodecs_tpu.containers.usm import USM, USMBuilder
+
+    ivf = build_ivf([b"\x82I\x83B" + b"v" * 200])
+    u = USM(USMBuilder(ivf).build())
+    u.demux()
+
+    class DupCrid:
+        def get_payload(self):
+            return [{"filename": (None, "x.usm")},
+                    {"filename": (None, "track")},
+                    {"filename": (None, "track")}]
+
+    u.CRIDObj = DupCrid()
+    out = tmp_path / "movie.v2"
+    u.extract(dirname=str(out))
+    names = sorted(p.name for p in out.iterdir())
+    assert names and all((out / n).is_file() for n in names)
+    assert not any("v2" in p.name and p != out for p in tmp_path.iterdir()
+                   if p.is_dir() and p != out)
