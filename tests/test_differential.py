@@ -104,3 +104,6 @@ def test_hca_differential(case, oracle):
     assert enc == bytes(oracle.HcaCrypt(bytes(bytearray(ours)), 1, hs, 56,
                                         key, sub))
     assert hcamod.crypt(enc, False, hs, 56, key, sub) == ours
+    # keyed decode of the encrypted stream (cipher + subkey scramble path)
+    assert hcamod.decode(enc, key=key, subkey=sub) == \
+        bytes(oracle.HcaDecode(bytes(bytearray(enc)), hs, key, sub))
