@@ -240,3 +240,54 @@ def test_native_unpack_matches_python(sr, mode, kbps):
     a = mp2_frame.unpack(mp2c, use_native=True)
     b = mp2_frame.unpack(mp2c, use_native=False)
     assert (a.codes == b.codes).all() and (a.sfidx == b.sfidx).all()
+
+
+@pytest.mark.parametrize("case", range(12))
+def test_mp2_random_differential(case):
+    """Bounded random sweep vs the system oracles: random content classes
+    through random (rate, mode, bitrate) combos — twolame's streams must
+    decode within 1 LSB of libmpg123, and our encoder's streams must be
+    accepted and decode cleanly through libmpg123."""
+    if not mo.available():
+        pytest.skip("system MPEG oracles unavailable")
+    rng = np.random.default_rng([88100, case])
+    sr = int(rng.choice([16000, 22050, 24000, 32000, 44100, 48000]))
+    mode = str(rng.choice(["mono", "stereo", "joint"]))
+    nch = 1 if mode == "mono" else 2
+    lsf = sr < 32000
+    kbps_pool = [48, 56, 64, 80, 96, 128] if lsf \
+        else ([64, 96, 128] if nch == 1 else [128, 192, 224, 256])
+    kbps = int(rng.choice(kbps_pool))
+    ns = int(rng.integers(4, 24)) * 1152
+    kind = rng.choice(["tone", "noise", "mix", "quiet", "clip"])
+    x = np.zeros((nch, ns))
+    if kind in ("tone", "mix"):
+        for c in range(nch):
+            x[c] += np.sin(2 * np.pi * rng.uniform(40, sr / 2.5)
+                           * np.arange(ns) / sr) * rng.uniform(0.05, 0.8)
+    if kind in ("noise", "mix"):
+        x += rng.standard_normal((nch, ns)) * rng.uniform(0.01, 0.3)
+    if kind == "quiet":
+        x = rng.standard_normal((nch, ns)) * 1e-4
+    if kind == "clip":
+        x = rng.standard_normal((nch, ns)) * 2.5
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+
+    # decode differential: twolame stream, ours vs libmpg123
+    mp2 = mo.twolame_encode(pcm, sr, kbps, mode)
+    ref = _pcm16(mo.mpg123_decode(mp2, sr, nch))
+    mine, got_sr = ahx.decode_mp2(mp2, device=False)
+    assert got_sr == sr
+    n = min(ref.shape[1], mine.shape[1])
+    d = np.abs(mine[:, :n].astype(int) - ref[:, :n].astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 0.02, (sr, mode, kbps, kind)
+
+    # encode differential: our mono stream through libmpg123
+    if nch == 1 and sr in (16000, 22050, 24000):
+        from pycricodecs_tpu.utils.wav import write_wav
+        blob = ahx.AHX.encode(write_wav(pcm.reshape(-1), 1, sr),
+                              bitrate_kbps=kbps)
+        info = ahx.AHX.parse_header(blob)
+        stream = blob[info["data_offset"]:]
+        dec = _pcm16(mo.mpg123_decode(stream, sr, 1))
+        assert dec.shape[1] >= ns - 2 * 1152, (sr, kbps, kind)
