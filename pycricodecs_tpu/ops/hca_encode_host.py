@@ -191,11 +191,21 @@ def build_timeline(cfg: EncConfig, wav: wavmod.WavFile) -> np.ndarray:
     scc = min(cfg.sample_count_per_channel, per_ch.shape[1])
     timeline[:, pos:pos + scc] = per_ch[:, :scc]
     pos += scc
-    # post audio: loop region replay (or silence when not looping)
+    # post audio: loop region replay (or silence when not looping).
+    # SaveLoopAudio (hca.cpp:3015-3026) accrues the loop window from the
+    # encoder's 1024-sample input chunks and stops accruing the moment main
+    # audio exhausts — EncodePostAudio runs inside the same iteration — so
+    # the captured window ends at the 1024 boundary of the chunk where
+    # sample_count_per_channel falls; the PostAudio buffer's remaining
+    # samples stay zero even when the input continues past that boundary.
     if info.loop_flag and cfg.post_samples > 0:
         loop_start_sample = (info.loop_start_frame * SAMPLES_PER_FRAME
                              + info.loop_start_delay - info.encoder_delay)
-        src = per_ch[:, loop_start_sample:loop_start_sample + cfg.post_samples]
+        chunk_end = ((max(cfg.sample_count_per_channel, 1) - 1)
+                     // SAMPLES_PER_FRAME + 1) * SAMPLES_PER_FRAME
+        src_end = min(loop_start_sample + cfg.post_samples, chunk_end,
+                      per_ch.shape[1])
+        src = per_ch[:, loop_start_sample:src_end]
         n = min(src.shape[1], total - pos)
         timeline[:, pos:pos + n] = src[:, :n]
     return timeline

@@ -415,3 +415,24 @@ def test_native_rate_control_fallback_matches_numpy():
     assert np.array_equal(sf_py, sf_n)
     assert np.array_equal(hl_py, hl_n)
     assert np.array_equal(db_py, db_n)
+
+
+def test_loop_capture_stops_at_main_exhaustion_chunk(oracle):
+    """SaveLoopAudio accrues the loop-replay window from 1024-sample input
+    chunks and stops when main audio exhausts (EncodePostAudio runs in the
+    same iteration), so the captured window ends at that chunk's 1024
+    boundary with zeros beyond — even when the WAV has more samples. Found
+    by the differential campaign (8 kHz 4ch looping file whose loop sits in
+    the final frame); byte parity on the exact failing shape."""
+    rng = np.random.default_rng(40817)
+    sr, ch, ns = 8000, 4, 5857
+    t = np.arange(ns) / sr
+    x = np.stack([np.sin(2 * np.pi * (150 + 60 * c) * t) * 0.6
+                  for c in range(ch)], 1)
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    wav = write_wav(pcm.reshape(-1), ch, sr, looping=True,
+                    loop_start=1289, loop_end=5460)
+    from pycricodecs_tpu.ops import hca_encode_host
+    for q in (0, 2, 3, 5):
+        ours = hca_encode_host.encode(wav, quality=q)
+        assert ours == bytes(oracle.HcaEncode(wav, 0, q)), f"q={q}"
