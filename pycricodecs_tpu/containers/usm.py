@@ -284,7 +284,8 @@ class USM:
             chunks demux carried beyond the CRID table (e.g. @USR/@PST) and
             for empty/fully-sanitised CRID filenames."""
             name = filenames[point] if point < len(filenames) else ""
-            if not name or name.rstrip(os.sep + "/") in ("", dirname):
+            if not name or name.rstrip(os.sep + "/") in (
+                    "", dirname.rstrip(os.sep + "/")):
                 name = os.path.join(dirname, chunk_name + ".bin")
             os.makedirs(os.path.dirname(name) or ".", exist_ok=True)
             return name

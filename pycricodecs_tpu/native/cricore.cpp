@@ -477,11 +477,13 @@ static int hca_unpack_frame_body(
             // per-band resolution derivation is elementwise (also feeds the
             // batched key scorer via cri_hca_test_frames)
             alignas(32) static thread_local int32_t inv32[72];
-            static thread_local bool inv_ready = false;
-            if (!inv_ready) {
+            // key the widened copy on the table pointer, not a once-flag:
+            // a caller passing a different table must not see stale values
+            static thread_local const uint8_t* inv_src = nullptr;
+            if (inv_src != invert_table) {
                 for (int k = 0; k < 72; ++k)
                     inv32[k] = k <= 65 ? invert_table[k] : 0;
-                inv_ready = true;
+                inv_src = invert_table;
             }
             const __m256i vmaxr = _mm256_set1_epi32(max_resolution);
             const __m256i vminr = _mm256_set1_epi32(min_resolution);

@@ -54,6 +54,31 @@ class DecodeStats:
 _cache_ready = False
 
 
+def _machine_key() -> str:
+    """Short hash of the CPU feature set + backend stack.
+
+    The persistent XLA cache stores machine code compiled for *this* host's
+    ISA; sharing one directory across hosts with different CPU features can
+    hand an older machine AVX-512 code (XLA warns 'could lead to SIGILL').
+    Keying the cache dir by a feature hash keeps each machine's artifacts
+    separate.
+    """
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    blob = "|".join([platform.machine(), feats, jax.__version__,
+                     os.environ.get("XLA_FLAGS", "")])
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
 def _ensure_compile_cache() -> None:
     """Enable JAX's persistent compilation cache (compiles on tunneled TPU
     backends can take tens of seconds; decode shapes are bucketed so repeat
@@ -62,11 +87,13 @@ def _ensure_compile_cache() -> None:
     if _cache_ready:
         return
     _cache_ready = True
+    if os.environ.get("PYCRICODECS_NO_JAX_CACHE"):
+        return
     try:
         cache_dir = os.environ.get(
             "PYCRICODECS_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache",
-                         "pycricodecs_tpu", "jaxcache"))
+                         "pycricodecs_tpu", "jaxcache", _machine_key()))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -139,7 +166,10 @@ def measure_d2h_bandwidth(nbytes: int = 8 << 20) -> float:
         dt = time.perf_counter() - t0
         _d2h_mbps = out.nbytes / 1e6 / max(dt, 1e-9)
     except Exception:
-        _d2h_mbps = float("inf")
+        # A failed probe means the device is broken or unreachable; report
+        # zero bandwidth so pick_hca_engine degrades to the host lanes
+        # (which need no device at all) instead of routing work at it.
+        _d2h_mbps = 0.0
     return _d2h_mbps
 
 

@@ -10,15 +10,22 @@ hole we deliberately do not reproduce.
 from __future__ import annotations
 
 import os
+import re
+
+_DRIVE_PREFIX = re.compile(r"^[A-Za-z]:[\\/]")
 
 
 def safe_parts(name: str) -> list:
     """Split an archive-supplied name into traversal-free path segments."""
     name = str(name)
     # a drive prefix ("A:\\x", "C:/x") means everything before the colon is
-    # not a real segment; the reference strips these too
-    if ":" in name:
-        name = name.split(":", 1)[1]
+    # not a real segment; the reference strips these too. Restrict the strip
+    # to an actual drive-letter pattern — 'a:b/c.hca' is a legal POSIX name
+    # whose prefix must not be silently discarded; neutralize its colon
+    # instead.
+    if _DRIVE_PREFIX.match(name):
+        name = name[2:]
+    name = name.replace(":", "_")
     name = name.replace("\\", "/")
     return [p for p in name.split("/") if p not in ("", ".", "..")]
 

@@ -34,6 +34,11 @@ def test_anchored_join_hostile_names():
     assert anchored_join("out", "") == "out"
     assert anchored_join("", "x") == os.path.join(".", "x")
     assert safe_parts("sub/dir/file.bin") == ["sub", "dir", "file.bin"]
+    # only a drive-letter prefix is stripped; a POSIX name containing a
+    # colon keeps its prefix (colon neutralised, no data loss)
+    assert safe_parts("a:b/c.hca") == ["a_b", "c.hca"]
+    assert safe_parts("C:/win/x.bin") == ["win", "x.bin"]
+    assert safe_parts("weird:name.hca") == ["weird_name.hca"]
 
 
 def test_cpk_extract_hostile_names(tmp_path):
