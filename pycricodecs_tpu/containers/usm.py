@@ -217,6 +217,25 @@ class USM:
                         self.codec = obj.get_payload()[0]["audio_codec"][1]
                 else:
                     self.stream.seek(chunksize, 1)
+                # Resync for reference-builder output: its AUDIO_HEADER
+                # metadata chunks declare `padding` in the chunk size but
+                # never write those bytes (reference usm.py:927 discards the
+                # bytes.ljust() result), so walking by declared size lands
+                # mid-header. If the next position does not start a known
+                # tag but `padding` bytes earlier does, step back. The
+                # reference's own demuxer cannot read these files; we can.
+                if padding and self.stream.tell() < self.size:
+                    pos = self.stream.tell()
+                    nxt = self.stream.read(4)
+                    if not (nxt in known
+                            or nxt.decode(errors="replace") in headers):
+                        self.stream.seek(pos - padding)
+                        prev = self.stream.read(4)
+                        if (prev in known
+                                or prev.decode(errors="replace") in headers):
+                            self.stream.seek(pos - padding)
+                            continue
+                    self.stream.seek(pos)
             else:
                 raise NotImplementedError(f"Unsupported chunk type: {header}")
         self.output = output

@@ -1,5 +1,6 @@
 """Container round-trip and parity tests (AWB, CPK, ACB, USM, IVF)."""
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -231,6 +232,152 @@ def test_usm_demux_matches_reference(oracle_py, tmp_path):
     ref.demux()
     assert {k: bytes(v) for k, v in ours.output.items()} == \
         {k: bytes(v) for k, v in ref.output.items()}
+
+
+_USM_TAGS = (b"CRID", b"@SFV", b"@SFA", b"@SBT", b"@ALP", b"@CUE",
+             b"@USR", b"@PST")
+
+
+def _walk_usm_chunks(b, tolerate_short=False):
+    """Split a USM into (tag, raw_chunk_bytes, short_by) triples.
+
+    With tolerate_short, detects the reference builder's defect (usm.py:927
+    discards the bytes.ljust() result): a chunk whose declared size counts
+    `padding` bytes that were never written, leaving the next tag `padding`
+    bytes early.
+    """
+    out = []
+    off = 0
+    while off < len(b):
+        tag = b[off:off + 4]
+        size = int.from_bytes(b[off + 4:off + 8], "big")
+        pad = int.from_bytes(b[off + 10:off + 12], "big")
+        end = off + 8 + size
+        short = 0
+        if (tolerate_short and pad and end + 4 <= len(b)
+                and b[end:end + 4] not in _USM_TAGS
+                and b[end - pad:end - pad + 4] in _USM_TAGS):
+            short = pad
+            end -= pad
+        out.append((tag, b[off:end], short))
+        off = end
+    return out
+
+
+def _utf_payload(chunk_bytes):
+    from pycricodecs_tpu.containers.utf import UTF
+    t = UTF(chunk_bytes[0x20:])
+    return t.table_name, t.get_payload()
+
+
+def _ref_build_usm(ivf_blob, wav):
+    """Build a USM with the reference builder in a FRESH process.
+
+    The reference package corrupts its own in-process state (C-extension
+    UB): after a USMBuilder run plus an unrelated ACB parse, subsequent
+    reference HCA encodes in the same process return garbage (134MB blobs,
+    HeaderSize 0x8040). Oracle results are only trustworthy from an
+    isolated process — same adjudication rule as the differential
+    campaigns (CLAUDE.md).
+    """
+    import pickle
+    import subprocess
+    code = (
+        "import sys, pickle\n"
+        "sys.path.insert(0, '/tmp/refbuild')\n"
+        "sys.path.insert(0, '/root/reference')\n"
+        "import PyCriCodecs\n"
+        "ivf, wav = pickle.load(sys.stdin.buffer)\n"
+        "rb = PyCriCodecs.USMBuilder(ivf, audio=[wav], audio_codec='hca')\n"
+        "rb.build()\n"
+        "sys.stdout.buffer.write(rb.get_usm())\n")
+    p = subprocess.run([sys.executable, "-c", code],
+                       input=pickle.dumps((ivf_blob, wav)),
+                       capture_output=True, timeout=300)
+    assert p.returncode == 0, p.stderr.decode(errors="replace")[-2000:]
+    return p.stdout
+
+
+def test_usm_build_byte_parity_vs_reference(oracle_py):
+    """Byte-compare our built USM against the reference builder (HCA codec).
+
+    The two outputs must be byte-identical except for exactly one documented
+    reference defect (PARITY.md): reference usm.py:927 discards the
+    `chk.ljust()` result, so the AUDIO_HEADER metadata @SFA chunk's declared
+    padding is never written — its own demuxer cannot read the file it
+    builds. Knock-on field effects in the reference output, all +0x10 in
+    ours per audio track: CRID row-0 filesize, AUDIO_HDRINFO metadat_size,
+    and every VIDEO_SEEKINFO data offset past the insertion point. Chunk
+    order, interleave intervals, framerates, all other UTF fields, and every
+    data payload byte must match exactly.
+    """
+    ivf_blob = _fake_ivf()
+    pcm = make_sine_pcm16(24000, 2, 48000, seed=9)
+    wav = write_wav(pcm, 2, 48000)
+    ours = USMBuilder(ivf_blob, audio=[wav], audio_codec="hca").build()
+    ref = _ref_build_usm(ivf_blob, wav)
+
+    co = _walk_usm_chunks(ours)
+    cr = _walk_usm_chunks(ref, tolerate_short=True)
+    assert len(co) == len(cr)
+    assert [c[0] for c in co] == [c[0] for c in cr]
+    total_short = sum(c[2] for c in cr)
+    assert total_short == 0x10  # one audio track -> one dropped padding run
+
+    n_exceptions = 0
+    for i, ((_, a, _), (tag, r, short)) in enumerate(zip(co, cr)):
+        if short:
+            # ours is the same chunk with the declared padding actually
+            # written (header byte-identical, declared sizes already match)
+            assert a == r + b"\x00" * short
+            n_exceptions += 1
+            continue
+        if a == r:
+            continue
+        # a chunk differing beyond the defect must be one of the three
+        # knock-on field carriers; headers must still be byte-identical
+        assert a[:0x20] == r[:0x20]
+        name_a, pa = _utf_payload(a)
+        name_r, pr = _utf_payload(r)
+        assert name_a == name_r
+        assert len(pa) == len(pr)
+        for row_a, row_r in zip(pa, pr):
+            assert row_a.keys() == row_r.keys()
+            for k in row_a:
+                va, vr = row_a[k][1], row_r[k][1]
+                if va == vr:
+                    continue
+                if name_a == "CRIUSF_DIR_STREAM":
+                    assert k == "filesize" and va == vr + total_short
+                elif name_a == "AUDIO_HDRINFO":
+                    assert k == "metadat_size" and va == vr + total_short
+                elif name_a == "VIDEO_SEEKINFO":
+                    assert k == "ofs_byte" and va == vr + total_short
+                else:
+                    raise AssertionError(
+                        f"unexpected divergence in {name_a}.{k}: "
+                        f"{va} vs {vr}")
+                n_exceptions += 1
+    assert n_exceptions >= 3  # padding chunk + filesize + metadat_size
+
+
+def test_usm_demux_reference_built_file(oracle_py):
+    """Our demuxer resyncs over the reference builder's short-written
+    AUDIO_HEADER chunks (the reference's own demuxer raises on them) and
+    recovers payloads identical to a correctly-built archive's."""
+    ivf_blob = _fake_ivf()
+    pcm = make_sine_pcm16(16000, 2, 48000, seed=12)
+    wav = write_wav(pcm, 2, 48000)
+    ref = _ref_build_usm(ivf_blob, wav)
+    ours = USMBuilder(ivf_blob, audio=[wav], audio_codec="hca").build()
+
+    u = USM(ref)
+    u.demux()
+    v = USM(ours)
+    v.demux()
+    assert sorted(u.output) == sorted(v.output)
+    for k in v.output:
+        assert bytes(u.output[k]) == bytes(v.output[k])
 
 
 def test_usm_encrypted_video_roundtrip(oracle_py, tmp_path):
