@@ -102,9 +102,149 @@ static void mp2_unpack_cases() {
     printf("  mp2 unpack fuzz OK\n");
 }
 
+static void hca_boundary_fuzz() {
+    // Adversarial fuzz of the ctypes boundary: every header-reachable
+    // parameter combination (channels at the 16 cap, any validated band
+    // split, v1.x-v3.0, resolution ranges, random cipher tables) against
+    // RANDOM frame content with forced sync+CRC so the unpack body runs
+    // deep. Buffers are allocated with EXACTLY the sizes the Python wrapper
+    // would pass (hca_frame.py:425-470: data is nframes*frame_size, a
+    // truncated final frame never crosses the boundary) so ASan redzones
+    // catch any
+    // overread/overwrite the contract would allow. rc==0 outputs are
+    // range-checked and then fed through cri_hca_decode_transform, the same
+    // trust chain production uses.
+    const uint8_t real_max_bit[16] = {0, 2, 3, 3, 4, 4, 4, 4,
+                                      5, 6, 7, 8, 9, 10, 11, 12};
+    std::mt19937 rng(0xC0DEC);
+    int deep = 0;
+    for (int t = 0; t < 400; t++) {
+        const int C = 1 + (int)(rng() % 16);
+        const int fs = 8 + (int)(rng() % 0x3F8);
+        const int F = 1 + (int)(rng() % 6);
+        const int versions[5] = {0x101, 0x102, 0x103, 0x200, 0x300};
+        const int version = versions[rng() % 5];
+        int base = (int)(rng() % 129);
+        int stereo = (int)(rng() % (129 - base));
+        int total = base + stereo + (int)(rng() % (129 - base - stereo));
+        if (total > 128) total = 128;
+        int bphg = 1 + (int)(rng() % 128);
+        int rem = total - base - stereo;
+        int hfr_groups = rem > 0 ? (rem / bphg + (rem % bphg ? 1 : 0)) : 0;
+        int min_res = 1, max_res = 15;
+        if (version > 0x200) {
+            min_res = (int)(rng() % 16);
+            max_res = min_res + (int)(rng() % (16 - min_res));
+        }
+        // frames: half fully random payloads (mostly rejected early), half
+        // sparse corruptions of a zero frame (parse deep, random branches);
+        // valid sync + CRC except an occasional bad-sync/bad-CRC case
+        std::vector<uint8_t> frames((size_t)F * fs);
+        if (t & 1) {
+            for (auto& b : frames) b = (uint8_t)rng();
+        } else {
+            std::fill(frames.begin(), frames.end(), 0);
+            for (int k = 0; k < F * fs / 6; k++)
+                frames[rng() % frames.size()] = (uint8_t)rng();
+        }
+        for (int f = 0; f < F; f++) {
+            uint8_t* p = frames.data() + (size_t)f * fs;
+            if (rng() % 8 == 0) continue;  // bad sync / bad CRC path
+            p[0] = 0xFF;
+            p[1] = 0xFF;
+            uint16_t crc = cri_crc16(p, fs - 2);
+            p[fs - 2] = (uint8_t)(crc >> 8);
+            p[fs - 1] = (uint8_t)crc;
+        }
+        std::vector<uint8_t> cipher(256);
+        for (int i = 0; i < 256; i++) cipher[i] = (uint8_t)i;
+        for (int i = 255; i > 0; i--)
+            std::swap(cipher[i], cipher[rng() % (i + 1)]);
+        std::vector<uint8_t> ctype(C);
+        std::vector<int32_t> coded(C);
+        for (int c = 0; c < C; c++) {
+            ctype[c] = (uint8_t)(rng() % 3);
+            coded[c] = ctype[c] == 2 ? base : base + stereo;
+        }
+        std::vector<uint8_t> ath(128);
+        for (auto& b : ath) b = (uint8_t)rng();
+        std::vector<uint8_t> invert(66);
+        for (auto& b : invert) b = (uint8_t)(rng() % 16);
+        std::vector<uint8_t> read_bit(128);
+        for (auto& b : read_bit) b = (uint8_t)(rng() % 9);
+        std::vector<int8_t> read_val(128);
+        for (auto& v : read_val) v = (int8_t)((int)(rng() % 15) - 7);
+        uint32_t rnd_state = (uint32_t)rng() | 1;
+        const int need_noise = (min_res == 0);
+        std::vector<int16_t> qc((size_t)F * C * 8 * 128);
+        std::vector<uint8_t> sfs((size_t)F * C * 128);
+        std::vector<uint8_t> ress((size_t)F * C * 128);
+        std::vector<uint8_t> inten((size_t)F * C * 8);
+        std::vector<int32_t> nsrc((size_t)F * C * 8 * 128, 0);
+        std::vector<uint8_t> nsci((size_t)F * C * 8 * 128, 0);
+        std::vector<uint8_t> nmask((size_t)F * C * 8 * 128, 0);
+        int rc = cri_hca_unpack_frames(
+            frames.data(), F, fs, cipher.data(), C, version,
+            hfr_groups, min_res, max_res, ctype.data(), coded.data(),
+            ath.data(), invert.data(), real_max_bit, read_bit.data(),
+            read_val.data(), &rnd_state,
+            qc.data(), sfs.data(), ress.data(), inten.data(),
+            nsrc.data(), nsci.data(), nmask.data(), 1 + (int)(rng() % 4));
+        if (rc != 0) continue;
+        deep++;
+        // outputs must stay in the ranges the transform trusts
+        for (auto v : sfs) assert(v < 64);
+        for (auto v : ress) assert(v < 16);
+        for (auto v : inten) assert(v < 16);
+        if (need_noise) {
+            for (auto v : nsci) assert(v < 128);
+            for (auto v : nsrc) assert(v >= 0 && v < 128);
+        }
+        // feed the decode transform with a random-but-valid HFR map
+        std::vector<uint8_t> hfr_is(128, 0);
+        std::vector<int32_t> hfr_src(128), hfr_grp(128, 0);
+        for (int i = 0; i < 128; i++) hfr_src[i] = i;
+        int hfr_zero = base + stereo;
+        if (hfr_groups > 0 && hfr_zero < 128) {
+            for (int i = hfr_zero; i < total && i < 128; i++) {
+                hfr_is[i] = 1;
+                hfr_src[i] = hfr_zero - 1 - (i - hfr_zero);
+                if (hfr_src[i] < 0) hfr_src[i] = 0;
+                hfr_grp[i] = (i - hfr_zero) / bphg;
+            }
+        }
+        std::vector<int32_t> pairs;
+        for (int c = 0; c + 1 < C; c++)
+            if (ctype[c] == 1 && ctype[c + 1] == 2) {
+                pairs.push_back(c);
+                pairs.push_back(c + 1);
+                c++;
+            }
+        std::vector<float> scaling(64), range16(16), conv128(128),
+            ir16(16), isin(7 * 64), icos(7 * 64), win(128);
+        for (int i = 0; i < 64; i++) scaling[i] = 0.01f * (float)i;
+        for (int i = 0; i < 16; i++) { range16[i] = 0.5f; ir16[i] = 1.1f; }
+        for (int i = 0; i < 128; i++) { conv128[i] = 0.9f; win[i] = 0.7f; }
+        for (int i = 0; i < 7 * 64; i++) { isin[i] = 0.3f; icos[i] = 0.6f; }
+        std::vector<int16_t> pcm((size_t)F * 8 * 128 * C);
+        cri_hca_decode_transform(
+            qc.data(), sfs.data(), ress.data(), inten.data(),
+            need_noise ? nsrc.data() : nullptr,
+            need_noise ? nsci.data() : nullptr,
+            need_noise ? nmask.data() : nullptr,
+            F, C, base, total, pairs.data(), (int32_t)(pairs.size() / 2),
+            need_noise, hfr_groups > 0, hfr_groups,
+            hfr_is.data(), hfr_src.data(), hfr_grp.data(), hfr_zero,
+            scaling.data(), range16.data(), conv128.data(), ir16.data(),
+            isin.data(), icos.data(), win.data(), pcm.data());
+    }
+    printf("  hca ctypes-boundary fuzz OK (%d deep unpacks)\n", deep);
+}
+
 int main() {
     hostile_decompress();
     mp2_unpack_cases();
+    hca_boundary_fuzz();
     std::mt19937 rng(7);
     std::vector<uint8_t> text;
     for (int i = 0; i < 120; i++)
