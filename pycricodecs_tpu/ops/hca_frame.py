@@ -318,7 +318,12 @@ def _unpack_intensity(ch_type, br, hfr_group_count, version, sf):
                             value = br.read(4)
                         else:
                             value = value - (bmax >> 1) + delta
-                            if value > 15:
+                            # the reference's `value` is unsigned char
+                            # (hca.cpp:1383): a negative differential wraps
+                            # to >= 241 and then fails its `> 15` check, so
+                            # negative IS an error there — match it (the
+                            # native path cricore.cpp:452 already does)
+                            if value > 15 or value < 0:
                                 raise HcaError("Unpack error (intensity)")
                         intensity[i] = value
             else:
