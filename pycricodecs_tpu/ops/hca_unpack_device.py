@@ -5,10 +5,19 @@ cursor) but frames are independent, so the TPU formulation is SPMD across
 frames with `lax.scan` over the serial step sequence: every frame executes
 the same statically-known sequence of semantic steps (the per-channel
 scalefactor/intensity sections, then 8 x coded_count coefficient reads —
-the sequence depends only on the header config, never on frame content),
-each step advancing a per-frame bit cursor by a data-dependent amount and
-extracting a window from a per-frame 32-bit bit-window table with one
-vectorised gather.
+the sequence depends only on the header config, never on frame content).
+
+TPU-shaped choices (all measured on a v5e over this harness):
+- Per-lane gathers cost ~12ns/element on this backend regardless of shape —
+  a single [N] take_along_axis in the scan body costs ~0.4ms. EVERY dynamic
+  gather is therefore replaced with arithmetic: bit windows are fetched by a
+  one-hot compare+reduce over the frame's 32-bit window table (HBM-roofline,
+  ~160us per superstep), the VLC tables are evaluated as closed forms and
+  packed-nibble constants muxed by 3-bit binary trees, and the per-step
+  resolution/output routing uses static slices/reshapes instead of
+  gather/scatter.
+- Supersteps: one 64-bit window serves 4 symbols (max 12 bits each, so all
+  four end within 7 + 48 = 55 < 64 bits), cutting window fetches 4x.
 
 This removes the host-side unpack wall (90% of the round-1 bank-decode
 bench: VERDICT r1 'What's weak' #2) and cuts H2D volume ~10x (raw frame
@@ -18,7 +27,7 @@ Bit-exactness: all arithmetic is integer; semantics mirror
 ops/hca_frame.py::_unpack_frames_py line by line (itself locked against the
 reference hca.cpp:1100-1237 by byte-parity tests). Error conditions that the
 host path raises for (scalefactor delta out of range, v3 intensity delta
-overflow) are returned as a per-frame `err` flag: the caller checks the
+out of range) are returned as a per-frame `err` flag: the caller checks the
 flags and falls back / raises to match host semantics.
 
 Unsupported here (caller must use the host path): min_resolution == 0
@@ -39,14 +48,46 @@ from . import hca_tables as T
 
 VERSION_V200 = 0x0200
 
+# READ_BIT_TABLE / READ_VAL_TABLE rows (r = 0..7) packed 4 bits per code:
+# lo word = codes 0..7, hi word = codes 8..15; VAL nibbles store value + 8.
+# Verified against the parsed reference tables in tests/test_hca_tables.py
+# via tests/test_hca_unpack_device.py byte-parity.
+_BIT_LO = [0x0, 0x2211, 0x33222222, 0x33333322,
+           0x33333333, 0x33333333, 0x44333333, 0x44444433]
+_BIT_HI = [0x0, 0x0, 0x0, 0x0,
+           0x44333333, 0x44444433, 0x44444444, 0x44444444]
+_VAL_LO = [0x88888888, 0x88887988, 0x6A779988, 0x5B6A7988,
+           0xAA779988, 0xAA779988, 0x6A779988, 0x5B6A7988]
+_VAL_HI = [0x88888888, 0x88888888, 0x88888888, 0x88888888,
+           0x4C55BB66, 0x3D4C5B66, 0x2E3D4C5B, 0x1F2E3D4C]
 
-def _extract(w, cur, count):
-    """Take `count` bits (per-lane) from the 32-bit window `w` gathered at
-    byte(cur); returns 0 for count == 0 — the same as BitReader.peek."""
-    shift = (32 - (cur & 7) - count).astype(jnp.uint32)
-    mask = jnp.left_shift(jnp.uint32(1), count.astype(jnp.uint32)) - \
-        jnp.uint32(1)
-    return (jnp.right_shift(w, shift) & mask).astype(jnp.int32)
+
+def _mux8(consts, r):
+    """Select consts[r] (r in 0..7, [N] vector) with a 3-bit binary tree —
+    7 vector selects, no gather."""
+    c = [jnp.uint32(x) for x in consts]
+    b0 = (r & 1) == 1
+    a01 = jnp.where(b0, c[1], c[0])
+    a23 = jnp.where(b0, c[3], c[2])
+    a45 = jnp.where(b0, c[5], c[4])
+    a67 = jnp.where(b0, c[7], c[6])
+    b1 = (r & 2) == 2
+    a03 = jnp.where(b1, a23, a01)
+    a47 = jnp.where(b1, a67, a45)
+    return jnp.where((r & 4) == 4, a47, a03)
+
+
+def _nib16(lo, hi, code):
+    """Extract nibble `code` (0..15) from the packed (lo, hi) pair."""
+    word = jnp.where(code >= 8, hi, lo)
+    shift = ((code & 7) << 2).astype(jnp.uint32)
+    return ((word >> shift) & jnp.uint32(15)).astype(jnp.int32)
+
+
+def _max_bit(r):
+    """MAX_BIT_TABLE closed form: 0, 2,3,3,4,4,4,4, then r-3."""
+    small = 2 + (r >= 2) + (r >= 4)
+    return jnp.where(r == 0, 0, jnp.where(r < 8, small, r - 3))
 
 
 class DeviceUnpacker:
@@ -69,6 +110,8 @@ class DeviceUnpacker:
             raise ValueError("zero coded_count needs the host unpacker")
         self.ath = np.asarray(info.ath, dtype=np.int32)
         self.cipher = np.asarray(info.cipher, dtype=np.uint8)
+        self.cipher_identity = bool(
+            np.array_equal(self.cipher, np.arange(256, dtype=np.uint8)))
         # static per-channel scalefactor counts (incl. the v3 HFR extension)
         self.cs_counts = []
         self.extras = []
@@ -81,38 +124,71 @@ class DeviceUnpacker:
                 cs += extra
             if cs > 128:
                 raise ValueError("Unpack error (scalefactor count)")
+            if cs >= 128 and extra:
+                # the host/reference path reads sf[cs] out of bounds here
+                raise ValueError("cs_count == 128 with HFR extension")
             self.cs_counts.append(cs)
             self.extras.append(extra)
-        # static coefficient-step program: subframe-major, channel, band
-        res_idx, out_idx = [], []
-        for s in range(8):
-            for c in range(C):
-                for k in range(self.coded[c]):
-                    res_idx.append(c * 128 + k)
-                    out_idx.append((c * 8 + s) * 128 + k)
-        self._res_idx = np.asarray(res_idx, dtype=np.int32)
-        self._out_idx = np.asarray(out_idx, dtype=np.int32)
         self._jit = jax.jit(self._unpack)
 
     # -- bit primitives ------------------------------------------------------
+    #
+    # One-hot window fetches: a compare+masked-reduce over the [N, fs] u32
+    # window table runs at HBM roofline on TPU, ~2.5x faster than a dynamic
+    # gather on this backend, and XLA fuses the two window words into the
+    # same traversal.
+
+    def _parange(self):
+        return jnp.arange(self.fs, dtype=jnp.int32)
 
     def _gather(self, w32, cur):
-        byte = jnp.minimum(cur >> 3, self.fs - 1)[:, None]
-        return jnp.take_along_axis(w32, byte.astype(jnp.int32), axis=1)[:, 0]
+        bb = jnp.minimum(cur >> 3, self.fs - 1)
+        sel = self._parange()[None, :] == bb[:, None]
+        return jnp.sum(jnp.where(sel, w32, jnp.uint32(0)), axis=1,
+                       dtype=jnp.uint32)
 
     def _peek(self, w32, cur, count):
         """BitReader.peek: any read crossing the frame end returns 0."""
         w = self._gather(w32, cur)
         count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), cur.shape)
-        val = _extract(w, cur, count)
+        shift = (32 - (cur & 7) - jnp.clip(count, 0, 25)).astype(jnp.uint32)
+        val = (w >> shift).astype(jnp.int32) & (jnp.left_shift(1, count) - 1)
         ok = (cur + count <= self.fs * 8) & (count > 0)
+        return jnp.where(ok, val, 0)
+
+    def _win64(self, w32, cur):
+        """Two u32 window words at byte(cur) and byte(cur)+4, one traversal."""
+        bb = jnp.minimum(cur >> 3, self.fs - 1)
+        d = self._parange()[None, :] - bb[:, None]
+        w0 = jnp.sum(jnp.where(d == 0, w32, jnp.uint32(0)), axis=1,
+                     dtype=jnp.uint32)
+        w1 = jnp.sum(jnp.where(d == 4, w32, jnp.uint32(0)), axis=1,
+                     dtype=jnp.uint32)
+        return w0, w1, bb * 8
+
+    def _ext64(self, w0, w1, o, count, abs_cur):
+        """Extract `count` bits at local offset `o` of the (w0,w1) window,
+        with BitReader.peek end-of-frame masking at absolute position
+        `abs_cur`. Shift amounts are clamped so overrun lanes (whose values
+        are masked to 0 anyway) never produce out-of-range shifts."""
+        o = jnp.minimum(o, 55)
+        use_hi = o >= 32
+        oo = jnp.where(use_hi, o - 32, o).astype(jnp.uint32)
+        hi = jnp.where(use_hi, w1, w0)
+        lo = jnp.where(use_hi, jnp.uint32(0), w1)
+        left = (hi << oo) | jnp.where(
+            oo > 0, lo >> (jnp.uint32(32) - oo), jnp.uint32(0))
+        count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), o.shape)
+        shift = (32 - jnp.clip(count, 0, 31)).astype(jnp.uint32)
+        val = (left >> shift).astype(jnp.int32) & \
+            ((jnp.left_shift(1, count) - 1))
+        ok = (abs_cur + count <= self.fs * 8) & (count > 0)
         return jnp.where(ok, val, 0)
 
     # -- phases --------------------------------------------------------------
 
     def _scalefactors_channel(self, w32, cur, err, c):
-        """One channel's scalefactor section. Returns (sf [N,128], cur, err,
-        db [N] — the delta_bits value, reused nowhere but kept for tests)."""
+        """One channel's scalefactor section. Returns (sf [N,128], cur, err)."""
         N = cur.shape[0]
         cs = self.cs_counts[c]
         db = self._peek(w32, cur, 3)
@@ -127,35 +203,46 @@ class DeviceUnpacker:
             is_delta = (db >= 1) & (db <= 5)
             expected = jnp.left_shift(1, db) - 1          # delta mode only
             half = expected >> 1
+            # supersteps: 4 symbols (each <= 5+6 = 11 bits -> all end within
+            # the 64-bit window) per fetch; tail padded with inactive steps
+            G = 4
+            S = cs - 1
+            Sp = -(-S // G) * G
+            active = np.zeros((Sp // G, G), dtype=bool)
+            active.reshape(-1)[:S] = True
 
-            def step(carry, _):
+            def step(carry, act):
                 cur, value, err = carry
-                # delta read (db bits) and absolute read (6 bits) share the
-                # window gathered at the current cursor
-                w = self._gather(w32, cur)
-                dcount = jnp.where(is_delta, db, 0)
-                delta = jnp.where(
-                    (cur + dcount <= self.fs * 8) & (dcount > 0),
-                    _extract(w, cur, dcount), 0)
-                vabs = jnp.where(cur + 6 <= self.fs * 8,
-                                 _extract(w, cur,
-                                          jnp.full_like(cur, 6)), 0)
-                esc = is_delta & (delta == expected)
-                cur2 = cur + dcount
-                vesc = self._peek(w32, cur2, 6)
-                test = value + delta - half
-                bad = is_delta & (~esc) & ((test < 0) | (test >= 64))
-                vdelta = jnp.where(esc, vesc, (value - half + delta) & 0x3F)
-                new_value = jnp.where(is_delta, vdelta, value)
-                sf_i = jnp.where(is_abs, vabs,
-                                 jnp.where(is_delta, vdelta, 0))
-                adv = jnp.where(is_abs, 6,
-                                jnp.where(is_delta,
-                                          dcount + jnp.where(esc, 6, 0), 0))
-                return (cur + adv, new_value, err | bad), sf_i.astype(jnp.uint8)
+                w0, w1, base = self._win64(w32, cur)
+                o = cur - base
+                outs = []
+                for j in range(G):
+                    dcount = jnp.where(is_delta, db, 0)
+                    delta = self._ext64(w0, w1, o, dcount, cur)
+                    vabs = self._ext64(w0, w1, o, 6, cur)
+                    esc = is_delta & (delta == expected)
+                    vesc = self._ext64(w0, w1, o + dcount, 6, cur + dcount)
+                    test = value + delta - half
+                    bad = is_delta & (~esc) & ((test < 0) | (test >= 64))
+                    vdelta = jnp.where(esc, vesc,
+                                       (value - half + delta) & 0x3F)
+                    sf_i = jnp.where(is_abs, vabs,
+                                     jnp.where(is_delta, vdelta, 0))
+                    adv = jnp.where(is_abs, 6,
+                                    jnp.where(is_delta,
+                                              dcount + jnp.where(esc, 6, 0),
+                                              0))
+                    adv = jnp.where(act[j], adv, 0)
+                    value = jnp.where(act[j] & is_delta, vdelta, value)
+                    err = err | (act[j] & bad)
+                    outs.append(sf_i.astype(jnp.uint8))
+                    cur = cur + adv
+                    o = o + adv
+                return (cur, value, err), jnp.stack(outs)
 
             (cur, _v, err), ys = jax.lax.scan(
-                step, (cur, sf0, err), None, length=cs - 1)
+                step, (cur, sf0, err), jnp.asarray(active))
+            ys = ys.reshape(Sp, N)[:S]
             sf_vals = jnp.concatenate(
                 [sf0[None].astype(jnp.uint8), ys], axis=0)   # [cs, N]
         else:
@@ -189,10 +276,16 @@ class DeviceUnpacker:
                     cols.append(jnp.where(flag, vi, 0).astype(jnp.uint8))
                 inten = jnp.stack(cols, axis=1)
             else:
-                # v3: skip(4) in both branches; delta-coded follow-ups
+                # v3: skip(4) in both branches; delta-coded follow-ups.
+                # 8 x <= 7-bit symbols all fit one 64-bit window fetched at
+                # the section start (4+2 header + 7*7 <= 55 bits).
+                w0, w1, base = self._win64(w32, cur)
+                o = cur - base
                 cur = cur + 4
-                db2 = self._peek(w32, cur, 2)
+                o = o + 4
+                db2 = self._ext64(w0, w1, o, 2, cur)
                 cur = cur + jnp.where(flag, 2, 0)
+                o = o + jnp.where(flag, 2, 0)
                 value = v4
                 direct = flag & (db2 == 3)
                 delta_m = flag & (db2 < 3)
@@ -200,15 +293,12 @@ class DeviceUnpacker:
                 bmax = jnp.left_shift(2, db2) - 1
                 cols = [jnp.where(flag, v4, 7).astype(jnp.uint8)]
                 for _ in range(7):
-                    w = self._gather(w32, cur)
-                    v4d = jnp.where(
-                        (cur + 4 <= self.fs * 8) & direct,
-                        _extract(w, cur, jnp.full_like(cur, 4)), 0)
-                    delta = jnp.where(
-                        (cur + bits <= self.fs * 8) & delta_m & (bits > 0),
-                        _extract(w, cur, bits), 0)
+                    v4d = jnp.where(direct,
+                                    self._ext64(w0, w1, o, 4, cur), 0)
+                    delta = jnp.where(delta_m,
+                                      self._ext64(w0, w1, o, bits, cur), 0)
                     esc = delta_m & (delta == bmax)
-                    vesc = self._peek(w32, cur + bits, 4)
+                    vesc = self._ext64(w0, w1, o + bits, 4, cur + bits)
                     vnew = jnp.where(esc, vesc, value - (bmax >> 1) + delta)
                     # reference `value` is unsigned char: a negative
                     # differential wraps >= 241 and fails its `> 15` check
@@ -217,10 +307,12 @@ class DeviceUnpacker:
                     vi = jnp.where(direct, v4d,
                                    jnp.where(delta_m, value, 7))
                     cols.append((vi & 0xFF).astype(jnp.uint8))
-                    cur = cur + jnp.where(direct, 4,
-                                          jnp.where(delta_m,
-                                                    bits + jnp.where(esc, 4, 0),
-                                                    0))
+                    adv = jnp.where(direct, 4,
+                                    jnp.where(delta_m,
+                                              bits + jnp.where(esc, 4, 0),
+                                              0))
+                    cur = cur + adv
+                    o = o + adv
                 inten = jnp.stack(cols, axis=1)
             return inten, sf_c, cur, err
         if self.version <= VERSION_V200 and self.hfr > 0:
@@ -233,53 +325,86 @@ class DeviceUnpacker:
         return zero8, sf_c, cur, err
 
     def _resolutions(self, sf, packed_noise):
-        """calc_resolutions (hca.cpp:1444-1494), vectorised [N, C, 128]."""
+        """calc_resolutions (hca.cpp:1444-1494), vectorised [N, C, 128].
+        The 66-entry invert table is applied as a one-hot reduce (a dynamic
+        gather here would cost ~12ns x N*C*128 elements)."""
         k = jnp.arange(128, dtype=jnp.int32)
         coded = jnp.asarray(self.coded, jnp.int32)[None, :, None]
         sf_i = sf.astype(jnp.int32)
         ath = jnp.asarray(self.ath, jnp.int32)[None, None, :]
         noise_level = ath + ((packed_noise[:, None, None] + k) >> 8)
         curve_pos = noise_level + 1 - ((5 * sf_i) >> 1)
+        cp = jnp.clip(curve_pos, 0, 65)
         invert = jnp.asarray(T.INVERT_TABLE, jnp.int32)
+        iota66 = jnp.arange(66, dtype=jnp.int32)
+        inv = jnp.sum(
+            jnp.where(cp[..., None] == iota66, invert, 0), axis=-1)
         r = jnp.where(curve_pos < 0, 15,
-                      jnp.where(curve_pos <= 65,
-                                invert[jnp.clip(curve_pos, 0, 65)], 0))
+                      jnp.where(curve_pos <= 65, inv, 0))
         r = jnp.clip(r, self.min_res, self.max_res)
         r = jnp.where(sf_i > 0, r, 0)
         r = jnp.where(k[None, None, :] < coded, r, 0)
         return r.astype(jnp.uint8)
 
+    def _res_program(self, res):
+        """Per-step resolutions in program order (s-major, then channel,
+        then band) via static slices — no gather. [Sp//G, G, N] i32."""
+        N = res.shape[0]
+        pieces = [res[:, c, :self.coded[c]] for c in range(self.C)]
+        per_sub = jnp.concatenate(pieces, axis=1)        # [N, sum(coded)]
+        prog = jnp.tile(per_sub, (1, 8)).astype(jnp.int32)  # [N, 8*sum]
+        S = prog.shape[1]
+        G = 4
+        Sp = -(-S // G) * G
+        prog = jnp.pad(prog, ((0, 0), (0, Sp - S)))      # pad rows: r=0 noop
+        return prog.T.reshape(Sp // G, G, N), S
+
     def _coefficients(self, w32, cur, res):
-        """8 x C x coded_count VLC reads -> qc [N, C, 8, 128] int16."""
+        """8 x C x coded_count VLC reads -> qc [N, C, 8, 128] int16.
+
+        Supersteps: one 64-bit window fetch serves 4 symbols (max 12 bits
+        each). VLC tables are closed-form/packed-nibble arithmetic — the
+        scan body performs no gathers beyond the window fetch."""
         N = cur.shape[0]
-        res_flat = res.reshape(N, self.C * 128).astype(jnp.int32)
-        maxbit = jnp.asarray(T.MAX_BIT_TABLE, jnp.int32)
-        readbit = jnp.asarray(T.READ_BIT_TABLE, jnp.int32)
-        readval = jnp.asarray(np.asarray(T.READ_VAL_TABLE, np.int8),
-                              jnp.int32)
+        res_prog, S = self._res_program(res)
 
-        def step(cur, idx):
-            r = jax.lax.dynamic_index_in_dim(
-                res_flat, idx, axis=1, keepdims=False)
-            bits = maxbit[r]
-            w = self._gather(w32, cur)
-            code = jnp.where(
-                (cur + bits <= self.fs * 8) & (bits > 0),
-                _extract(w, cur, bits), 0)
-            big = r > 7
-            v_big = (1 - ((code & 1) << 1)) * (code >> 1)
-            adv_big = bits - jnp.where(v_big == 0, 1, 0)
-            index = jnp.where(big, 0, (r << 4) + code)
-            v_small = readval[index]
-            adv_small = readbit[index]
-            value = jnp.where(big, v_big, v_small)
-            adv = jnp.where(big, adv_big, adv_small)
-            return cur + adv, value.astype(jnp.int16)
+        def step(cur, rG):
+            w0, w1, base = self._win64(w32, cur)
+            o = cur - base
+            vals = []
+            for j in range(4):
+                r = rG[j]
+                bits = _max_bit(r)
+                code = self._ext64(w0, w1, o, bits, cur)
+                big = r > 7
+                v_big = (1 - ((code & 1) << 1)) * (code >> 1)
+                adv_big = bits - jnp.where(v_big == 0, 1, 0)
+                scode = jnp.where(big, 0, code)
+                v_small = _nib16(_mux8(_VAL_LO, r), _mux8(_VAL_HI, r),
+                                 scode) - 8
+                adv_small = _nib16(_mux8(_BIT_LO, r), _mux8(_BIT_HI, r),
+                                   scode)
+                value = jnp.where(big, v_big, v_small)
+                adv = jnp.where(big, adv_big, adv_small)
+                vals.append(value.astype(jnp.int16))
+                cur = cur + adv
+                o = o + adv
+            return cur, jnp.stack(vals)
 
-        cur, ys = jax.lax.scan(step, cur, jnp.asarray(self._res_idx))
-        qc = jnp.zeros((N, self.C * 8 * 128), dtype=jnp.int16)
-        qc = qc.at[:, self._out_idx].set(ys.T)
-        return qc.reshape(N, self.C, 8, 128), cur
+        cur, ys = jax.lax.scan(step, cur, res_prog)      # ys [Sp/G, G, N]
+        ys = ys.reshape(-1, N)[:S]                       # [8*sum(coded), N]
+        # route back to [N, C, 8, 128] with static slices/pads — no scatter
+        per_sub = ys.reshape(8, S // 8, N)               # [8, sum(coded), N]
+        off = 0
+        chans = []
+        for c in range(self.C):
+            piece = per_sub[:, off:off + self.coded[c], :]
+            off += self.coded[c]
+            piece = jnp.pad(piece,
+                            ((0, 0), (0, 128 - self.coded[c]), (0, 0)))
+            chans.append(piece)                          # [8, 128, N]
+        qc = jnp.stack(chans, axis=0)                    # [C, 8, 128, N]
+        return qc.transpose(3, 0, 1, 2), cur
 
     # -- driver --------------------------------------------------------------
 
@@ -287,7 +412,16 @@ class DeviceUnpacker:
         """frames_u8: uint8 [N, frame_size] (enciphered, sync+CRC already
         validated host-side). Returns (qc, sf, res, inten, err)."""
         N = frames_u8.shape[0]
-        dec = jnp.asarray(self.cipher)[frames_u8]
+        if self.cipher_identity:
+            dec = frames_u8
+        else:
+            # arbitrary 256-entry permutation: one-hot reduce (the dynamic
+            # gather alternative costs ~12ns x N*fs elements)
+            iota = jnp.arange(256, dtype=jnp.uint8)
+            dec = jnp.sum(
+                jnp.where(frames_u8[..., None] == iota,
+                          jnp.asarray(self.cipher), jnp.uint8(0)),
+                axis=-1, dtype=jnp.uint8)
         pad = jnp.zeros((N, 4), dtype=jnp.uint8)
         b = jnp.concatenate([dec, pad], axis=1).astype(jnp.uint32)
         w32 = ((b[:, :self.fs] << 24) | (b[:, 1:self.fs + 1] << 16)
