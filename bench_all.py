@@ -195,11 +195,69 @@ def config9():
     return ("crilayla_compress_mb_per_sec", len(data) / 1e6 / dt, "MB/sec")
 
 
+def config10():
+    """On-device HCA decode pipeline, link-independent: raw frame bytes
+    pre-staged in HBM, bitstream unpack (ops/hca_unpack_device) + transform
+    (Pallas IMDCT+OLA) on-chip, PCM left on device — one scalar output
+    forces completion. Config 5 is end-to-end over the host link; this is
+    the chip's own decode rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.ops import hca_encode_host, hca_frame, hca_kernels
+    from pycricodecs_tpu.parallel import pipeline
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    blob = hca_encode_host.encode(_sine_wav(dur, 2, seed=5), quality=2)
+    hs = int.from_bytes(blob[6:8], "big")
+    info = hca_frame.parse_header(blob[:hs])
+    fs, F = info.frame_size, info.frame_count
+    arr = np.frombuffer(blob[hs:hs + F * fs], np.uint8).reshape(F, fs)
+    frames_np = np.broadcast_to(arr, (n, F, fs)).copy()
+
+    pairs = hca_kernels.stereo_pairs_of(info.channel_type) \
+        if info.stereo_band_count > 0 else ()
+    use_pallas = jax.devices()[0].platform == "tpu"
+    fused = pipeline._get_fused_device_decode(info, pairs, use_pallas)
+    assert fused is not None
+    hfr = hca_kernels.build_hfr_map(
+        info.total_band_count, info.base_band_count, info.stereo_band_count,
+        info.bands_per_hfr_group, info.hfr_group_count, info.version)
+    hfr_args = (np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+                np.asarray(hfr.group_of), np.int32(hfr.zero_band))
+
+    @jax.jit
+    def run(frames, hi, hsrc, hg, hz):
+        pcm, err = fused(frames, hi, hsrc, hg, hz)
+        return pcm, jnp.any(err)
+
+    dev = jax.device_put(frames_np)
+    hfr_dev = tuple(jax.device_put(a) for a in hfr_args)
+    pcm, e = run(dev, *hfr_dev)
+    assert not bool(np.asarray(e))
+    # parity guard: one stream fetched and compared against the host decode
+    from pycricodecs_tpu.models import hca as hcamod
+    one = np.asarray(pcm[0]).reshape(-1, info.channels)
+    samples = (F * 1024 - info.encoder_delay - info.encoder_padding)
+    one = one[info.encoder_delay:info.encoder_delay + samples]
+    ref = hcamod.decode(blob)
+    ref_pcm = np.frombuffer(ref[44:], "<i2").reshape(-1, info.channels)
+    assert np.array_equal(one, ref_pcm), "device pipeline diverged"
+    best = 1e18
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pcm, e = run(dev, *hfr_dev)
+        assert not bool(np.asarray(e))   # scalar fetch = completion barrier
+        best = min(best, time.perf_counter() - t0)
+    return ("hca_device_pipeline_audio_sec_per_sec_per_chip",
+            n * dur / best, "audio-sec/sec/chip")
+
+
 def main():
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
-               "9": config9}
+               "9": config9, "10": config10}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -46,6 +47,7 @@ class DecodeStats:
     device_seconds: float = 0.0   # dispatch + H2D (async overlap included)
     fetch_seconds: float = 0.0    # device->host transfers
     total_seconds: float = 0.0
+    device_unpack_streams: int = 0  # streams whose bitstream decode ran on-chip
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -346,6 +348,70 @@ def _decode_host_lanes(infos, results, failures, on_error) -> None:
                 failures[idx] = exc
 
 
+_fused_device_decode_cache: dict = {}
+
+
+def _crc16_rows(arr: np.ndarray) -> np.ndarray:
+    """CRC16 per row of [N, size] u8, native slice-by-8 when available."""
+    from .. import native
+    from ..utils import crc as crcmod
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    lib = native.load()
+    if lib is None:
+        return crcmod.crc16_batch(arr)
+    import ctypes
+    out = np.zeros(arr.shape[0], dtype=np.uint16)
+    lib.cri_crc16_batch(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.uint32(arr.shape[0]), np.uint32(arr.shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out
+
+
+def _get_fused_device_decode(info0, pairs, use_pallas):
+    """Fused device unpack+transform jit for one config, or None when the
+    config needs the host unpacker (noise path, degenerate band configs)."""
+    from ..ops import hca_unpack_device
+    # the unpacker bakes in the cipher table and the ATH curve (sample-rate
+    # dependent) — neither is part of _config_key, so key on them here
+    key = (_config_key(info0), int(info0.sample_rate),
+           bytes(np.asarray(info0.cipher, np.uint8)), pairs, use_pallas)
+    hit = _fused_device_decode_cache.get(key)
+    if hit is not None:
+        return hit or None
+    try:
+        up = hca_unpack_device.DeviceUnpacker(info0)
+    except ValueError:
+        _fused_device_decode_cache[key] = False
+        return None
+    base_band = int(info0.base_band_count)
+    total_band = int(info0.total_band_count)
+    apply_hfr = bool(info0.bands_per_hfr_group > 0
+                     and info0.hfr_group_count > 0)
+    hfr_group_count = int(info0.hfr_group_count)
+
+    @jax.jit
+    def fused(frames, hfr_is, hfr_src, hfr_group, hfr_zero):
+        B, F, fs = frames.shape
+        qc, sf, res, inten, err = up._unpack(frames.reshape(B * F, fs))
+        pcm = hca_kernels.hca_decode_transform_batched(
+            qc.reshape(B, F, up.C, 8, 128),
+            sf.reshape(B, F, up.C, 128),
+            res.reshape(B, F, up.C, 128),
+            inten.reshape(B, F, up.C, 8),
+            jnp.zeros((1,) * 5, jnp.uint8),
+            jnp.zeros((1,) * 5, jnp.uint8),
+            jnp.zeros((1,) * 5, bool),
+            hfr_is, hfr_src, hfr_group, hfr_zero,
+            base_band=base_band, total_band=total_band,
+            stereo_pairs=pairs, apply_noise=False, apply_hfr=apply_hfr,
+            hfr_group_count=hfr_group_count, use_pallas=use_pallas)
+        return pcm, err.reshape(B, F)
+
+    _fused_device_decode_cache[key] = fused
+    return fused
+
+
 def _decode_group(group, infos, results, mesh, stats=None) -> None:
     info0 = infos[group[0]][0]
     C = info0.channels
@@ -406,6 +472,23 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
     start = 0
     t_unpack = 0.0
     t_device = 0.0
+    # Device-side unpack: raw frame bytes go to the chip and the whole
+    # bitstream decode runs there (ops/hca_unpack_device.py) — the host only
+    # validates sync+CRC and stacks bytes. ~10x less H2D than the SoA
+    # tensors and removes the host-unpack wall. Host fallback: noise-path
+    # (PNS) configs, degenerate band layouts, meshes (the sharded path keeps
+    # the host unpacker), or PYCRICODECS_HOST_UNPACK=1.
+    dev_decode = None
+    if (not need_noise and mesh is None
+            and os.environ.get("PYCRICODECS_HOST_UNPACK") != "1"
+            # one cipher/ATH is baked per compiled unpacker: every group
+            # member must share them (groups are keyed by _config_key only,
+            # so per-stream subkeys or sample rates can differ)
+            and all(infos[i][0].sample_rate == info0.sample_rate
+                    and np.array_equal(infos[i][0].cipher, info0.cipher)
+                    for i in group)):
+        use_pallas = jax.devices()[0].platform == "tpu"
+        dev_decode = _get_fused_device_decode(info0, pairs, use_pallas)
     for csize in chunk_sizes:
         members = group[start:start + csize]
         start += csize
@@ -414,6 +497,40 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
             Bp = chunk  # uniform chunk shape -> one compiled executable
         if mesh is not None:
             Bp = _round_up(Bp, mesh.devices.shape[0])
+
+        if dev_decode is not None:
+            fs = info0.frame_size
+            t0 = time.perf_counter()
+            frames_np = np.zeros((Bp, fmax, fs), dtype=np.uint8)
+            for b, idx in enumerate(members):
+                info, blob, hs = infos[idx]
+                data = blob[hs:hs + info.frame_count * fs]
+                n = len(data) // fs
+                real_frames[idx] = n
+                arr = np.frombuffer(data, np.uint8,
+                                    count=n * fs).reshape(n, fs)
+                if not (arr[:, :2] == 0xFF).all():
+                    raise hca_frame.HcaError("Frame sync lost")
+                frames_np[b, :n] = arr
+            # one batched CRC sweep; zero padding rows have CRC 0
+            if _crc16_rows(frames_np.reshape(-1, fs)).any():
+                raise hca_frame.HcaError("Frame checksum mismatch")
+            t_unpack += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out_dev, err_dev = dev_decode(frames_np, *hfr_args)
+            t_device += time.perf_counter() - t0
+
+            def fetch_dev(o=out_dev, e=err_dev):
+                err = np.asarray(e)
+                if err.any():
+                    raise hca_frame.HcaError("Unpack error (device)")
+                return np.asarray(o)
+
+            pending.append((fetch_pool.submit(fetch_dev),
+                            list(enumerate(members))))
+            if stats is not None:
+                stats.device_unpack_streams += len(members)
+            continue
 
         qc = np.zeros((Bp, fmax, C, 8, 128), dtype=np.int16)
         sf = np.zeros((Bp, fmax, C, 128), dtype=np.uint8)

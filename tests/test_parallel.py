@@ -36,6 +36,54 @@ def test_decode_batch_host_engine_matches_device(oracle):
         assert h == d == hcamod.decode(blob)
 
 
+def test_decode_batch_device_unpack_bit_exact(oracle, monkeypatch):
+    """The on-chip bitstream unpacker must be byte-identical to the host
+    unpacker through the full decode_batch path, and must actually engage."""
+    blobs = (_tracks(oracle, 3) + _tracks(oracle, 2, channels=1)
+             + _tracks(oracle, 1, samples=4096))
+    stats = parallel.DecodeStats()
+    dev = parallel.decode_batch(blobs, engine="device", stats=stats)
+    assert stats.device_unpack_streams == len(blobs)
+    monkeypatch.setenv("PYCRICODECS_HOST_UNPACK", "1")
+    stats2 = parallel.DecodeStats()
+    host_unpack = parallel.decode_batch(blobs, engine="device", stats=stats2)
+    assert stats2.device_unpack_streams == 0
+    assert dev == host_unpack
+    for blob, d in zip(blobs, dev):
+        assert d == hcamod.decode(blob)
+
+
+def test_decode_batch_device_unpack_mixed_subkeys(oracle):
+    """Mixed per-stream subkeys force the host unpacker (one cipher per
+    compiled group) — outputs must stay correct either way."""
+    from pycricodecs_tpu.models.hca import HCA
+    key = 0xCF222F1FE0748978
+    plain = _tracks(oracle, 2)
+    enc = []
+    for sk, blob in zip((1, 2), plain):
+        h = HCA(blob)
+        h.encrypt(key, subkey=sk)
+        enc.append(h.get_hca())
+    stats = parallel.DecodeStats()
+    out = parallel.decode_batch(enc, key=key, subkeys=[1, 2], stats=stats)
+    assert stats.device_unpack_streams == 0
+    for blob, wav_bytes in zip(plain, out):
+        assert wav_bytes == hcamod.decode(blob)
+
+
+def test_decode_batch_device_unpack_corrupt_stream_isolated(oracle):
+    """A CRC-corrupt stream raises (or isolates) exactly like the host
+    unpacker when the device path handles the group."""
+    blobs = _tracks(oracle, 3)
+    bad = bytearray(blobs[1])
+    bad[-10] ^= 0xFF  # corrupt a frame body -> CRC mismatch
+    blobs[1] = bytes(bad)
+    out = parallel.decode_batch(blobs, engine="device", on_error="isolate")
+    assert isinstance(out[1], Exception)
+    assert out[0] == hcamod.decode(blobs[0])
+    assert out[2] == hcamod.decode(blobs[2])
+
+
 def test_decode_batch_host_engine_isolation(oracle):
     blobs = _tracks(oracle, 3)
     blobs[1] = blobs[1][:8]  # truncated header: unparseable
