@@ -479,7 +479,7 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
     # (PNS) configs, degenerate band layouts, meshes (the sharded path keeps
     # the host unpacker), or PYCRICODECS_HOST_UNPACK=1.
     dev_decode = None
-    if (not need_noise and mesh is None
+    if (not need_noise
             and os.environ.get("PYCRICODECS_HOST_UNPACK") != "1"
             # one cipher/ATH is baked per compiled unpacker: every group
             # member must share them (groups are keyed by _config_key only,
@@ -487,7 +487,11 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
             and all(infos[i][0].sample_rate == info0.sample_rate
                     and np.array_equal(infos[i][0].cipher, info0.cipher)
                     for i in group)):
-        use_pallas = jax.devices()[0].platform == "tpu"
+        # a pallas_call does not partition under a mesh (see the transform's
+        # use_pallas note); the unpack itself shards fine: N = B*F rows are
+        # independent, so the (dp, sp) sharding of frames [B, F, fs] merges
+        # into a block-sharded row axis through the reshape
+        use_pallas = (jax.devices()[0].platform == "tpu" and mesh is None)
         dev_decode = _get_fused_device_decode(info0, pairs, use_pallas)
     for csize in chunk_sizes:
         members = group[start:start + csize]
@@ -517,7 +521,17 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
                 raise hca_frame.HcaError("Frame checksum mismatch")
             t_unpack += time.perf_counter() - t0
             t0 = time.perf_counter()
-            out_dev, err_dev = dev_decode(frames_np, *hfr_args)
+            frames_in = frames_np
+            hfr_in = hfr_args
+            if mesh is not None:
+                spec = [mesh.axis_names[0], None, None]
+                if len(mesh.axis_names) > 1 and mesh.devices.shape[1] > 1:
+                    spec[1] = mesh.axis_names[1]
+                frames_in = jax.device_put(
+                    frames_np, NamedSharding(mesh, P(*spec)))
+                hfr_in = tuple(jax.device_put(a, NamedSharding(mesh, P()))
+                               for a in hfr_args)
+            out_dev, err_dev = dev_decode(frames_in, *hfr_in)
             t_device += time.perf_counter() - t0
 
             def fetch_dev(o=out_dev, e=err_dev):
