@@ -133,12 +133,17 @@ def config6():
     K = 200000
     cands = rng.integers(1, 1 << 63, K).astype(np.uint64)
     cands[K // 2] = np.uint64(key)
-    parallel.find_key(enc, cands[:256], max_frames=8)  # warm compiles
-    t0 = time.perf_counter()
-    scores = parallel.find_key(enc, cands, max_frames=8)
-    dt = time.perf_counter() - t0
+    # warm at the FULL candidate shape: the wave-scoring dispatch compiles
+    # per shape bucket and a remote-backend compile (100s+) would otherwise
+    # land inside the timed region
+    parallel.find_key(enc, cands, max_frames=8)
+    best = 1e18
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scores = parallel.find_key(enc, cands, max_frames=8)
+        best = min(best, time.perf_counter() - t0)
     assert int(parallel.rank_keys(scores)[0]) == K // 2
-    return ("hca_key_search_keys_per_sec", K / dt, "keys/sec")
+    return ("hca_key_search_keys_per_sec", K / best, "keys/sec")
 
 
 def config7():
