@@ -129,21 +129,48 @@ def _window_overlap_add(dct):
 # Decode transform
 # ---------------------------------------------------------------------------
 
+def hfr_static_of(hfr_map) -> tuple:
+    """Hashable form of a build_hfr_map result, for the `hfr_static` fast
+    path of the decode transform (static 0/1 matmuls instead of gathers)."""
+    return (tuple(bool(x) for x in np.asarray(hfr_map.band_is_hfr)),
+            tuple(int(x) for x in np.asarray(hfr_map.src_band)),
+            tuple(int(x) for x in np.asarray(hfr_map.group_of)),
+            int(hfr_map.zero_band))
+
+
+def _onehot_take(table, idx, n):
+    """table[idx] without a dynamic gather: one-hot compare + reduce.
+
+    Per-lane gathers cost ~12ns/element on this TPU backend (DESIGN.md §2);
+    the fused compare+select+reduce runs at VPU/HBM rates instead. `table`
+    is a [n] constant, idx integer array of any shape."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(
+        jnp.where(idx[..., None].astype(jnp.int32) == iota,
+                  jnp.asarray(table), jnp.zeros((), jnp.asarray(table).dtype)),
+        axis=-1)
+
+
 def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
                          noise_mask, hfr_is, hfr_src, hfr_group, hfr_zero, *,
                          base_band, total_band, stereo_pairs, apply_noise,
-                         apply_hfr, hfr_group_count):
+                         apply_hfr, hfr_group_count, hfr_static=None):
     """Dequantise + noise fill + HFR + intensity stereo -> [B, F, C, 8, 128].
 
     The shared front half of the decode transform; both the PCM path
     (hca_decode_transform_batched) and the key-scorer's float inspection
-    path (hca_decode_wave) run exactly this, so they cannot drift."""
-    C = qc.shape[2]
-    scaling = jnp.asarray(T.SCALING_TABLE)
-    range_t = jnp.asarray(T.RANGE_TABLE)
-    conv = jnp.asarray(T.SCALE_CONVERSION_TABLE)
+    path (hca_decode_wave) run exactly this, so they cannot drift.
 
-    gain = scaling[sf] * range_t[res]                     # [B, F, C, 128]
+    hfr_static: optional hashable HFR map (hfr_static_of). When given, the
+    hfr_* array arguments are ignored and the HFR stage routes bands with
+    trace-time-constant 0/1 matmuls (exact: one nonzero product per output,
+    precision=HIGHEST keeps fp32 multiplicands) instead of dynamic gathers.
+    """
+    C = qc.shape[2]
+
+    # dequantise: table lookups as one-hot reduces (gathers are ~12ns/elem)
+    gain = _onehot_take(T.SCALING_TABLE, sf, 64) \
+        * _onehot_take(T.RANGE_TABLE, res, 16)            # [B, F, C, 128]
     spectra = gain[..., None, :] * qc.astype(jnp.float32)  # [B, F, C, 8, 128]
 
     if apply_noise:
@@ -151,20 +178,46 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
         # to quarter the H2D bytes (the tunnel link is the system bottleneck)
         gathered = jnp.take_along_axis(spectra, noise_src.astype(jnp.int32),
                                        axis=-1)
-        spectra = jnp.where(noise_mask, conv[noise_sci] * gathered, spectra)
+        spectra = jnp.where(noise_mask,
+                            _onehot_take(T.SCALE_CONVERSION_TABLE,
+                                         noise_sci, 128) * gathered, spectra)
 
     if apply_hfr:
         # sci = hfr_scale(group) - sf[lowband] + 63, clamped at 0
         hfr_scales = sf[..., 128 - hfr_group_count:]       # [B, F, C, G]
-        bc = (1,) * 3
-        g_scale = jnp.take_along_axis(
-            hfr_scales.astype(jnp.int32), hfr_group.reshape(bc + (-1,)), axis=-1)
-        low_sf = jnp.take_along_axis(sf.astype(jnp.int32),
-                                     hfr_src.reshape(bc + (-1,)), axis=-1)
+        if hfr_static is not None:
+            is_hfr_t, src_t, grp_t, _zero = hfr_static
+            src_np = np.asarray(src_t, np.int64)
+            grp_np = np.asarray(grp_t, np.int64)
+            m_src = np.zeros((128, 128), np.float32)
+            m_src[src_np, np.arange(128)] = 1.0            # out[j]=x[src[j]]
+            m_grp = np.zeros((hfr_group_count, 128), np.float32)
+            # mirror take_along_axis OOB semantics (clamp) for non-HFR rows
+            m_grp[np.clip(grp_np, 0, hfr_group_count - 1),
+                  np.arange(128)] = 1.0
+            hp = jax.lax.Precision.HIGHEST
+            g_scale = jnp.einsum("...g,gk->...k",
+                                 hfr_scales.astype(jnp.float32),
+                                 jnp.asarray(m_grp),
+                                 precision=hp).astype(jnp.int32)
+            low_sf = jnp.einsum("...k,kj->...j", sf.astype(jnp.float32),
+                                jnp.asarray(m_src),
+                                precision=hp).astype(jnp.int32)
+            low_spec = jnp.einsum("...k,kj->...j", spectra,
+                                  jnp.asarray(m_src), precision=hp)
+            hfr_is = jnp.asarray(np.asarray(is_hfr_t, bool))
+        else:
+            bc = (1,) * 3
+            g_scale = jnp.take_along_axis(
+                hfr_scales.astype(jnp.int32),
+                hfr_group.reshape(bc + (-1,)), axis=-1)
+            low_sf = jnp.take_along_axis(sf.astype(jnp.int32),
+                                         hfr_src.reshape(bc + (-1,)), axis=-1)
+            low_spec = jnp.take_along_axis(
+                spectra, hfr_src.reshape(bc + (1, -1)), axis=-1)
         sci = jnp.maximum(g_scale - low_sf + 63, 0)
-        low_spec = jnp.take_along_axis(
-            spectra, hfr_src.reshape(bc + (1, -1)), axis=-1)
-        hfr_fill = conv[sci][..., None, :] * low_spec
+        hfr_fill = _onehot_take(T.SCALE_CONVERSION_TABLE, sci,
+                                128)[..., None, :] * low_spec
         # secondary channels skip HFR (their high bands come from intensity)
         is_secondary = jnp.zeros((C,), dtype=bool)
         for (p, s) in stereo_pairs:
@@ -177,11 +230,11 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
         spectra = jnp.where(zero_mask, 0.0, spectra)
 
     if stereo_pairs:
-        itable = jnp.asarray(T.INTENSITY_RATIO_TABLE)
         band = jnp.arange(128)
         sel = (band >= base_band) & (band < total_band)
         for (p, s) in stereo_pairs:
-            ratio_l = itable[intensity[..., s, :]][..., None]  # [B, F, 8, 1]
+            ratio_l = _onehot_take(T.INTENSITY_RATIO_TABLE,
+                                   intensity[..., s, :], 16)[..., None]
             ratio_r = jnp.float32(2.0) - ratio_l
             l_spec = spectra[..., p, :, :]
             new_l = jnp.where(sel, l_spec * ratio_l, l_spec)
@@ -193,12 +246,14 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
 
 @partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
                                    "apply_noise", "apply_hfr",
-                                   "hfr_group_count", "use_pallas"))
+                                   "hfr_group_count", "use_pallas",
+                                   "hfr_static"))
 def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
                                  noise_mask, hfr_is, hfr_src, hfr_group,
                                  hfr_zero, *, base_band, total_band,
                                  stereo_pairs, apply_noise, apply_hfr,
-                                 hfr_group_count, use_pallas=False):
+                                 hfr_group_count, use_pallas=False,
+                                 hfr_static=None):
     """Spectra -> interleaved PCM16 for a batch of streams.
 
     qc        : int16 [B, F, C, 8, 128] (B streams x F frames)
@@ -219,7 +274,7 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
         hfr_src, hfr_group, hfr_zero, base_band=base_band,
         total_band=total_band, stereo_pairs=stereo_pairs,
         apply_noise=apply_noise, apply_hfr=apply_hfr,
-        hfr_group_count=hfr_group_count)
+        hfr_group_count=hfr_group_count, hfr_static=hfr_static)
 
     if use_pallas:
         from . import pallas_kernels
@@ -327,11 +382,12 @@ def stereo_pairs_of(channel_type: np.ndarray) -> Tuple[Tuple[int, int], ...]:
 
 
 @partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
-                                   "apply_hfr", "hfr_group_count"))
+                                   "apply_hfr", "hfr_group_count",
+                                   "hfr_static"))
 def hca_decode_wave(qc, sf, res, intensity, hfr_is, hfr_src, hfr_group,
                     hfr_zero, *, base_band, total_band, stereo_pairs,
                     apply_hfr, hfr_group_count, noise_src=None,
-                    noise_sci=None, noise_mask=None):
+                    noise_sci=None, noise_mask=None, hfr_static=None):
     """Float-domain decode (no PCM16 quantisation).
 
     Used by the key tester (clHCA_TestBlock analogue, hca.cpp:1004-1097)
@@ -351,7 +407,7 @@ def hca_decode_wave(qc, sf, res, intensity, hfr_is, hfr_src, hfr_group,
         hfr_src, hfr_group, hfr_zero, base_band=base_band,
         total_band=total_band, stereo_pairs=stereo_pairs,
         apply_noise=apply_noise, apply_hfr=apply_hfr,
-        hfr_group_count=hfr_group_count)
+        hfr_group_count=hfr_group_count, hfr_static=hfr_static)
     dct = _imdct_butterflies(spectra)
     dct_t = jnp.moveaxis(dct, 2, 1).reshape(B, C, F * 8, 128)
     return _window_overlap_add(dct_t)

@@ -389,6 +389,10 @@ def _get_fused_device_decode(info0, pairs, use_pallas):
     apply_hfr = bool(info0.bands_per_hfr_group > 0
                      and info0.hfr_group_count > 0)
     hfr_group_count = int(info0.hfr_group_count)
+    hfr_static = hca_kernels.hfr_static_of(hca_kernels.build_hfr_map(
+        int(info0.total_band_count), int(info0.base_band_count),
+        int(info0.stereo_band_count), int(info0.bands_per_hfr_group),
+        hfr_group_count, int(info0.version))) if apply_hfr else None
 
     @jax.jit
     def fused(frames, hfr_is, hfr_src, hfr_group, hfr_zero):
@@ -405,7 +409,8 @@ def _get_fused_device_decode(info0, pairs, use_pallas):
             hfr_is, hfr_src, hfr_group, hfr_zero,
             base_band=base_band, total_band=total_band,
             stereo_pairs=pairs, apply_noise=False, apply_hfr=apply_hfr,
-            hfr_group_count=hfr_group_count, use_pallas=use_pallas)
+            hfr_group_count=hfr_group_count, use_pallas=use_pallas,
+            hfr_static=hfr_static)
         return pcm, err.reshape(B, F)
 
     _fused_device_decode_cache[key] = fused
@@ -581,6 +586,9 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
                       total_band=int(info0.total_band_count),
                       stereo_pairs=pairs,
                       apply_noise=bool(need_noise and noise_mask.any()),
+                      hfr_static=(hca_kernels.hfr_static_of(hfr)
+                                  if info0.bands_per_hfr_group > 0
+                                  and info0.hfr_group_count > 0 else None),
                       apply_hfr=bool(info0.bands_per_hfr_group > 0
                                      and info0.hfr_group_count > 0),
                       hfr_group_count=int(info0.hfr_group_count),
@@ -899,6 +907,7 @@ def find_key(data: bytes, candidates, subkey: int = 0,
             pad(intens)[:, None],
             np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
             np.asarray(hfr.group_of), np.int32(hfr.zero_band),
+            hfr_static=hca_kernels.hfr_static_of(hfr),
             base_band=int(info.base_band_count),
             total_band=int(info.total_band_count), stereo_pairs=pairs,
             apply_hfr=bool(info.bands_per_hfr_group > 0
