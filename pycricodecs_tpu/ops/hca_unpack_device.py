@@ -166,6 +166,36 @@ class DeviceUnpacker:
                      dtype=jnp.uint32)
         return w0, w1, bb * 8
 
+    def _win128(self, w32, cur):
+        """Four u32 window words (128 bits) in one traversal: serves 10
+        symbols of <= 12 bits (7 + 120 < 128)."""
+        bb = jnp.minimum(cur >> 3, self.fs - 1)
+        d = self._parange()[None, :] - bb[:, None]
+        ws = [jnp.sum(jnp.where(d == 4 * k, w32, jnp.uint32(0)), axis=1,
+                      dtype=jnp.uint32) for k in range(4)]
+        return ws, bb * 8
+
+    def _ext128(self, ws, o, count, abs_cur):
+        """Extract `count` (<= 12) bits at local offset `o` of the 128-bit
+        window, BitReader.peek end-of-frame masking at `abs_cur`."""
+        o = jnp.minimum(o, 115)
+        wi = o >> 5                                  # word index 0..3
+        oo = (o & 31).astype(jnp.uint32)
+        hi = jnp.where(wi == 0, ws[0],
+                       jnp.where(wi == 1, ws[1],
+                                 jnp.where(wi == 2, ws[2], ws[3])))
+        lo = jnp.where(wi == 0, ws[1],
+                       jnp.where(wi == 1, ws[2],
+                                 jnp.where(wi == 2, ws[3], jnp.uint32(0))))
+        left = (hi << oo) | jnp.where(
+            oo > 0, lo >> (jnp.uint32(32) - oo), jnp.uint32(0))
+        count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), o.shape)
+        shift = (32 - jnp.clip(count, 0, 31)).astype(jnp.uint32)
+        val = (left >> shift).astype(jnp.int32) & \
+            ((jnp.left_shift(1, count) - 1))
+        ok = (abs_cur + count <= self.fs * 8) & (count > 0)
+        return jnp.where(ok, val, 0)
+
     def _ext64(self, w0, w1, o, count, abs_cur):
         """Extract `count` bits at local offset `o` of the (w0,w1) window,
         with BitReader.peek end-of-frame masking at absolute position
@@ -203,9 +233,9 @@ class DeviceUnpacker:
             is_delta = (db >= 1) & (db <= 5)
             expected = jnp.left_shift(1, db) - 1          # delta mode only
             half = expected >> 1
-            # supersteps: 4 symbols (each <= 5+6 = 11 bits -> all end within
-            # the 64-bit window) per fetch; tail padded with inactive steps
-            G = 4
+            # supersteps: 10 symbols (each <= 5+6 = 11 bits -> all end
+            # within the 128-bit window) per fetch; tail padded inactive
+            G = 10
             S = cs - 1
             Sp = -(-S // G) * G
             active = np.zeros((Sp // G, G), dtype=bool)
@@ -213,15 +243,15 @@ class DeviceUnpacker:
 
             def step(carry, act):
                 cur, value, err = carry
-                w0, w1, base = self._win64(w32, cur)
+                ws, base = self._win128(w32, cur)
                 o = cur - base
                 outs = []
                 for j in range(G):
                     dcount = jnp.where(is_delta, db, 0)
-                    delta = self._ext64(w0, w1, o, dcount, cur)
-                    vabs = self._ext64(w0, w1, o, 6, cur)
+                    delta = self._ext128(ws, o, dcount, cur)
+                    vabs = self._ext128(ws, o, 6, cur)
                     esc = is_delta & (delta == expected)
-                    vesc = self._ext64(w0, w1, o + dcount, 6, cur + dcount)
+                    vesc = self._ext128(ws, o + dcount, 6, cur + dcount)
                     test = value + delta - half
                     bad = is_delta & (~esc) & ((test < 0) | (test >= 64))
                     vdelta = jnp.where(esc, vesc,
@@ -346,15 +376,18 @@ class DeviceUnpacker:
         r = jnp.where(k[None, None, :] < coded, r, 0)
         return r.astype(jnp.uint8)
 
+    _G = 10  # symbols per 128-bit window superstep
+
     def _res_program(self, res):
-        """Per-step resolutions in program order (s-major, then channel,
-        then band) via static slices — no gather. [Sp//G, G, N] i32."""
+        """One subframe's resolutions in program order (channel-major, then
+        band) via static slices — no gather. The same program repeats for
+        all 8 subframes, so it is built ONCE and the coefficient phase scans
+        it 8 times (instead of materialising an 8x tile). [Sp//G, G, N]."""
         N = res.shape[0]
         pieces = [res[:, c, :self.coded[c]] for c in range(self.C)]
-        per_sub = jnp.concatenate(pieces, axis=1)        # [N, sum(coded)]
-        prog = jnp.tile(per_sub, (1, 8)).astype(jnp.int32)  # [N, 8*sum]
-        S = prog.shape[1]
-        G = 4
+        prog = jnp.concatenate(pieces, axis=1).astype(jnp.int32)
+        S = prog.shape[1]                                # sum(coded)
+        G = self._G
         Sp = -(-S // G) * G
         prog = jnp.pad(prog, ((0, 0), (0, Sp - S)))      # pad rows: r=0 noop
         return prog.T.reshape(Sp // G, G, N), S
@@ -362,20 +395,21 @@ class DeviceUnpacker:
     def _coefficients(self, w32, cur, res):
         """8 x C x coded_count VLC reads -> qc [N, C, 8, 128] int16.
 
-        Supersteps: one 64-bit window fetch serves 4 symbols (max 12 bits
+        Supersteps: one 128-bit window fetch serves 10 symbols (max 12 bits
         each). VLC tables are closed-form/packed-nibble arithmetic — the
         scan body performs no gathers beyond the window fetch."""
         N = cur.shape[0]
         res_prog, S = self._res_program(res)
+        G = self._G
 
         def step(cur, rG):
-            w0, w1, base = self._win64(w32, cur)
+            ws, base = self._win128(w32, cur)
             o = cur - base
             vals = []
-            for j in range(4):
+            for j in range(G):
                 r = rG[j]
                 bits = _max_bit(r)
-                code = self._ext64(w0, w1, o, bits, cur)
+                code = self._ext128(ws, o, bits, cur)
                 big = r > 7
                 v_big = (1 - ((code & 1) << 1)) * (code >> 1)
                 adv_big = bits - jnp.where(v_big == 0, 1, 0)
@@ -391,10 +425,12 @@ class DeviceUnpacker:
                 o = o + adv
             return cur, jnp.stack(vals)
 
-        cur, ys = jax.lax.scan(step, cur, res_prog)      # ys [Sp/G, G, N]
-        ys = ys.reshape(-1, N)[:S]                       # [8*sum(coded), N]
+        subframes = []
+        for _s in range(8):
+            cur, ys = jax.lax.scan(step, cur, res_prog)  # ys [Sp/G, G, N]
+            subframes.append(ys.reshape(-1, N)[:S])      # [sum(coded), N]
+        per_sub = jnp.stack(subframes, axis=0)           # [8, sum, N]
         # route back to [N, C, 8, 128] with static slices/pads — no scatter
-        per_sub = ys.reshape(8, S // 8, N)               # [8, sum(coded), N]
         off = 0
         chans = []
         for c in range(self.C):
