@@ -96,6 +96,84 @@ def adx_decode_scan_blocked(codes, scales, c0, c1, h1, h2, *, spb):
     return jnp.moveaxis(out, 0, 1).reshape(L, N)
 
 
+@partial(jax.jit, static_argnames=("spb", "max_passes"))
+def adx_decode_fixpoint(codes, scales, c0, c1, h1, h2, *, spb,
+                        max_passes=None):
+    """Block-parallel EXACT ADX decode by chained-block fixpoint iteration.
+
+    The ADPCM recurrence is serial (clamp + per-term >>12 truncation), but
+    the AR(2) predictor is contractive: its poles satisfy |z|^2 = |c1|/4096
+    < 1, so a 32-sample block shrinks any start-state error by |z|^spb
+    (~0.036 for the mode-3 filter). Decode EVERY block in parallel from
+    guessed start states, feed each block's computed end state to its
+    successor, repeat: block 0's start is the exact header history, so after
+    p passes blocks 0..p-1 are provably exact, and the contraction collapses
+    the rest in a handful of passes. The loop stops when no start state
+    changes between passes — at that fixpoint every block's start equals its
+    predecessor's end, which by induction IS the serial decode.
+
+    This resolves the round-1 negative result (19x realtime for the serial
+    device scan): lanes become streams x channels x BLOCKS instead of
+    streams x channels, and the scan length drops from `blocks` to
+    `max_passes` (~4-6 in practice).
+
+    Near-resonance tones sit at the truncation floor (errors hover at tens
+    of LSB where per-block contraction ~1), where the settled frontier
+    advances a few hundred blocks per pass instead of collapsing globally —
+    max_passes therefore scales with the block count (measured: a 440 Hz
+    10 s stream needs 36 passes over 15000 blocks). The while_loop exits
+    the moment states stop changing, so typical content pays ~4-8 passes.
+
+    Returns (pcm int16 [L, N], converged bool). A non-converged result
+    (adversarial content advancing the frontier ~1 block/pass) must be
+    discarded by the caller in favour of the serial scan.
+    """
+    L, N = codes.shape
+    nb = N // spb
+    if max_passes is None:
+        max_passes = 48 + nb // 96
+    q = codes.reshape(L, nb, spb)
+    s = scales.reshape(L, nb, spb)[:, :, 0]
+    a0 = c0.reshape(L, nb, spb)[:, :, 0]
+    a1 = c1.reshape(L, nb, spb)[:, :, 0]
+
+    def block_pass(p1, p2):
+        """Decode all blocks in parallel from (p1, p2) [L, nb] start states;
+        returns (out [L, nb, spb], end1, end2). Same per-sample op order as
+        adx_decode_scan — bit-exact given exact start states."""
+        outs = []
+        for t in range(spb):
+            sample = q[:, :, t] * s + ((a0 * p1) >> 12) + ((a1 * p2) >> 12)
+            sample = _clamp16(sample)
+            p2 = p1
+            p1 = sample
+            outs.append(sample)
+        return jnp.stack(outs, axis=2), p1, p2
+
+    def starts_from(end1, end2):
+        s1 = jnp.concatenate([h1[:, None], end1[:, :-1]], axis=1)
+        s2 = jnp.concatenate([h2[:, None], end2[:, :-1]], axis=1)
+        return s1, s2
+
+    def cond(state):
+        npass, _s1, _s2, changed = state
+        return changed & (npass < max_passes)
+
+    def body(state):
+        npass, s1, s2, _changed = state
+        _out, e1, e2 = block_pass(s1, s2)
+        n1, n2 = starts_from(e1, e2)
+        changed = jnp.any((n1 != s1) | (n2 != s2))
+        return npass + 1, n1, n2, changed
+
+    s1 = jnp.broadcast_to(h1[:, None], (L, nb)).astype(jnp.int32)
+    s2 = jnp.broadcast_to(h2[:, None], (L, nb)).astype(jnp.int32)
+    npass, s1, s2, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), s1, s2, jnp.bool_(True)))
+    out, _e1, _e2 = block_pass(s1, s2)
+    return (out.reshape(L, N).astype(jnp.int16), ~changed)
+
+
 def adx_decode_host(codes, scales, c0, c1, h1, h2):
     """Host fast path: native C++ lane scan when available, numpy otherwise.
 

@@ -710,13 +710,13 @@ def adx_decode_batch(blobs: Sequence[bytes],
                      device: bool = False) -> List[bytes]:
     """Decode many ADX streams.
 
-    Default engine is the threaded native C++ lane scan: ADPCM is a clamped
-    serial recurrence with ~3 integer ops per sample, so a bank of tens of
-    streams leaves the TPU's vector units idle while paying per-step scan
-    overhead — measured 19x realtime on-device vs 1,737x on a single host
-    core for a 64x10s bank. device=True forces the blocked lax.scan kernel
-    (one scan step per ADX block, lanes = streams x channels), which is the
-    right engine only for very large lane counts.
+    Default engine is the threaded native C++ lane scan. device=True uses
+    the chained-block fixpoint kernel (adx_kernels.adx_decode_fixpoint):
+    ~15,000x realtime device-compute for a 64x10s bank, provably exact on
+    convergence (serial-scan fallback otherwise) — but end-to-end it only
+    wins where the unpacked code/scale lanes already live in HBM or the
+    host link is local PCIe; on a slow tunnel the host lanes dominate
+    (DESIGN.md section 2).
     """
     import math
 
@@ -772,8 +772,16 @@ def adx_decode_batch(blobs: Sequence[bytes],
             h2[lane:lane + ch] = g_h2
             lane_spans.append((idx, lane, ch, n))
             lane += ch
-        pcm = np.asarray(adx_kernels.adx_decode_scan_blocked(
-            codes, scales, c0, c1, h1, h2, spb=spb))
+        # block-parallel fixpoint decode (lanes = streams x channels x
+        # blocks); provably exact when converged — the rare non-converged
+        # case (1-LSB limit cycles) falls back to the serial-in-time scan
+        pcm_dev, conv = adx_kernels.adx_decode_fixpoint(
+            codes, scales, c0, c1, h1, h2, spb=spb)
+        if bool(np.asarray(conv)):
+            pcm = np.asarray(pcm_dev)
+        else:
+            pcm = np.asarray(adx_kernels.adx_decode_scan_blocked(
+                codes, scales, c0, c1, h1, h2, spb=spb))
         for idx, lane0, ch, n in lane_spans:
             h, _blob = parsed[idx]
             count = h.sample_count

@@ -159,6 +159,49 @@ def test_adx_decode_batch(oracle):
         assert wav_bytes == adxmod.decode(blob)
 
 
+def test_adx_decode_batch_device_fixpoint(oracle):
+    """The block-parallel fixpoint device engine must match the host path
+    byte-for-byte across encoding modes, versions and loop content."""
+    from pycricodecs_tpu.models import adx as adxmod
+    blobs = []
+    for i, (ch, samples, mode, ver) in enumerate(
+            [(2, 12000, 3, 4), (1, 9000, 2, 4), (2, 7000, 4, 4),
+             (1, 4096, 3, 3)]):
+        pcm = make_sine_pcm16(samples, ch, 32000, seed=900 + i)
+        # quiet lead-in: the reference decoder (reproduced for parity)
+        # rejects files whose first block scale high byte != 0
+        pcm[:64 * ch] = 0
+        wav = write_wav(pcm, ch, 32000)
+        blobs.append(adxmod.encode(wav, encoding_mode=mode, version=ver))
+    dev = parallel.adx_decode_batch(blobs, device=True)
+    for blob, wav_bytes in zip(blobs, dev):
+        assert wav_bytes == adxmod.decode(blob)
+
+
+def test_adx_fixpoint_kernel_exact_vs_scan():
+    """Direct kernel check incl. hostile max-scale clamp-heavy content and
+    per-block mode-2 filter switches."""
+    from pycricodecs_tpu.ops import adx_kernels as K
+    rng = np.random.default_rng(11)
+    L, nb, spb = 5, 120, 32
+    N = nb * spb
+    codes = np.where(rng.random((L, N)) < 0.5, 7, -8).astype(np.int32)
+    scales = np.repeat(rng.integers(1, 4097, (L, nb)), spb,
+                       axis=1).astype(np.int32)
+    filts = [(0, 0), (0x0F00, 0), (0x1CC0, -0x0D00), (0x1880, -0x0C40)]
+    sel = rng.integers(0, 4, (L, nb))
+    c0 = np.repeat(np.vectorize(lambda k: filts[k][0])(sel), spb,
+                   axis=1).astype(np.int32)
+    c1 = np.repeat(np.vectorize(lambda k: filts[k][1])(sel), spb,
+                   axis=1).astype(np.int32)
+    h1 = rng.integers(-32768, 32768, L).astype(np.int32)
+    h2 = rng.integers(-32768, 32768, L).astype(np.int32)
+    ref = np.asarray(K.adx_decode_scan(codes, scales, c0, c1, h1, h2))
+    out, conv = K.adx_decode_fixpoint(codes, scales, c0, c1, h1, h2, spb=spb)
+    assert bool(np.asarray(conv))
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_graft_entry_roundtrip():
     import __graft_entry__ as g
     fn, args = g.entry()
