@@ -202,6 +202,43 @@ def test_adx_fixpoint_kernel_exact_vs_scan():
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_adx_fixpoint_nonconverged_falls_back(oracle, monkeypatch):
+    """A non-converged fixpoint result must be discarded for the serial
+    scan; decode_batch output stays exact either way."""
+    from pycricodecs_tpu.models import adx as adxmod
+    from pycricodecs_tpu.ops import adx_kernels as K
+    pcm = make_sine_pcm16(8192, 2, 48000, seed=44)
+    pcm[:128] = 0
+    blob = adxmod.encode(write_wav(pcm, 2, 48000))
+
+    real = K.adx_decode_fixpoint
+    calls = {"n": 0}
+
+    def never_converges(*a, **kw):
+        calls["n"] += 1
+        out, _conv = real(*a, **kw)
+        import jax.numpy as jnp
+        return out, jnp.bool_(False)
+
+    monkeypatch.setattr(K, "adx_decode_fixpoint", never_converges)
+    out = parallel.adx_decode_batch([blob], device=True)
+    assert calls["n"] == 1
+    assert out[0] == adxmod.decode(blob)
+
+    # kernel-level: max_passes=1 on long content cannot converge
+    rng = np.random.default_rng(5)
+    L, nb, spb = 2, 400, 32
+    codes = rng.integers(-8, 8, (L, nb * spb)).astype(np.int32)
+    scales = np.repeat(rng.integers(64, 2048, (L, nb)), spb,
+                       axis=1).astype(np.int32)
+    c0 = np.full((L, nb * spb), 0x1CB1, np.int32)
+    c1 = np.full((L, nb * spb), -0x0D4C, np.int32)
+    h1 = np.full(L, 10000, np.int32)
+    h2 = np.full(L, -5000, np.int32)
+    _out, conv = real(codes, scales, c0, c1, h1, h2, spb=spb, max_passes=1)
+    assert not bool(np.asarray(conv))
+
+
 def test_graft_entry_roundtrip():
     import __graft_entry__ as g
     fn, args = g.entry()
