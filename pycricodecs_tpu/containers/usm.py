@@ -224,7 +224,8 @@ class USM:
                 # mid-header. If the next position does not start a known
                 # tag but `padding` bytes earlier does, step back. The
                 # reference's own demuxer cannot read these files; we can.
-                if padding and self.stream.tell() < self.size:
+                if padding and self.stream.tell() < self.size \
+                        and padding < self.stream.tell():
                     pos = self.stream.tell()
                     nxt = self.stream.read(4)
                     if not (nxt in known

@@ -476,15 +476,13 @@ static int hca_unpack_frame_body(
             // the noise/valid list build is order-dependent; without it the
             // per-band resolution derivation is elementwise (also feeds the
             // batched key scorer via cri_hca_test_frames)
-            alignas(32) static thread_local int32_t inv32[72];
-            // key the widened copy on the table pointer, not a once-flag:
-            // a caller passing a different table must not see stale values
-            static thread_local const uint8_t* inv_src = nullptr;
-            if (inv_src != invert_table) {
-                for (int k = 0; k < 72; ++k)
-                    inv32[k] = k <= 65 ? invert_table[k] : 0;
-                inv_src = invert_table;
-            }
+            // widen the table unconditionally per call: the 72-int copy is
+            // negligible next to the frame work, and both a once-flag and a
+            // pointer key were wrong (stale values / ABA on a reallocated
+            // address, respectively)
+            alignas(32) int32_t inv32[72];
+            for (int k = 0; k < 72; ++k)
+                inv32[k] = k <= 65 ? invert_table[k] : 0;
             const __m256i vmaxr = _mm256_set1_epi32(max_resolution);
             const __m256i vminr = _mm256_set1_epi32(min_resolution);
             const __m256i seq = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);

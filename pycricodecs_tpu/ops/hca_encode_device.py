@@ -21,8 +21,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import hca_tables as T
+from .hca_kernels import _onehot_take
+from .hca_unpack_device import _mux8, _nib16
 
 f32 = jnp.float32
+
+# QUANTIZE_SPECTRUM_BITS[8][16] packed 4 bits/entry per row (values <= 4):
+# evaluated inside the rate-control while_loops over [B,F,C,8,128] tensors,
+# where a dynamic gather costs ~12ns/element -- packed-nibble row muxes are
+# the same trick as the device unpacker's VLC tables
+def _pack_rows(table):
+    lo, hi = [], []
+    for row in np.asarray(table, np.int64):
+        l = h = 0
+        for c in range(8):
+            l |= int(row[c]) << (4 * c)
+            h |= int(row[c + 8]) << (4 * c)
+        lo.append(l)
+        hi.append(h)
+    return lo, hi
+_QSB_LO, _QSB_HI = _pack_rows(T.QUANTIZE_SPECTRUM_BITS)
 
 # int constant tables precomputed with the reference's float64 semantics
 _SHIFT_DOWN_UB = np.trunc(
@@ -133,15 +151,18 @@ def _encode_intensity(spectra, base_band, total_band, pairs):
 
 
 def _find_scale_factor(values):
-    idx = jnp.searchsorted(jnp.asarray(T.SCALING_TABLE),
-                           values.astype(f32), side="right")
+    # searchsorted(side="right") == count of table entries <= value; the
+    # compare+reduce form avoids the backend's slow dynamic gather lowering
+    idx = jnp.sum(values.astype(f32)[..., None]
+                  >= jnp.asarray(T.SCALING_TABLE), axis=-1)
     return jnp.minimum(idx, 63).astype(jnp.int32)
 
 
 def _calc_resolution(sf, noise):
     curve = noise - (5 * sf) // 2 + 2
     curve = jnp.clip(curve, 0, 58)
-    res = jnp.asarray(T.SCALE_TO_RESOLUTION_CURVE.astype(np.int32))[curve]
+    res = _onehot_take(T.SCALE_TO_RESOLUTION_CURVE.astype(np.int32),
+                       curve, 59)
     return jnp.where(sf == 0, 0, res)
 
 
@@ -159,18 +180,21 @@ def _used_bits(sf, scaled, header_len, noise_level, eval_boundary,
     res = _calc_resolution(sf, noise)                        # [B,F,C,128]
     res_c = jnp.clip(res, 0, 15)
     hi = res >= 8
-    max_bits = jnp.asarray(T.QUANTIZED_SPECTRUM_MAX_BITS.astype(np.int32))
-    dead = jnp.asarray(T.QUANTIZER_DEAD_ZONE)
-    bits_hi = max_bits[res_c] - 1
-    extra = jnp.sum(jnp.abs(scaled) >= dead[res_c][..., None, :], axis=-2)
+    bits_hi = _onehot_take(T.QUANTIZED_SPECTRUM_MAX_BITS.astype(np.int32),
+                           res_c, 16) - 1
+    extra = jnp.sum(
+        jnp.abs(scaled)
+        >= _onehot_take(T.QUANTIZER_DEAD_ZONE, res_c, 16)[..., None, :],
+        axis=-2)
     cost_hi = 8 * bits_hi + extra.astype(jnp.int32)
-    ssi = jnp.asarray(T.QUANTIZER_INVERSE_STEP_SIZE)[res_c]
+    ssi = _onehot_take(T.QUANTIZER_INVERSE_STEP_SIZE, res_c, 16)
     shift_up = ssi + f32(1.0)
-    shift_down = jnp.asarray(_SHIFT_DOWN_UB)[res_c]
+    shift_down = _onehot_take(_SHIFT_DOWN_UB, res_c, 16)
     q = (scaled * ssi[..., None, :] + shift_up[..., None, :]).astype(jnp.int32) \
         - shift_down[..., None, :]
-    qbits = jnp.asarray(T.QUANTIZE_SPECTRUM_BITS.astype(np.int32))[
-        jnp.clip(res_c, 0, 7)[..., None, :], jnp.clip(q, 0, 15)]
+    r8 = jnp.clip(res_c, 0, 7)[..., None, :]
+    qbits = _nib16(_mux8(_QSB_LO, r8), _mux8(_QSB_HI, r8),
+                   jnp.clip(q, 0, 15))
     cost_lo = jnp.sum(qbits, axis=-2)
     cost = jnp.where(hi, cost_hi, cost_lo)
     cost = jnp.where(coded_mask[None, None], cost, 0)
@@ -264,7 +288,7 @@ def hca_encode_transform(pcm, *, base_band, total_band, pairs, coded_counts,
     sf = _find_scale_factor(peak)
     sf = jnp.where(coded_mask[None, None], sf, 0)
 
-    qs = jnp.asarray(T.QUANTIZER_SCALING_TABLE)[sf]
+    qs = _onehot_take(T.QUANTIZER_SCALING_TABLE, sf, 64)
     ans = spectra * qs[..., None, :]
     lim = f32(0.9999999)
     ans = jnp.where(ans > lim, lim, ans)
@@ -297,9 +321,9 @@ def hca_encode_transform(pcm, *, base_band, total_band, pairs, coded_counts,
     res = jnp.where(coded_mask[None, None], res, 0)
 
     res_c = jnp.clip(res, 0, 15)
-    ssi = jnp.asarray(T.QUANTIZER_INVERSE_STEP_SIZE)[res_c]
+    ssi = _onehot_take(T.QUANTIZER_INVERSE_STEP_SIZE, res_c, 16)
     shift_up = ssi + f32(1.0)
-    shift_down = jnp.asarray(_SHIFT_DOWN_Q)[res_c]
+    shift_down = _onehot_take(_SHIFT_DOWN_Q, res_c, 16)
     quant = (scaled * ssi[..., None, :] + shift_up[..., None, :]).astype(jnp.int32) \
         - shift_down[..., None, :]
     quant = jnp.where(coded_mask[None, None, :, None, :], quant, 0)

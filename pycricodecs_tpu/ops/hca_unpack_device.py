@@ -200,8 +200,13 @@ class DeviceUnpacker:
         """Extract `count` bits at local offset `o` of the (w0,w1) window,
         with BitReader.peek end-of-frame masking at absolute position
         `abs_cur`. Shift amounts are clamped so overrun lanes (whose values
-        are masked to 0 anyway) never produce out-of-range shifts."""
-        o = jnp.minimum(o, 55)
+        are masked to 0 anyway) never produce out-of-range shifts.
+
+        Callers may read up to offset 59 with count <= 4 (the v3 intensity
+        section's worst case is a 4-bit escape value at offset 58, ending at
+        62 < 64); the clamp must not be tighter than any legitimate start
+        offset or in-window reads get silently shifted."""
+        o = jnp.minimum(o, 59)
         use_hi = o >= 32
         oo = jnp.where(use_hi, o - 32, o).astype(jnp.uint32)
         hi = jnp.where(use_hi, w1, w0)
@@ -486,6 +491,32 @@ class DeviceUnpacker:
         return self._jit(frames_u8)
 
 
+_unpacker_cache: dict = {}
+
+
+def get_unpacker(info) -> DeviceUnpacker:
+    """Config-keyed DeviceUnpacker cache: building one traces/compiles the
+    full unpack program (remote-backend compiles take 20-300s), so repeated
+    same-config calls must reuse it. Raises ValueError for host-only
+    configs, also cached."""
+    key = (info.channels, info.version, info.frame_size,
+           info.min_resolution, info.max_resolution, info.total_band_count,
+           info.base_band_count, info.stereo_band_count,
+           info.bands_per_hfr_group, info.hfr_group_count,
+           info.channel_config, info.track_count, info.ath_type,
+           int(info.sample_rate), bytes(np.asarray(info.cipher, np.uint8)))
+    hit = _unpacker_cache.get(key)
+    if hit is None:
+        try:
+            hit = DeviceUnpacker(info)
+        except ValueError as exc:
+            hit = exc
+        _unpacker_cache[key] = hit
+    if isinstance(hit, ValueError):
+        raise ValueError(str(hit))
+    return hit
+
+
 def unpack_frames_device(info, data: bytes, check_crc: bool = True):
     """Convenience wrapper mirroring hca_frame.unpack_frames for one stream:
     validates sync+CRC host-side, runs the device unpack, raises HcaError on
@@ -503,7 +534,7 @@ def unpack_frames_device(info, data: bytes, check_crc: bool = True):
         raise hca_frame.HcaError("Frame sync lost")
     if check_crc and crc16_batch(frames).any():
         raise hca_frame.HcaError("Frame checksum mismatch")
-    up = DeviceUnpacker(info)
+    up = get_unpacker(info)
     qc, sf, res, inten, err = up(frames)
     if bool(np.asarray(err).any()):
         raise hca_frame.HcaError("Unpack error (device)")

@@ -352,20 +352,9 @@ _fused_device_decode_cache: dict = {}
 
 
 def _crc16_rows(arr: np.ndarray) -> np.ndarray:
-    """CRC16 per row of [N, size] u8, native slice-by-8 when available."""
-    from .. import native
+    """CRC16 per row of [N, size] u8 (utils.crc handles native dispatch)."""
     from ..utils import crc as crcmod
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    lib = native.load()
-    if lib is None:
-        return crcmod.crc16_batch(arr)
-    import ctypes
-    out = np.zeros(arr.shape[0], dtype=np.uint16)
-    lib.cri_crc16_batch(
-        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        np.uint32(arr.shape[0]), np.uint32(arr.shape[1]),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
-    return out
+    return crcmod.crc16_batch(arr)
 
 
 def _get_fused_device_decode(info0, pairs, use_pallas):
@@ -480,9 +469,10 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
     # Device-side unpack: raw frame bytes go to the chip and the whole
     # bitstream decode runs there (ops/hca_unpack_device.py) — the host only
     # validates sync+CRC and stacks bytes. ~10x less H2D than the SoA
-    # tensors and removes the host-unpack wall. Host fallback: noise-path
-    # (PNS) configs, degenerate band layouts, meshes (the sharded path keeps
-    # the host unpacker), or PYCRICODECS_HOST_UNPACK=1.
+    # tensors and removes the host-unpack wall. Works under meshes too
+    # (frames shard (dp, sp); Pallas drops to the XLA IMDCT there). Host
+    # fallback: noise-path (PNS) configs, degenerate band layouts, mixed
+    # ciphers/sample rates within a group, or PYCRICODECS_HOST_UNPACK=1.
     dev_decode = None
     if (not need_noise
             and os.environ.get("PYCRICODECS_HOST_UNPACK") != "1"

@@ -259,6 +259,36 @@ def test_device_unpack_random_frame_fuzz(version_label):
         np.testing.assert_array_equal(inten[f], host[f].intensity[0])
 
 
+def test_device_unpack_v3_intensity_escape_chain_window_tail():
+    """Regression: seven consecutive v3 intensity escapes push the last
+    4-bit escape-value read to window offset 58 — a too-tight _ext64 offset
+    clamp (55) silently shifted that read with err unset (found by review,
+    confirmed divergent before the fix)."""
+    info = _v3_info()
+    fs = info.frame_size
+    bw = BitWriter(fs)
+    bw.write(0xFFFF, 16)
+    bw.write(0, 16)
+    bw.write(0, 3)                    # ch0 sf: delta_bits 0
+    bw.write(0, 3)                    # ch1 sf: delta_bits 0 -> abs bit 38
+    bw.write(3, 4)                    # intensity[0] = 3 (< 15)
+    bw.write(2, 2)                    # db2 = 2 -> bits 3, bmax 7
+    for v in (5, 9, 11, 2, 14, 6, 10):
+        bw.write(7, 3)                # escape
+        bw.write(v, 4)
+    frame = bytearray(bytes(bw.buf))
+    crc = crc16(bytes(frame[:-2]))
+    frame[-2:] = crc.to_bytes(2, "big")
+    arr = np.frombuffer(bytes(frame), np.uint8).reshape(1, fs)
+
+    host = hca_frame._unpack_frames_py(info, bytes(frame))
+    up = hca_unpack_device.DeviceUnpacker(info)
+    qc, sf, res, inten, err = (np.asarray(x) for x in up(arr))
+    assert not err[0]
+    np.testing.assert_array_equal(inten[0], host.intensity[0])
+    np.testing.assert_array_equal(qc[0], host.qc[0])
+
+
 def test_device_unpack_error_cases():
     """Targeted error frames: sf delta out of range and v3 intensity
     overflow must set the err flag (host raises)."""
