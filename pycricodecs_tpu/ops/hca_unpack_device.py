@@ -16,8 +16,11 @@ TPU-shaped choices (all measured on a v5e over this harness):
   packed-nibble constants muxed by 3-bit binary trees, and the per-step
   resolution/output routing uses static slices/reshapes instead of
   gather/scatter.
-- Supersteps: one 64-bit window serves 4 symbols (max 12 bits each, so all
-  four end within 7 + 48 = 55 < 64 bits), cutting window fetches 4x.
+- Supersteps: one 128-bit window (4 words, one traversal) serves 10 VLC
+  symbols (max 12 bits each: 7 + 120 < 128), cutting window fetches 10x.
+  Wider windows (256-bit / 20 symbols) were measured worse overall: the
+  unrolled scan body doubles and compile times explode on the remote
+  backend for a ~50 ms runtime saving.
 
 This removes the host-side unpack wall (90% of the round-1 bank-decode
 bench: VERDICT r1 'What's weak' #2) and cuts H2D volume ~10x (raw frame
