@@ -232,12 +232,15 @@ def config10():
                 np.asarray(hfr.group_of), np.int32(hfr.zero_band))
 
     @jax.jit
-    def run(frames, hi, hsrc, hg, hz):
-        pcm, err = fused(frames, hi, hsrc, hg, hz)
+    def run(frames, cipher, ath, hi, hsrc, hg, hz):
+        pcm, err = fused(frames, cipher, ath, hi, hsrc, hg, hz)
         return pcm, jnp.any(err)
 
     dev = jax.device_put(frames_np)
-    hfr_dev = tuple(jax.device_put(a) for a in hfr_args)
+    cipher_dev = jax.device_put(np.asarray(info.cipher, np.uint8))
+    ath_dev = jax.device_put(np.asarray(info.ath, np.int32))
+    hfr_dev = (cipher_dev, ath_dev) + tuple(jax.device_put(a)
+                                            for a in hfr_args)
     pcm, e = run(dev, *hfr_dev)
     assert not bool(np.asarray(e))
     # parity guard: one stream fetched and compared against the host decode

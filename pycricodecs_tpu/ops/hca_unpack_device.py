@@ -362,14 +362,14 @@ class DeviceUnpacker:
             sf_c = sf_c.at[:, 128 - self.hfr:].set(hf)
         return zero8, sf_c, cur, err
 
-    def _resolutions(self, sf, packed_noise):
+    def _resolutions(self, sf, packed_noise, ath_i32):
         """calc_resolutions (hca.cpp:1444-1494), vectorised [N, C, 128].
         The 66-entry invert table is applied as a one-hot reduce (a dynamic
         gather here would cost ~12ns x N*C*128 elements)."""
         k = jnp.arange(128, dtype=jnp.int32)
         coded = jnp.asarray(self.coded, jnp.int32)[None, :, None]
         sf_i = sf.astype(jnp.int32)
-        ath = jnp.asarray(self.ath, jnp.int32)[None, None, :]
+        ath = ath_i32.astype(jnp.int32)[None, None, :]
         noise_level = ath + ((packed_noise[:, None, None] + k) >> 8)
         curve_pos = noise_level + 1 - ((5 * sf_i) >> 1)
         cp = jnp.clip(curve_pos, 0, 65)
@@ -452,9 +452,12 @@ class DeviceUnpacker:
 
     # -- driver --------------------------------------------------------------
 
-    def _unpack(self, frames_u8):
+    def _unpack(self, frames_u8, cipher_u8, ath_i32):
         """frames_u8: uint8 [N, frame_size] (enciphered, sync+CRC already
-        validated host-side). Returns (qc, sf, res, inten, err)."""
+        validated host-side); cipher_u8 [256], ath_i32 [128] as DYNAMIC
+        inputs so one compiled program serves every key and sample rate of
+        a config (only cipher_identity is static: the identity map skips
+        the decipher pass entirely). Returns (qc, sf, res, inten, err)."""
         N = frames_u8.shape[0]
         if self.cipher_identity:
             dec = frames_u8
@@ -464,7 +467,7 @@ class DeviceUnpacker:
             iota = jnp.arange(256, dtype=jnp.uint8)
             dec = jnp.sum(
                 jnp.where(frames_u8[..., None] == iota,
-                          jnp.asarray(self.cipher), jnp.uint8(0)),
+                          cipher_u8.astype(jnp.uint8), jnp.uint8(0)),
                 axis=-1, dtype=jnp.uint8)
         pad = jnp.zeros((N, 4), dtype=jnp.uint8)
         b = jnp.concatenate([dec, pad], axis=1).astype(jnp.uint32)
@@ -486,12 +489,21 @@ class DeviceUnpacker:
             inten_ch.append(inten_c)
         sf = jnp.stack(sf_ch, axis=1)          # [N, C, 128]
         inten = jnp.stack(inten_ch, axis=1)    # [N, C, 8]
-        res = self._resolutions(sf, packed_noise)
+        res = self._resolutions(sf, packed_noise, ath_i32)
         qc, cur = self._coefficients(w32, cur, res)
         return qc, sf, res, inten, err
 
-    def __call__(self, frames_u8):
-        return self._jit(frames_u8)
+    def __call__(self, frames_u8, cipher_u8=None, ath_i32=None):
+        # Defaults come from the info this instance was BUILT with; when the
+        # instance came from get_unpacker (cached without cipher/rate), pass
+        # cipher/ath explicitly or a different-keyed stream would silently
+        # decode with the first caller's tables.
+        if cipher_u8 is None:
+            cipher_u8 = self.cipher
+        if ath_i32 is None:
+            ath_i32 = self.ath
+        return self._jit(frames_u8, np.asarray(cipher_u8, np.uint8),
+                         np.asarray(ath_i32, np.int32))
 
 
 _unpacker_cache: dict = {}
@@ -500,14 +512,18 @@ _unpacker_cache: dict = {}
 def get_unpacker(info) -> DeviceUnpacker:
     """Config-keyed DeviceUnpacker cache: building one traces/compiles the
     full unpack program (remote-backend compiles take 20-300s), so repeated
-    same-config calls must reuse it. Raises ValueError for host-only
+    same-config calls must reuse it. The cipher table and ATH curve are
+    DYNAMIC inputs to the compiled program (pass them to __call__), so the
+    key carries only the identity-cipher flag — one program serves every
+    key and sample rate of a config. Raises ValueError for host-only
     configs, also cached."""
     key = (info.channels, info.version, info.frame_size,
            info.min_resolution, info.max_resolution, info.total_band_count,
            info.base_band_count, info.stereo_band_count,
            info.bands_per_hfr_group, info.hfr_group_count,
            info.channel_config, info.track_count, info.ath_type,
-           int(info.sample_rate), bytes(np.asarray(info.cipher, np.uint8)))
+           bool(np.array_equal(np.asarray(info.cipher, np.uint8),
+                               np.arange(256, dtype=np.uint8))))
     hit = _unpacker_cache.get(key)
     if hit is None:
         try:
@@ -538,7 +554,7 @@ def unpack_frames_device(info, data: bytes, check_crc: bool = True):
     if check_crc and crc16_batch(frames).any():
         raise hca_frame.HcaError("Frame checksum mismatch")
     up = get_unpacker(info)
-    qc, sf, res, inten, err = up(frames)
+    qc, sf, res, inten, err = up(frames, info.cipher, info.ath)
     if bool(np.asarray(err).any()):
         raise hca_frame.HcaError("Unpack error (device)")
     N, C = nframes, info.channels

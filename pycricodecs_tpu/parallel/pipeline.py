@@ -361,10 +361,12 @@ def _get_fused_device_decode(info0, pairs, use_pallas):
     """Fused device unpack+transform jit for one config, or None when the
     config needs the host unpacker (noise path, degenerate band configs)."""
     from ..ops import hca_unpack_device
-    # the unpacker bakes in the cipher table and the ATH curve (sample-rate
-    # dependent) — neither is part of _config_key, so key on them here
-    key = (_config_key(info0), int(info0.sample_rate),
-           bytes(np.asarray(info0.cipher, np.uint8)), pairs, use_pallas)
+    # cipher + ATH are dynamic inputs to the unpacker; only the
+    # identity-cipher flag (it skips the decipher pass) is compiled in
+    key = (_config_key(info0),
+           bool(np.array_equal(np.asarray(info0.cipher, np.uint8),
+                               np.arange(256, dtype=np.uint8))),
+           pairs, use_pallas)
     hit = _fused_device_decode_cache.get(key)
     if hit is not None:
         return hit or None
@@ -384,9 +386,10 @@ def _get_fused_device_decode(info0, pairs, use_pallas):
         hfr_group_count, int(info0.version))) if apply_hfr else None
 
     @jax.jit
-    def fused(frames, hfr_is, hfr_src, hfr_group, hfr_zero):
+    def fused(frames, cipher, ath, hfr_is, hfr_src, hfr_group, hfr_zero):
         B, F, fs = frames.shape
-        qc, sf, res, inten, err = up._unpack(frames.reshape(B * F, fs))
+        qc, sf, res, inten, err = up._unpack(
+            frames.reshape(B * F, fs), cipher, ath)
         pcm = hca_kernels.hca_decode_transform_batched(
             qc.reshape(B, F, up.C, 8, 128),
             sf.reshape(B, F, up.C, 128),
@@ -517,6 +520,8 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
             t_unpack += time.perf_counter() - t0
             t0 = time.perf_counter()
             frames_in = frames_np
+            cipher_in = np.asarray(info0.cipher, np.uint8)
+            ath_in = np.asarray(info0.ath, np.int32)
             hfr_in = hfr_args
             if mesh is not None:
                 spec = [mesh.axis_names[0], None, None]
@@ -524,9 +529,12 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
                     spec[1] = mesh.axis_names[1]
                 frames_in = jax.device_put(
                     frames_np, NamedSharding(mesh, P(*spec)))
-                hfr_in = tuple(jax.device_put(a, NamedSharding(mesh, P()))
-                               for a in hfr_args)
-            out_dev, err_dev = dev_decode(frames_in, *hfr_in)
+                rep = NamedSharding(mesh, P())
+                cipher_in = jax.device_put(cipher_in, rep)
+                ath_in = jax.device_put(ath_in, rep)
+                hfr_in = tuple(jax.device_put(a, rep) for a in hfr_args)
+            out_dev, err_dev = dev_decode(frames_in, cipher_in, ath_in,
+                                          *hfr_in)
             t_device += time.perf_counter() - t0
 
             def fetch_dev(o=out_dev, e=err_dev):
