@@ -253,7 +253,16 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
     for idx, entry in enumerate(infos):
         if entry is None:
             continue
-        groups.setdefault(_config_key(entry[0]), []).append(idx)
+        # cipher + sample rate join the group key: the device unpacker ships
+        # one cipher/ATH per dispatch (they are dynamic inputs, so per-key
+        # sub-batches reuse the same compiled program), and per-stream
+        # subkeys therefore still ride the on-chip path — each key simply
+        # decodes in its own sub-batch
+        groups.setdefault(
+            _config_key(entry[0])
+            + (int(entry[0].sample_rate),
+               bytes(np.asarray(entry[0].cipher, np.uint8))),
+            []).append(idx)
 
     results: List = [None] * len(blobs)
     if engine == "host":
@@ -478,13 +487,11 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
     # ciphers/sample rates within a group, or PYCRICODECS_HOST_UNPACK=1.
     dev_decode = None
     if (not need_noise
-            and os.environ.get("PYCRICODECS_HOST_UNPACK") != "1"
-            # one cipher/ATH is baked per compiled unpacker: every group
-            # member must share them (groups are keyed by _config_key only,
-            # so per-stream subkeys or sample rates can differ)
-            and all(infos[i][0].sample_rate == info0.sample_rate
-                    and np.array_equal(infos[i][0].cipher, info0.cipher)
-                    for i in group)):
+            and os.environ.get("PYCRICODECS_HOST_UNPACK") != "1"):
+        # groups are keyed by (config, sample_rate, cipher) so every member
+        # shares the cipher/ATH shipped with the dispatch; different keys or
+        # rates land in their own sub-batches against the same compiled
+        # program (cipher/ATH are dynamic unpacker inputs)
         # a pallas_call does not partition under a mesh (see the transform's
         # use_pallas note); the unpack itself shards fine: N = B*F rows are
         # independent, so the (dp, sp) sharding of frames [B, F, fs] merges

@@ -54,8 +54,9 @@ def test_decode_batch_device_unpack_bit_exact(oracle, monkeypatch):
 
 
 def test_decode_batch_device_unpack_mixed_subkeys(oracle):
-    """Mixed per-stream subkeys force the host unpacker (one cipher per
-    compiled group) — outputs must stay correct either way."""
+    """Mixed per-stream subkeys decode on-chip too: each cipher gets its own
+    sub-batch against the SAME compiled program (cipher/ATH are dynamic
+    unpacker inputs)."""
     from pycricodecs_tpu.models.hca import HCA
     key = 0xCF222F1FE0748978
     plain = _tracks(oracle, 2)
@@ -66,7 +67,8 @@ def test_decode_batch_device_unpack_mixed_subkeys(oracle):
         enc.append(h.get_hca())
     stats = parallel.DecodeStats()
     out = parallel.decode_batch(enc, key=key, subkeys=[1, 2], stats=stats)
-    assert stats.device_unpack_streams == 0
+    assert stats.device_unpack_streams == 2
+    assert stats.groups == 2
     for blob, wav_bytes in zip(plain, out):
         assert wav_bytes == hcamod.decode(blob)
 
