@@ -175,9 +175,13 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
 
     if apply_noise:
         # noise_src holds band indices 0..127; callers may ship it as uint8
-        # to quarter the H2D bytes (the tunnel link is the system bottleneck)
-        gathered = jnp.take_along_axis(spectra, noise_src.astype(jnp.int32),
-                                       axis=-1)
+        # to quarter the H2D bytes (the tunnel link is the system
+        # bottleneck). The band routing is a per-lane select-sum, not a
+        # dynamic gather (~12ns/element on this backend).
+        iota = jnp.arange(128, dtype=jnp.int32)
+        gathered = jnp.sum(
+            jnp.where(noise_src.astype(jnp.int32)[..., None] == iota,
+                      spectra[..., None, :], jnp.float32(0.0)), axis=-1)
         spectra = jnp.where(noise_mask,
                             _onehot_take(T.SCALE_CONVERSION_TABLE,
                                          noise_sci, 128) * gathered, spectra)

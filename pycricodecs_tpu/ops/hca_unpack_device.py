@@ -33,9 +33,12 @@ host path raises for (scalefactor delta out of range, v3 intensity delta
 out of range) are returned as a per-frame `err` flag: the caller checks the
 flags and falls back / raises to match host semantics.
 
-Unsupported here (caller must use the host path): min_resolution == 0
-streams (the PNS noise fill is ordered by a serial LCG that threads ACROSS
-frames, which breaks frame-parallelism).
+The v3 PNS noise fill (min_resolution == 0) also runs here: its LCG draw
+chain threads serially across frames, but the LCG is an affine map — the
+per-slot draw ordinal comes from exact prefix sums over (frame, channel,
+subframe, band) counts and the state at any ordinal from a closed-form
+32-step square-and-multiply jump, so every noise band fills in parallel,
+bit-exact with the host chain (seeded 1 per stream, matching DecodeReset).
 
 Reference anchors: hca.cpp:1290-1355 (scalefactors), 1357-1434 (intensity),
 1444-1494 (resolutions), 1543-1577 (dequantize).
@@ -93,13 +96,35 @@ def _max_bit(r):
     return jnp.where(r == 0, 0, jnp.where(r < 8, small, r - 3))
 
 
+# PNS noise LCG (hca.cpp:1616): random' = 0x343FD*random + 0x269EC3 mod 2^32.
+# An affine map composes associatively, so "state after n draws" is a 32-step
+# square-and-multiply over precomputed f^(2^k) pairs — the draw chain that
+# made the noise path host-only in round 1 is exactly parallelisable.
+_LCG_POWS = []
+_a, _b = 0x343FD, 0x269EC3
+for _k in range(32):
+    _LCG_POWS.append((_a, _b))
+    _b = (_a * _b + _b) & 0xFFFFFFFF
+    _a = (_a * _a) & 0xFFFFFFFF
+del _a, _b, _k
+
+
+def _lcg_jump(n_draws):
+    """State after n_draws applications of the noise LCG to seed 1 (u32)."""
+    x = jnp.ones(n_draws.shape, jnp.uint32)
+    n = n_draws.astype(jnp.uint32)
+    for k in range(32):
+        a, b = _LCG_POWS[k]
+        hit = ((n >> k) & 1) == 1
+        x = jnp.where(hit, jnp.uint32(a) * x + jnp.uint32(b), x)
+    return x
+
+
 class DeviceUnpacker:
     """Per-config compiled unpacker. Build once per HcaInfo config, call with
     uint8 [N, frame_size] stacked (enciphered) frames."""
 
     def __init__(self, info):
-        if info.min_resolution == 0:
-            raise ValueError("noise-path streams need the host unpacker")
         C = int(info.channels)
         self.C = C
         self.fs = int(info.frame_size)
@@ -115,6 +140,12 @@ class DeviceUnpacker:
         self.cipher = np.asarray(info.cipher, dtype=np.uint8)
         self.cipher_identity = bool(
             np.array_equal(self.cipher, np.arange(256, dtype=np.uint8)))
+        # v3 streams with min_resolution 0 PNS-fill resolution-0 bands; the
+        # serial LCG draw chain is an affine map, parallelised here with
+        # prefix sums + closed-form jumps (see _noise)
+        self.need_noise = self.min_res == 0
+        if info.ms_stereo:
+            raise ValueError("ms_stereo unsupported")  # parse rejects too
         # static per-channel scalefactor counts (incl. the v3 HFR extension)
         self.cs_counts = []
         self.extras = []
@@ -132,7 +163,7 @@ class DeviceUnpacker:
                 raise ValueError("cs_count == 128 with HFR extension")
             self.cs_counts.append(cs)
             self.extras.append(extra)
-        self._jit = jax.jit(self._unpack)
+        self._jit = jax.jit(self._unpack, static_argnames=("B",))
 
     # -- bit primitives ------------------------------------------------------
     #
@@ -362,6 +393,56 @@ class DeviceUnpacker:
             sf_c = sf_c.at[:, 128 - self.hfr:].set(hf)
         return zero8, sf_c, cur, err
 
+    def _noise(self, sf, res, B):
+        """PNS noise gather maps (reconstruct_noise, hca.cpp:1602-1635),
+        fully parallel. sf/res [N, C, 128] with N = B*F (frame-major per
+        stream); returns (src i32, sci u8, mask bool) each [N, C, 8, 128].
+
+        Draw order is subframe-major, channel, noise-slot; each (s,c) with
+        nc>0 and vc>0 consumes nc draws. A band's draw ordinal =
+        frames-before prefix + s*NC + channels-before prefix + noise rank;
+        the LCG state there is a closed-form jump from seed 1 (per stream).
+        The drawn 15-bit value picks the (vc-1-j)-th valid band, selected
+        by a one-hot match on valid ranks."""
+        N = sf.shape[0]
+        k = jnp.arange(128, dtype=jnp.int32)
+        coded = jnp.asarray(self.coded, jnp.int32)[None, :, None]
+        in_coded = k[None, None, :] < coded
+        sf_i = sf.astype(jnp.int32)
+        active = (sf_i > 0) & in_coded
+        noise_f = active & (res.astype(jnp.int32) < 1)
+        valid_f = active & (res.astype(jnp.int32) >= 1)
+        nrank = jnp.cumsum(noise_f, axis=-1) - 1           # [N, C, 128]
+        vrank = jnp.cumsum(valid_f, axis=-1) - 1
+        nc = jnp.sum(noise_f, axis=-1)                     # [N, C]
+        vc = jnp.sum(valid_f, axis=-1)
+        nc_eff = jnp.where((nc > 0) & (vc > 0), nc, 0)
+        NC = jnp.sum(nc_eff, axis=-1)                      # [N] draws/subframe
+        pre_c = jnp.cumsum(nc_eff, axis=-1) - nc_eff       # [N, C] exclusive
+        per_frame = (8 * NC).reshape(B, -1)
+        before = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(N)
+        s8 = jnp.arange(8, dtype=jnp.int32)
+        ordinal = (before[:, None, None, None]
+                   + s8[None, None, :, None] * NC[:, None, None, None]
+                   + pre_c[:, :, None, None]
+                   + nrank[:, :, None, :])                 # [N, C, 8, 128]
+        rand = _lcg_jump(ordinal + 1)                      # state at the draw
+        vc_b = vc[:, :, None, None]
+        j = (((rand & jnp.uint32(0x7FFF))
+              * vc_b.astype(jnp.uint32)) >> 15).astype(jnp.int32)
+        target = vc_b - 1 - j                              # valid rank wanted
+        # one-hot select the source band and its scalefactor over bands b'
+        sel = valid_f[:, :, None, None, :] \
+            & (vrank[:, :, None, None, :] == target[..., None])
+        vb = jnp.sum(jnp.where(sel, k, 0), axis=-1)        # [N, C, 8, 128]
+        sf_vb = jnp.sum(jnp.where(sel, sf_i[:, :, None, None, :], 0), axis=-1)
+        sci = jnp.maximum(sf_i[:, :, None, :] - sf_vb + 62, 0)
+        mask = (noise_f & (vc > 0)[..., None])[:, :, None, :] \
+            & jnp.ones((1, 1, 8, 1), bool)
+        src = jnp.where(mask, vb, k[None, None, None, :])
+        return (src.astype(jnp.int32), sci.astype(jnp.uint8),
+                jnp.broadcast_to(mask, src.shape))
+
     def _resolutions(self, sf, packed_noise, ath_i32):
         """calc_resolutions (hca.cpp:1444-1494), vectorised [N, C, 128].
         The 66-entry invert table is applied as a one-hot reduce (a dynamic
@@ -452,7 +533,7 @@ class DeviceUnpacker:
 
     # -- driver --------------------------------------------------------------
 
-    def _unpack(self, frames_u8, cipher_u8, ath_i32):
+    def _unpack(self, frames_u8, cipher_u8, ath_i32, B=1):
         """frames_u8: uint8 [N, frame_size] (enciphered, sync+CRC already
         validated host-side); cipher_u8 [256], ath_i32 [128] as DYNAMIC
         inputs so one compiled program serves every key and sample rate of
@@ -491,9 +572,15 @@ class DeviceUnpacker:
         inten = jnp.stack(inten_ch, axis=1)    # [N, C, 8]
         res = self._resolutions(sf, packed_noise, ath_i32)
         qc, cur = self._coefficients(w32, cur, res)
-        return qc, sf, res, inten, err
+        if self.need_noise:
+            nsrc, nsci, nmask = self._noise(sf, res, B)
+        else:
+            nsrc = jnp.zeros((1,) * 4, jnp.int32)
+            nsci = jnp.zeros((1,) * 4, jnp.uint8)
+            nmask = jnp.zeros((1,) * 4, bool)
+        return qc, sf, res, inten, err, nsrc, nsci, nmask
 
-    def __call__(self, frames_u8, cipher_u8=None, ath_i32=None):
+    def __call__(self, frames_u8, cipher_u8=None, ath_i32=None, B=1):
         # Defaults come from the info this instance was BUILT with; when the
         # instance came from get_unpacker (cached without cipher/rate), pass
         # cipher/ath explicitly or a different-keyed stream would silently
@@ -503,7 +590,7 @@ class DeviceUnpacker:
         if ath_i32 is None:
             ath_i32 = self.ath
         return self._jit(frames_u8, np.asarray(cipher_u8, np.uint8),
-                         np.asarray(ath_i32, np.int32))
+                         np.asarray(ath_i32, np.int32), B=B)
 
 
 _unpacker_cache: dict = {}
@@ -554,16 +641,43 @@ def unpack_frames_device(info, data: bytes, check_crc: bool = True):
     if check_crc and crc16_batch(frames).any():
         raise hca_frame.HcaError("Frame checksum mismatch")
     up = get_unpacker(info)
-    qc, sf, res, inten, err = up(frames, info.cipher, info.ath)
+    qc, sf, res, inten, err, nsrc, nsci, nmask = up(
+        frames, info.cipher, info.ath)
     if bool(np.asarray(err).any()):
         raise hca_frame.HcaError("Unpack error (device)")
     N, C = nframes, info.channels
-    ident = np.broadcast_to(np.arange(128, dtype=np.int32),
-                            (N, C, 8, 128)).copy()
+    if up.need_noise:
+        noise_src = np.asarray(nsrc)
+        noise_sci = np.asarray(nsci)
+        noise_mask = np.asarray(nmask)
+        # final LCG state for host-path parity: jump by the total draws
+        sfn = np.asarray(sf)
+        resn = np.asarray(res)
+        total = 0
+        for f in range(N):
+            for c in range(C):
+                cc = int(info.coded_count[c])
+                act = sfn[f, c, :cc] > 0
+                nc = int((act & (resn[f, c, :cc] < 1)).sum())
+                vc = int((act & (resn[f, c, :cc] >= 1)).sum())
+                if nc > 0 and vc > 0:
+                    total += 8 * nc
+        state = 1
+        for a, b in _LCG_POWS:
+            if total & 1:
+                state = (a * state + b) & 0xFFFFFFFF
+            total >>= 1
+            if not total:
+                break
+        random_state = state
+    else:
+        noise_src = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                    (N, C, 8, 128)).copy()
+        noise_sci = np.zeros((N, C, 8, 128), dtype=np.uint8)
+        noise_mask = np.zeros((N, C, 8, 128), dtype=bool)
+        random_state = 1
     return hca_frame.UnpackedFrames(
         qc=np.asarray(qc), scalefactors=np.asarray(sf),
         resolutions=np.asarray(res), intensity=np.asarray(inten),
-        noise_src=ident,
-        noise_sci=np.zeros((N, C, 8, 128), dtype=np.uint8),
-        noise_mask=np.zeros((N, C, 8, 128), dtype=bool),
-        random_state=1)
+        noise_src=noise_src, noise_sci=noise_sci, noise_mask=noise_mask,
+        random_state=random_state)

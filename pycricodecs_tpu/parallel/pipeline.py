@@ -397,19 +397,26 @@ def _get_fused_device_decode(info0, pairs, use_pallas):
     @jax.jit
     def fused(frames, cipher, ath, hfr_is, hfr_src, hfr_group, hfr_zero):
         B, F, fs = frames.shape
-        qc, sf, res, inten, err = up._unpack(
-            frames.reshape(B * F, fs), cipher, ath)
+        qc, sf, res, inten, err, nsrc, nsci, nmask = up._unpack(
+            frames.reshape(B * F, fs), cipher, ath, B=B)
+        if up.need_noise:
+            noise_args = (nsrc.reshape(B, F, up.C, 8, 128),
+                          nsci.reshape(B, F, up.C, 8, 128),
+                          nmask.reshape(B, F, up.C, 8, 128))
+        else:
+            noise_args = (jnp.zeros((1,) * 5, jnp.uint8),
+                          jnp.zeros((1,) * 5, jnp.uint8),
+                          jnp.zeros((1,) * 5, bool))
         pcm = hca_kernels.hca_decode_transform_batched(
             qc.reshape(B, F, up.C, 8, 128),
             sf.reshape(B, F, up.C, 128),
             res.reshape(B, F, up.C, 128),
             inten.reshape(B, F, up.C, 8),
-            jnp.zeros((1,) * 5, jnp.uint8),
-            jnp.zeros((1,) * 5, jnp.uint8),
-            jnp.zeros((1,) * 5, bool),
+            *noise_args,
             hfr_is, hfr_src, hfr_group, hfr_zero,
             base_band=base_band, total_band=total_band,
-            stereo_pairs=pairs, apply_noise=False, apply_hfr=apply_hfr,
+            stereo_pairs=pairs, apply_noise=up.need_noise,
+            apply_hfr=apply_hfr,
             hfr_group_count=hfr_group_count, use_pallas=use_pallas,
             hfr_static=hfr_static)
         return pcm, err.reshape(B, F)
@@ -482,12 +489,12 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
     # bitstream decode runs there (ops/hca_unpack_device.py) — the host only
     # validates sync+CRC and stacks bytes. ~10x less H2D than the SoA
     # tensors and removes the host-unpack wall. Works under meshes too
-    # (frames shard (dp, sp); Pallas drops to the XLA IMDCT there). Host
-    # fallback: noise-path (PNS) configs, degenerate band layouts, mixed
-    # ciphers/sample rates within a group, or PYCRICODECS_HOST_UNPACK=1.
+    # (frames shard (dp, sp); Pallas drops to the XLA IMDCT there), and
+    # covers the v3 PNS noise path (LCG chain parallelised with prefix
+    # sums + affine jumps). Host fallback: degenerate band layouts, or
+    # PYCRICODECS_HOST_UNPACK=1.
     dev_decode = None
-    if (not need_noise
-            and os.environ.get("PYCRICODECS_HOST_UNPACK") != "1"):
+    if os.environ.get("PYCRICODECS_HOST_UNPACK") != "1":
         # groups are keyed by (config, sample_rate, cipher) so every member
         # shares the cipher/ATH shipped with the dispatch; different keys or
         # rates land in their own sub-batches against the same compiled

@@ -70,13 +70,48 @@ def test_device_unpack_v1_dec_chunk():
     _assert_equal(got, ref)
 
 
-def test_device_unpack_rejects_noise_path():
-    # min_resolution == 0 needs the serial cross-frame LCG -> host only
+def test_device_unpack_noise_path_matches_host():
+    """v3 PNS noise fill on-device: the serial LCG chain is reproduced with
+    prefix sums + closed-form affine jumps — gather maps, scale indices,
+    masks and the final LCG state must all equal the host chain's."""
     from tests.test_hca import _relabel_v3
-    v3 = _relabel_v3(_encode(1, 0, seed=77))
-    info, _data = _split(v3)
-    with pytest.raises(ValueError):
-        hca_unpack_device.DeviceUnpacker(info)
+    # quality 0 mono, 24576 samples: quiet high bands land at resolution 0,
+    # which PNS-fills once min_resolution is 0 (same fixture as
+    # test_v3_noise_fill_matches_reference)
+    pcm = make_sine_pcm16(24576, 1, 48000, seed=77)
+    blob = hca_encode_host.encode(write_wav(pcm, 1, 48000), quality=0)
+    v3 = _relabel_v3(blob)
+    info, data = _split(v3)
+    ref = hca_frame._unpack_frames_py(info, data)
+    assert ref.noise_mask.any(), "fixture must exercise the noise fill"
+    got = hca_unpack_device.unpack_frames_device(info, data)
+    _assert_equal(got, ref)
+    np.testing.assert_array_equal(got.noise_mask, ref.noise_mask)
+    np.testing.assert_array_equal(
+        np.where(ref.noise_mask, got.noise_src, 0),
+        np.where(ref.noise_mask, ref.noise_src, 0))
+    np.testing.assert_array_equal(
+        np.where(ref.noise_mask, got.noise_sci, 0),
+        np.where(ref.noise_mask, ref.noise_sci, 0))
+    assert got.random_state == ref.random_state
+
+
+def test_device_decode_batch_noise_stream(oracle):
+    """A v3 PNS stream through decode_batch's device engine must be
+    byte-identical to the oracle and the host engine."""
+    from tests.test_hca import _relabel_v3
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models import hca as hcamod
+    v3 = _relabel_v3(bytes(oracle.HcaEncode(
+        write_wav(make_sine_pcm16(16000, 1, 48000, seed=77), 1, 48000),
+        0, 0)))
+    stats = parallel.DecodeStats()
+    out = parallel.decode_batch([v3] * 3, engine="device", stats=stats)
+    assert stats.device_unpack_streams == 3
+    host = hcamod.decode(v3)
+    assert all(o == host for o in out)
+    hs = int.from_bytes(v3[6:8], "big")
+    assert bytes(oracle.HcaDecode(v3, hs, 0, 0)) == host
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +230,7 @@ def test_device_unpack_synthetic_v3_grammar():
 
     up = hca_unpack_device.DeviceUnpacker(info)
     arr = np.frombuffer(frames, np.uint8).reshape(64, info.frame_size)
-    qc, sf, res, inten, err = (np.asarray(x) for x in up(arr))
+    qc, sf, res, inten, err = (np.asarray(x) for x in up(arr)[:5])
     n_ok = 0
     for f in range(64):
         if host[f] is None:
@@ -246,7 +281,7 @@ def test_device_unpack_random_frame_fuzz(version_label):
             host.append(None)
 
     up = hca_unpack_device.DeviceUnpacker(info)
-    qc, sf, res, inten, err = (np.asarray(x) for x in up(frames))
+    qc, sf, res, inten, err = (np.asarray(x) for x in up(frames)[:5])
     for f in range(F):
         assert err[f] == (host[f] is None), (
             f"frame {f}: device err={err[f]} host "
@@ -283,7 +318,7 @@ def test_device_unpack_v3_intensity_escape_chain_window_tail():
 
     host = hca_frame._unpack_frames_py(info, bytes(frame))
     up = hca_unpack_device.DeviceUnpacker(info)
-    qc, sf, res, inten, err = (np.asarray(x) for x in up(arr))
+    qc, sf, res, inten, err = (np.asarray(x) for x in up(arr)[:5])
     assert not err[0]
     np.testing.assert_array_equal(inten[0], host.intensity[0])
     np.testing.assert_array_equal(qc[0], host.qc[0])
@@ -313,7 +348,7 @@ def test_device_unpack_error_cases():
     with pytest.raises(hca_frame.HcaError):
         hca_frame._unpack_frames_py(info, arr.tobytes())
     up = hca_unpack_device.DeviceUnpacker(info)
-    *_, err = up(arr)
+    err = np.asarray(up(arr)[4])
     assert bool(np.asarray(err)[0])
 
     # v3 intensity overflow on the secondary channel: value=13, db2=2
@@ -329,5 +364,5 @@ def test_device_unpack_error_cases():
     arr = finish(bw)
     with pytest.raises(hca_frame.HcaError):
         hca_frame._unpack_frames_py(info, arr.tobytes())
-    *_, err = up(arr)
+    err = np.asarray(up(arr)[4])
     assert bool(np.asarray(err)[0])
