@@ -11,8 +11,9 @@ TPU-shaped choices (all measured on a v5e over this harness):
 - Per-lane gathers cost ~12ns/element on this backend regardless of shape —
   a single [N] take_along_axis in the scan body costs ~0.4ms. EVERY dynamic
   gather is therefore replaced with arithmetic: bit windows are fetched by a
-  one-hot compare+reduce over the frame's 32-bit window table (HBM-roofline,
-  ~160us per superstep), the VLC tables are evaluated as closed forms and
+  one-hot compare+reduce over the frame's ALIGNED u32 word table
+  (HBM-roofline; ~80us per superstep at 120k frames) funnel-shifted to the
+  byte offset, the VLC tables are evaluated as closed forms and
   packed-nibble constants muxed by 3-bit binary trees, and the per-step
   resolution/output routing uses static slices/reshapes instead of
   gather/scatter.
@@ -128,6 +129,9 @@ class DeviceUnpacker:
         C = int(info.channels)
         self.C = C
         self.fs = int(info.frame_size)
+        # aligned word-table width: the widest fetch reads 5 words starting
+        # at q = (fs-1)>>2, so ceil(fs/4)+5 keeps every candidate in range
+        self.wn = (int(info.frame_size) + 3) // 4 + 5
         self.version = int(info.version)
         self.hfr = int(info.hfr_group_count)
         self.min_res = int(info.min_resolution)
@@ -167,46 +171,61 @@ class DeviceUnpacker:
 
     # -- bit primitives ------------------------------------------------------
     #
-    # One-hot window fetches: a compare+masked-reduce over the [N, fs] u32
-    # window table runs at HBM roofline on TPU, ~2.5x faster than a dynamic
-    # gather on this backend, and XLA fuses the two window words into the
-    # same traversal.
+    # One-hot window fetches: a compare+masked-reduce over the ALIGNED
+    # [N, ceil(fs/4)+5] u32 word table runs at HBM roofline on TPU (~4x less
+    # traffic than the earlier byte-offset window table, which stored a u32
+    # per BYTE position: profiled at 52 -> 13 ms for the coefficient phase's
+    # 160 fetches at 256x10s streams). The fetched aligned words are
+    # funnel-shifted by the byte remainder into the same byte-offset windows
+    # the extract helpers always used, so downstream semantics are untouched.
+    # XLA fuses all candidate words of one fetch into a single traversal
+    # (one variadic select_reduce).
 
-    def _parange(self):
-        return jnp.arange(self.fs, dtype=jnp.int32)
+    def _wa_range(self):
+        return jnp.arange(self.wn, dtype=jnp.int32)
 
-    def _gather(self, w32, cur):
-        bb = jnp.minimum(cur >> 3, self.fs - 1)
-        sel = self._parange()[None, :] == bb[:, None]
-        return jnp.sum(jnp.where(sel, w32, jnp.uint32(0)), axis=1,
-                       dtype=jnp.uint32)
+    def _wa_words(self, wa, q, nwords):
+        """Aligned words wa[q], .., wa[q+nwords-1] in one one-hot traversal."""
+        d = self._wa_range()[None, :] - q[:, None]
+        return [jnp.sum(jnp.where(d == k, wa, jnp.uint32(0)), axis=1,
+                        dtype=jnp.uint32) for k in range(nwords)]
 
-    def _peek(self, w32, cur, count):
+    @staticmethod
+    def _funnel(w, r):
+        """Byte-offset windows from aligned words: out[k] = bytes starting at
+        word base + r bytes (r in 0..3 as a bit shift 0/8/16/24)."""
+        nz = r > 0
+        return [jnp.where(nz,
+                          (w[k] << r) | (w[k + 1] >> (jnp.uint32(32) - r)),
+                          w[k]) for k in range(len(w) - 1)]
+
+    def _peek(self, wa, cur, count):
         """BitReader.peek: any read crossing the frame end returns 0."""
-        w = self._gather(w32, cur)
+        bb = jnp.minimum(cur >> 3, self.fs - 1)
+        q = bb >> 2
+        r = ((bb & 3) << 3).astype(jnp.uint32)
+        w = self._funnel(self._wa_words(wa, q, 2), r)[0]
         count = jnp.broadcast_to(jnp.asarray(count, jnp.int32), cur.shape)
         shift = (32 - (cur & 7) - jnp.clip(count, 0, 25)).astype(jnp.uint32)
         val = (w >> shift).astype(jnp.int32) & (jnp.left_shift(1, count) - 1)
         ok = (cur + count <= self.fs * 8) & (count > 0)
         return jnp.where(ok, val, 0)
 
-    def _win64(self, w32, cur):
+    def _win64(self, wa, cur):
         """Two u32 window words at byte(cur) and byte(cur)+4, one traversal."""
         bb = jnp.minimum(cur >> 3, self.fs - 1)
-        d = self._parange()[None, :] - bb[:, None]
-        w0 = jnp.sum(jnp.where(d == 0, w32, jnp.uint32(0)), axis=1,
-                     dtype=jnp.uint32)
-        w1 = jnp.sum(jnp.where(d == 4, w32, jnp.uint32(0)), axis=1,
-                     dtype=jnp.uint32)
-        return w0, w1, bb * 8
+        q = bb >> 2
+        r = ((bb & 3) << 3).astype(jnp.uint32)
+        ws = self._funnel(self._wa_words(wa, q, 3), r)
+        return ws[0], ws[1], bb * 8
 
-    def _win128(self, w32, cur):
+    def _win128(self, wa, cur):
         """Four u32 window words (128 bits) in one traversal: serves 10
         symbols of <= 12 bits (7 + 120 < 128)."""
         bb = jnp.minimum(cur >> 3, self.fs - 1)
-        d = self._parange()[None, :] - bb[:, None]
-        ws = [jnp.sum(jnp.where(d == 4 * k, w32, jnp.uint32(0)), axis=1,
-                      dtype=jnp.uint32) for k in range(4)]
+        q = bb >> 2
+        r = ((bb & 3) << 3).astype(jnp.uint32)
+        ws = self._funnel(self._wa_words(wa, q, 5), r)
         return ws, bb * 8
 
     def _ext128(self, ws, o, count, abs_cur):
@@ -256,13 +275,13 @@ class DeviceUnpacker:
 
     # -- phases --------------------------------------------------------------
 
-    def _scalefactors_channel(self, w32, cur, err, c):
+    def _scalefactors_channel(self, wa, cur, err, c):
         """One channel's scalefactor section. Returns (sf [N,128], cur, err)."""
         N = cur.shape[0]
         cs = self.cs_counts[c]
-        db = self._peek(w32, cur, 3)
+        db = self._peek(wa, cur, 3)
         cur = cur + 3
-        v0 = self._peek(w32, cur, 6)
+        v0 = self._peek(wa, cur, 6)
         has_first = db > 0
         cur = cur + jnp.where(has_first, 6, 0)
         sf0 = jnp.where(has_first, v0, 0)
@@ -282,7 +301,7 @@ class DeviceUnpacker:
 
             def step(carry, act):
                 cur, value, err = carry
-                ws, base = self._win128(w32, cur)
+                ws, base = self._win128(wa, cur)
                 o = cur - base
                 outs = []
                 for j in range(G):
@@ -326,13 +345,13 @@ class DeviceUnpacker:
             sf = sf.at[np.asarray(dst)].set(sf[np.asarray(src)])
         return sf.T, cur, err
 
-    def _intensity_channel(self, w32, cur, err, c, sf_c):
+    def _intensity_channel(self, wa, cur, err, c, sf_c):
         """Intensity (secondary) / v2 HFR scales (other types). Returns
         (intensity [N,8] u8, sf_c possibly updated, cur, err)."""
         N = cur.shape[0]
         zero8 = jnp.zeros((N, 8), dtype=jnp.uint8)
         if self.ctype[c] == T.STEREO_SECONDARY:
-            v4 = self._peek(w32, cur, 4)
+            v4 = self._peek(wa, cur, 4)
             flag = v4 < 15
             if self.version <= VERSION_V200:
                 # hca.cpp:1357-1377: intensity[0] stored even when >= 15,
@@ -340,7 +359,7 @@ class DeviceUnpacker:
                 cur = cur + jnp.where(flag, 4, 0)
                 cols = [v4.astype(jnp.uint8)]
                 for _ in range(7):
-                    vi = self._peek(w32, cur, 4)
+                    vi = self._peek(wa, cur, 4)
                     cur = cur + jnp.where(flag, 4, 0)
                     cols.append(jnp.where(flag, vi, 0).astype(jnp.uint8))
                 inten = jnp.stack(cols, axis=1)
@@ -348,7 +367,7 @@ class DeviceUnpacker:
                 # v3: skip(4) in both branches; delta-coded follow-ups.
                 # 8 x <= 7-bit symbols all fit one 64-bit window fetched at
                 # the section start (4+2 header + 7*7 <= 55 bits).
-                w0, w1, base = self._win64(w32, cur)
+                w0, w1, base = self._win64(wa, cur)
                 o = cur - base
                 cur = cur + 4
                 o = o + 4
@@ -387,7 +406,7 @@ class DeviceUnpacker:
         if self.version <= VERSION_V200 and self.hfr > 0:
             cols = []
             for _i in range(self.hfr):
-                cols.append(self._peek(w32, cur, 6).astype(jnp.uint8))
+                cols.append(self._peek(wa, cur, 6).astype(jnp.uint8))
                 cur = cur + 6
             hf = jnp.stack(cols, axis=1)                       # [N, hfr]
             sf_c = sf_c.at[:, 128 - self.hfr:].set(hf)
@@ -481,7 +500,7 @@ class DeviceUnpacker:
         prog = jnp.pad(prog, ((0, 0), (0, Sp - S)))      # pad rows: r=0 noop
         return prog.T.reshape(Sp // G, G, N), S
 
-    def _coefficients(self, w32, cur, res):
+    def _coefficients(self, wa, cur, res):
         """8 x C x coded_count VLC reads -> qc [N, C, 8, 128] int16.
 
         Supersteps: one 128-bit window fetch serves 10 symbols (max 12 bits
@@ -492,7 +511,7 @@ class DeviceUnpacker:
         G = self._G
 
         def step(cur, rG):
-            ws, base = self._win128(w32, cur)
+            ws, base = self._win128(wa, cur)
             o = cur - base
             vals = []
             for j in range(G):
@@ -550,10 +569,12 @@ class DeviceUnpacker:
                 jnp.where(frames_u8[..., None] == iota,
                           cipher_u8.astype(jnp.uint8), jnp.uint8(0)),
                 axis=-1, dtype=jnp.uint8)
-        pad = jnp.zeros((N, 4), dtype=jnp.uint8)
+        # aligned u32 word table: wa[:, k] = BE bytes 4k..4k+3, zero-padded
+        # past the frame end (BitReader overruns are masked by the callers)
+        pad = jnp.zeros((N, self.wn * 4 - self.fs), dtype=jnp.uint8)
         b = jnp.concatenate([dec, pad], axis=1).astype(jnp.uint32)
-        w32 = ((b[:, :self.fs] << 24) | (b[:, 1:self.fs + 1] << 16)
-               | (b[:, 2:self.fs + 2] << 8) | b[:, 3:self.fs + 3])
+        wa = ((b[:, 0::4] << 24) | (b[:, 1::4] << 16)
+               | (b[:, 2::4] << 8) | b[:, 3::4])
         anl = ((dec[:, 2].astype(jnp.int32) << 1)
                | (dec[:, 3].astype(jnp.int32) >> 7))
         evb = dec[:, 3].astype(jnp.int32) & 0x7F
@@ -563,15 +584,15 @@ class DeviceUnpacker:
 
         sf_ch, inten_ch = [], []
         for c in range(self.C):
-            sf_c, cur, err = self._scalefactors_channel(w32, cur, err, c)
+            sf_c, cur, err = self._scalefactors_channel(wa, cur, err, c)
             inten_c, sf_c, cur, err = self._intensity_channel(
-                w32, cur, err, c, sf_c)
+                wa, cur, err, c, sf_c)
             sf_ch.append(sf_c)
             inten_ch.append(inten_c)
         sf = jnp.stack(sf_ch, axis=1)          # [N, C, 128]
         inten = jnp.stack(inten_ch, axis=1)    # [N, C, 8]
         res = self._resolutions(sf, packed_noise, ath_i32)
-        qc, cur = self._coefficients(w32, cur, res)
+        qc, cur = self._coefficients(wa, cur, res)
         if self.need_noise:
             nsrc, nsci, nmask = self._noise(sf, res, B)
         else:
