@@ -129,9 +129,11 @@ class DeviceUnpacker:
         C = int(info.channels)
         self.C = C
         self.fs = int(info.frame_size)
-        # aligned word-table width: the widest fetch reads 5 words starting
-        # at q = (fs-1)>>2, so ceil(fs/4)+5 keeps every candidate in range
-        self.wn = (int(info.frame_size) + 3) // 4 + 5
+        # aligned word-table width: fetches read the two 8-word chunks at
+        # (q>>3) and (q>>3)+1 with q <= (fs-1)>>2, so nc chunks keep every
+        # candidate in range (zero padding past the frame end)
+        self.nc = ((int(info.frame_size) - 1) // 4) // 8 + 2
+        self.wn = self.nc * 8
         self.version = int(info.version)
         self.hfr = int(info.hfr_group_count)
         self.min_res = int(info.min_resolution)
@@ -181,14 +183,25 @@ class DeviceUnpacker:
     # XLA fuses all candidate words of one fetch into a single traversal
     # (one variadic select_reduce).
 
-    def _wa_range(self):
-        return jnp.arange(self.wn, dtype=jnp.int32)
-
     def _wa_words(self, wa, q, nwords):
-        """Aligned words wa[q], .., wa[q+nwords-1] in one one-hot traversal."""
-        d = self._wa_range()[None, :] - q[:, None]
-        return [jnp.sum(jnp.where(d == k, wa, jnp.uint32(0)), axis=1,
-                        dtype=jnp.uint32) for k in range(nwords)]
+        """Aligned words wa[q], .., wa[q+nwords-1] (nwords <= 9), two-level:
+        a one-hot compare+reduce picks the two 8-word chunks containing the
+        span (one fused traversal of the table, ~2 select+add per element vs
+        ~3 per element PER WORD for the flat per-word one-hot), then a 3-bit
+        mux (7 selects/word) slides to the word remainder. Measured 50 ->
+        ~20ms for the coefficient phase's 160 fetches at 120k frames."""
+        wc = wa.reshape(wa.shape[0], self.nc, 8)
+        qc = q >> 3
+        ci = jnp.arange(self.nc, dtype=jnp.int32)[None, :, None]
+        sel0 = qc[:, None, None] == ci
+        sel1 = qc[:, None, None] == (ci - 1)
+        c0 = jnp.sum(jnp.where(sel0, wc, jnp.uint32(0)), axis=1,
+                     dtype=jnp.uint32)
+        c1 = jnp.sum(jnp.where(sel1, wc, jnp.uint32(0)), axis=1,
+                     dtype=jnp.uint32)
+        w16 = [c0[:, i] for i in range(8)] + [c1[:, i] for i in range(8)]
+        rem = q & 7
+        return [_mux8(w16[k:k + 8], rem) for k in range(nwords)]
 
     @staticmethod
     def _funnel(w, r):
@@ -464,8 +477,10 @@ class DeviceUnpacker:
 
     def _resolutions(self, sf, packed_noise, ath_i32):
         """calc_resolutions (hca.cpp:1444-1494), vectorised [N, C, 128].
-        The 66-entry invert table is applied as a one-hot reduce (a dynamic
-        gather here would cost ~12ns x N*C*128 elements)."""
+        INVERT_TABLE is monotone non-increasing, so invert[cp] equals the
+        number of thresholds B_v = max{i : invert[i] >= v} with cp <= B_v —
+        14 integer compares instead of a 66-way one-hot reduce (the dynamic
+        gather alternative costs ~12ns x N*C*128 elements)."""
         k = jnp.arange(128, dtype=jnp.int32)
         coded = jnp.asarray(self.coded, jnp.int32)[None, :, None]
         sf_i = sf.astype(jnp.int32)
@@ -473,10 +488,11 @@ class DeviceUnpacker:
         noise_level = ath + ((packed_noise[:, None, None] + k) >> 8)
         curve_pos = noise_level + 1 - ((5 * sf_i) >> 1)
         cp = jnp.clip(curve_pos, 0, 65)
-        invert = jnp.asarray(T.INVERT_TABLE, jnp.int32)
-        iota66 = jnp.arange(66, dtype=jnp.int32)
-        inv = jnp.sum(
-            jnp.where(cp[..., None] == iota66, invert, 0), axis=-1)
+        invert = np.asarray(T.INVERT_TABLE, np.int32)
+        assert (np.diff(invert) <= 0).all()  # monotone: thresholds valid
+        inv = jnp.zeros(cp.shape, jnp.int32)
+        for v in range(1, int(invert.max()) + 1):
+            inv = inv + (cp <= int(np.max(np.nonzero(invert >= v)[0])))
         r = jnp.where(curve_pos < 0, 15,
                       jnp.where(curve_pos <= 65, inv, 0))
         r = jnp.clip(r, self.min_res, self.max_res)
@@ -570,11 +586,16 @@ class DeviceUnpacker:
                           cipher_u8.astype(jnp.uint8), jnp.uint8(0)),
                 axis=-1, dtype=jnp.uint8)
         # aligned u32 word table: wa[:, k] = BE bytes 4k..4k+3, zero-padded
-        # past the frame end (BitReader overruns are masked by the callers)
+        # past the frame end (BitReader overruns are masked by the callers).
+        # bitcast_convert_type groups 4 minor-dim bytes into one LE u32
+        # (element 0 least significant); a byteswap flips to BE. The earlier
+        # strided-slice + u8->u32 convert build cost 38ms at 120k frames —
+        # lane-stride shuffles the compiler can't fuse; this is ~1 pass.
         pad = jnp.zeros((N, self.wn * 4 - self.fs), dtype=jnp.uint8)
-        b = jnp.concatenate([dec, pad], axis=1).astype(jnp.uint32)
-        wa = ((b[:, 0::4] << 24) | (b[:, 1::4] << 16)
-               | (b[:, 2::4] << 8) | b[:, 3::4])
+        b = jnp.concatenate([dec, pad], axis=1).reshape(N, self.wn, 4)
+        le = jax.lax.bitcast_convert_type(b, jnp.uint32)
+        wa = ((le << 24) | ((le & jnp.uint32(0xFF00)) << 8)
+              | ((le >> 8) & jnp.uint32(0xFF00)) | (le >> 24))
         anl = ((dec[:, 2].astype(jnp.int32) << 1)
                | (dec[:, 3].astype(jnp.int32) >> 7))
         evb = dec[:, 3].astype(jnp.int32) & 0x7F
