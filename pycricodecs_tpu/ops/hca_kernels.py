@@ -271,6 +271,74 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
     return spectra
 
 
+def fused_transform_supported(channels, stereo_pairs, apply_noise,
+                              apply_hfr, hfr_static) -> bool:
+    """True when the megakernel path (transform_fused_pallas) covers this
+    config: no PNS noise (its band routing is data-dependent), mono or a
+    single adjacent stereo pair, and a static HFR map when HFR is on."""
+    if apply_noise or (apply_hfr and hfr_static is None):
+        return False
+    if channels == 1 and not stereo_pairs:
+        return True
+    return channels == 2 and stereo_pairs in ((), ((0, 1),))
+
+
+def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
+                     stereo_pairs, apply_hfr, hfr_group_count, hfr_static,
+                     interpret):
+    """Megakernel transform path: per-frame gain / HFR-scale / intensity
+    ratio factors computed here with the same single-rounded table muxes as
+    _reconstruct_spectra, everything else inside transform_fused_pallas.
+    Returns [B, F, 8, 128, C] int16, bit-identical to the jnp path."""
+    from . import pallas_kernels
+
+    B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
+    Tn = F * 8
+    gain = _onehot_take(T.SCALING_TABLE, sf, 64) \
+        * _onehot_take(T.RANGE_TABLE, res, 16)             # [B, F, C, 128]
+    if apply_hfr:
+        is_hfr_t, src_t, grp_t, zero = hfr_static
+        src_np = np.asarray(src_t, np.int64)
+        grp_np = np.asarray(grp_t, np.int64)
+        m_src = np.zeros((128, 128), np.float32)
+        m_src[src_np, np.arange(128)] = 1.0
+        m_grp = np.zeros((hfr_group_count, 128), np.float32)
+        m_grp[np.clip(grp_np, 0, hfr_group_count - 1), np.arange(128)] = 1.0
+        hp = jax.lax.Precision.HIGHEST
+        hfr_scales = sf[..., 128 - hfr_group_count:]
+        g_scale = jnp.einsum("...g,gk->...k", hfr_scales.astype(jnp.float32),
+                             jnp.asarray(m_grp), precision=hp) \
+            .astype(jnp.int32)
+        low_sf = jnp.einsum("...k,kj->...j", sf.astype(jnp.float32),
+                            jnp.asarray(m_src), precision=hp) \
+            .astype(jnp.int32)
+        sci = jnp.maximum(g_scale - low_sf + 63, 0)
+        hgain = _onehot_take(T.SCALE_CONVERSION_TABLE, sci, 128)
+        hgain2 = hgain.reshape(B, F, C * 128)
+        m_src_dev = jnp.asarray(m_src)
+        zero_band = int(zero)
+        hfr_is_t = tuple(bool(x) for x in is_hfr_t)
+    else:
+        hgain2 = None
+        m_src_dev = None
+        zero_band = -1
+        hfr_is_t = None
+    if stereo_pairs:
+        ratio = _onehot_take(T.INTENSITY_RATIO_TABLE,
+                             intensity[..., 1, :], 16)      # [B, F, 8]
+        ratio2 = ratio.reshape(B, Tn, 1)
+    else:
+        ratio2 = None
+    qc2 = qc.transpose(0, 1, 3, 2, 4).reshape(B, Tn, C * 128)
+    gain2 = gain.reshape(B, F, C * 128)
+    pcm = pallas_kernels.transform_fused_pallas(
+        qc2, gain2, ratio2, hgain2, m_src_dev, halves=C,
+        apply_hfr=apply_hfr, apply_intensity=bool(stereo_pairs),
+        base_band=base_band, total_band=total_band, zero_band=zero_band,
+        hfr_is=hfr_is_t, interpret=interpret)
+    return pcm.reshape(B, F, 8, 128, C)
+
+
 @partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",
                                    "apply_noise", "apply_hfr",
                                    "hfr_group_count", "use_pallas",
@@ -296,6 +364,14 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
     (halo exchange) rather than a serial scan.
     """
     B, F, C = qc.shape[0], qc.shape[1], qc.shape[2]
+    if use_pallas and fused_transform_supported(
+            C, stereo_pairs, apply_noise, apply_hfr, hfr_static):
+        interp = jax.devices()[0].platform != "tpu"
+        return _fused_transform(
+            qc, sf, res, intensity, base_band=base_band,
+            total_band=total_band, stereo_pairs=stereo_pairs,
+            apply_hfr=apply_hfr, hfr_group_count=hfr_group_count,
+            hfr_static=hfr_static, interpret=interp)
     spectra = _reconstruct_spectra(
         qc, sf, res, intensity, noise_src, noise_sci, noise_mask, hfr_is,
         hfr_src, hfr_group, hfr_zero, base_band=base_band,

@@ -272,6 +272,220 @@ def imdct_ola_pallas(spectra_t, interpret=False):
     return out[:, :Tn]
 
 
+# ---------------------------------------------------------------------------
+# Fused decode-transform megakernel: dequantise + HFR + intensity stereo +
+# IMDCT + windowed overlap-add + PCM16 quantise + channel interleave in one
+# VMEM-resident pass.
+#
+# Motivation (measured on the v5e): the XLA transform materialises the fp32
+# spectra tensor (984MB at 256x10s streams) between the reconstruct stages
+# and the IMDCT kernel, then runs a separate int16/interleave epilogue whose
+# channel-minor moveaxis is a lane-shuffling relayout — together ~45ms where
+# the HBM roofline is ~4ms. Here the only HBM traffic is one int16 qc read,
+# one int16 PCM write and the small per-frame side tensors; the channel
+# interleave rides the exact 0/1 OLA matmuls (see _build_interleaved_ola) so
+# the [.., 128, C] sample layout falls out as a zero-cost reshape.
+#
+# Bit-exactness: dequant/intensity/HFR are the same single-rounded fp32
+# mul/select chains as hca_kernels._reconstruct_spectra (per-frame gain and
+# scale-conversion factors are computed host-of-kernel with the same table
+# muxes); the IMDCT stage network and OLA are the existing proven kernel
+# schedule. Signs of zeros may differ on all-zero lanes (x+0.0 folding) but
+# the int16 quantise erases them. Reference anchors: hca.cpp:1543-1577
+# (dequantize), 1638-1693 (HFR/intensity), 1898-2018 (IMDCT/OLA).
+# ---------------------------------------------------------------------------
+
+
+def _build_interleaved_ola(halves):
+    """OLA maps with the channel interleave composed in.
+
+    `halves` channels sit side-by-side on the input lane axis
+    ([ch0 bands | ch1 bands]); output lane halves*band + ch carries channel
+    ch's OLA output for `band`, so reshaping the kernel output minor axis to
+    (128, halves) IS the interleaved PCM sample order."""
+    L = halves * LANES
+    ma_full = np.zeros((L, L), np.float32)
+    mb_full = np.zeros((L, L), np.float32)
+    wa_i = np.empty(L, np.float32)
+    wb_i = np.empty(L, np.float32)
+    for h in range(halves):
+        for l in range(LANES):
+            ma_full[h * LANES + int(np.argmax(_MA[:, l])),
+                    halves * l + h] = 1.0
+            mb_full[h * LANES + int(np.argmax(_MB[:, l])),
+                    halves * l + h] = 1.0
+            wa_i[halves * l + h] = _WA[l]
+            wb_i[halves * l + h] = _WB[l]
+    return ma_full, mb_full, wa_i[None, :], wb_i[None, :]
+
+
+_IOLA = {h: _build_interleaved_ola(h) for h in (1, 2)}
+
+
+def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
+                           total_band, zero_band, hfr_is):
+    """Kernel body closure; all branch structure is trace-time static."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = halves * LANES
+    hfr_lo = hfr_hi = 0
+    if apply_hfr:
+        # build_hfr_map marks a CONTIGUOUS highband run, so the mask is two
+        # iota compares (closed-over bool arrays can't be kernel constants)
+        hfr_np = np.asarray(hfr_is, bool)
+        idx = np.nonzero(hfr_np)[0]
+        if idx.size:
+            hfr_lo, hfr_hi = int(idx[0]), int(idx[-1]) + 1
+            assert hfr_np[hfr_lo:hfr_hi].all() and hfr_np.sum() == idx.size
+
+    def kernel(*refs):
+        refs = list(refs)
+        c1_ref, c2_ref, ma_ref, mb_ref, wa_ref, wb_ref = refs[:6]
+        refs = refs[6:]
+        msrc_ref = hgain_ref = ratio_ref = None
+        if apply_hfr:
+            msrc_ref, hgain_ref = refs[0], refs[1]
+            refs = refs[2:]
+        if apply_intensity:
+            ratio_ref = refs[0]
+            refs = refs[1:]
+        qc_ref, gain_ref, out_ref, carry_ref = refs
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+        tile = out_ref.shape[1]
+        frames = tile // 8
+        qc = qc_ref[0]                                    # [tile, L] i16
+        gain = gain_ref[0]                                # [frames, L]
+        g8 = jnp.broadcast_to(gain[:, None, :],
+                              (frames, 8, L)).reshape(tile, L)
+        spec = g8 * qc.astype(jnp.float32)                # dequantise
+        xs = [spec[:, h * LANES:(h + 1) * LANES] for h in range(halves)]
+
+        band = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+        if apply_hfr:
+            hg = hgain_ref[0]
+            hg8 = jnp.broadcast_to(hg[:, None, :],
+                                   (frames, 8, L)).reshape(tile, L)
+            hfr_m = (band >= hfr_lo) & (band < hfr_hi)
+            # secondary (intensity) halves take their high bands from the
+            # intensity copy below, never from HFR (hca.cpp:1685 analogue)
+            hfr_halves = (0,) if apply_intensity else tuple(range(halves))
+            for h in hfr_halves:
+                x = xs[h]
+                fill = jax.lax.dot_general(
+                    x, msrc_ref[:, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                x = jnp.where(hfr_m,
+                              hg8[:, h * LANES:(h + 1) * LANES] * fill, x)
+                x = jnp.where(band == zero_band, jnp.float32(0.0), x)
+                xs[h] = x
+
+        if apply_intensity:
+            ratio_l = ratio_ref[0]                        # [tile, 1]
+            sel = (band >= base_band) & (band < total_band)
+            l_spec = xs[0]
+            xs[0] = jnp.where(sel, l_spec * ratio_l, l_spec)
+            xs[1] = jnp.where(sel,
+                              l_spec * (jnp.float32(2.0) - ratio_l), xs[1])
+
+        lane = band
+        outs = []
+        for h in range(halves):
+            x = xs[h]
+            for t, d in enumerate(_DISTS):
+                fwd = pltpu.roll(x, -d % LANES, 1)
+                bwd = pltpu.roll(x, d, 1)
+                partner = jnp.where((lane & d) == 0, fwd, bwd)
+                x = c1_ref[t, :] * x + c2_ref[t, :] * partner
+            outs.append(x)
+        xcat = outs[0] if halves == 1 else jnp.concatenate(outs, axis=1)
+        ya = jax.lax.dot_general(xcat, ma_ref[:, :], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        yb = jax.lax.dot_general(xcat, mb_ref[:, :], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, L), 0)
+        prev = jnp.where(row == 0, carry_ref[:, :], pltpu.roll(yb, 1, 0))
+        wave = wa_ref[:, :] * ya + wb_ref[:, :] * prev
+        carry_ref[:, :] = yb[tile - 1:tile, :]
+        s = wave * jnp.float32(32768.0)
+        out_ref[0] = jnp.clip(s.astype(jnp.int32),
+                              -32768, 32767).astype(jnp.int16)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "halves", "apply_hfr", "apply_intensity", "base_band", "total_band",
+    "zero_band", "hfr_is", "interpret"))
+def transform_fused_pallas(qc2, gain2, ratio2, hgain2, m_src, *, halves,
+                           apply_hfr, apply_intensity, base_band, total_band,
+                           zero_band, hfr_is, interpret=False):
+    """qc2 i16 [G, T, halves*128] ([ch0 bands | ch1 bands] lanes),
+    gain2/hgain2 f32 [G, F, halves*128] per-frame factors, ratio2 f32
+    [G, T, 1] intensity L-ratios. Returns PCM i16 [G, T, halves*128] with
+    lanes interleaved as halves*band + ch."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, Tn, L = qc2.shape
+    tile = TILE
+    t_pad = -(-Tn // tile) * tile
+    if t_pad != Tn:
+        qc2 = jnp.concatenate(
+            [qc2, jnp.zeros((G, t_pad - Tn, L), qc2.dtype)], axis=1)
+        if apply_intensity:
+            ratio2 = jnp.concatenate(
+                [ratio2, jnp.zeros((G, t_pad - Tn, 1), ratio2.dtype)],
+                axis=1)
+        f_pad = t_pad // 8
+        gain2 = jnp.concatenate(
+            [gain2, jnp.zeros((G, f_pad - gain2.shape[1], L), gain2.dtype)],
+            axis=1)
+        if apply_hfr:
+            hgain2 = jnp.concatenate(
+                [hgain2, jnp.zeros((G, f_pad - hgain2.shape[1], L),
+                                   hgain2.dtype)], axis=1)
+    ma_full, mb_full, wa_i, wb_i = _IOLA[halves]
+    kernel = _make_transform_kernel(halves, apply_hfr, apply_intensity,
+                                    base_band, total_band, zero_band, hfr_is)
+    mem_kw = dict(memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda g, j: (0,) * len(shape),
+                                       **mem_kw)
+    frame_spec = pl.BlockSpec((1, tile // 8, L), lambda g, j: (g, j, 0),
+                              **mem_kw)
+    row_spec = lambda lanes: pl.BlockSpec((1, tile, lanes),
+                                          lambda g, j: (g, j, 0), **mem_kw)
+    in_specs = [const((14, LANES)), const((14, LANES)),
+                const((L, L)), const((L, L)), const((1, L)), const((1, L))]
+    args = [jnp.asarray(_C1), jnp.asarray(_C2), jnp.asarray(ma_full),
+            jnp.asarray(mb_full), jnp.asarray(wa_i), jnp.asarray(wb_i)]
+    if apply_hfr:
+        in_specs += [const((LANES, LANES)), frame_spec]
+        args += [m_src, hgain2]
+    if apply_intensity:
+        in_specs += [row_spec(1)]
+        args += [ratio2]
+    in_specs += [row_spec(L), frame_spec]
+    args += [qc2, gain2]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, t_pad, L), jnp.int16),
+        grid=(G, t_pad // tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, L), lambda g, j: (g, j, 0),
+                               **mem_kw),
+        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[:, :Tn]
+
+
 def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu" or \
         os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"

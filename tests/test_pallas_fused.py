@@ -1,0 +1,81 @@
+"""Fused decode-transform megakernel parity (interpret mode on CPU).
+
+transform_fused_pallas must be bit-identical to the jnp transform path
+(hca_decode_transform_batched with use_pallas=False) — it fuses the same
+single-rounded dequant/HFR/intensity chains (hca.cpp:1543-1693) with the
+proven IMDCT/OLA kernel schedule and the channel interleave composed into
+the exact 0/1 OLA matmuls.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pycricodecs_tpu.ops import hca_kernels as K
+
+
+def _inputs(rng, B, F, C):
+    qc = rng.integers(-2047, 2048, (B, F, C, 8, 128)).astype(np.int16)
+    sf = rng.integers(0, 64, (B, F, C, 128)).astype(np.uint8)
+    res = rng.integers(0, 16, (B, F, C, 128)).astype(np.uint8)
+    inten = rng.integers(0, 16, (B, F, C, 8)).astype(np.uint8)
+    return qc, sf, res, inten
+
+
+CASES = [
+    ("mono", 1, (), None),
+    ("stereo_pair", 2, ((0, 1),), None),
+    ("stereo_discrete", 2, (), None),
+    ("mono_hfr_v2", 1, (), (128, 96, 0, 4, 8, 0x200)),
+    ("stereo_pair_hfr_v3", 2, ((0, 1),), (128, 64, 32, 4, 8, 0x300)),
+    ("stereo_discrete_hfr", 2, (), (128, 96, 0, 4, 8, 0x300)),
+]
+
+
+@pytest.mark.parametrize("name,C,pairs,hfr_spec",
+                         CASES, ids=[c[0] for c in CASES])
+def test_fused_transform_bit_exact(name, C, pairs, hfr_spec):
+    rng = np.random.default_rng(hash(name) % 2**31)
+    B, F = 2, 6
+    qc, sf, res, inten = _inputs(rng, B, F, C)
+    apply_hfr = hfr_spec is not None
+    if apply_hfr:
+        total_band, base_band, stereo_bands, bphg, hgc, ver = hfr_spec
+        hm = K.build_hfr_map(total_band, base_band, stereo_bands,
+                             bphg, hgc, ver)
+        hstat = K.hfr_static_of(hm)
+        hi = jnp.asarray(np.asarray(hm.band_is_hfr))
+        hsrc = jnp.asarray(hm.src_band)
+        hg = jnp.asarray(hm.group_of)
+        hz = jnp.int32(hm.zero_band)
+    else:
+        total_band, base_band = 128, 96 if pairs else 128
+        hgc = 0
+        hstat = None
+        hi = jnp.zeros((128,), bool)
+        hsrc = jnp.arange(128, dtype=jnp.int32)
+        hg = jnp.zeros((128,), jnp.int32)
+        hz = jnp.int32(-1)
+    z5u = jnp.zeros((1,) * 5, jnp.uint8)
+    z5b = jnp.zeros((1,) * 5, bool)
+    ref = K.hca_decode_transform_batched(
+        qc, sf, res, inten, z5u, z5u, z5b, hi, hsrc, hg, hz,
+        base_band=base_band, total_band=total_band, stereo_pairs=pairs,
+        apply_noise=False, apply_hfr=apply_hfr, hfr_group_count=hgc,
+        use_pallas=False, hfr_static=hstat)
+    assert K.fused_transform_supported(C, pairs, False, apply_hfr, hstat)
+    got = K._fused_transform(
+        jnp.asarray(qc), jnp.asarray(sf), jnp.asarray(res),
+        jnp.asarray(inten), base_band=base_band, total_band=total_band,
+        stereo_pairs=pairs, apply_hfr=apply_hfr, hfr_group_count=hgc,
+        hfr_static=hstat, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_transform_unsupported_configs():
+    hstat = K.hfr_static_of(K.build_hfr_map(128, 96, 0, 4, 8, 0x300))
+    assert not K.fused_transform_supported(2, ((0, 1),), True, False, None)
+    assert not K.fused_transform_supported(2, ((0, 1),), False, True, None)
+    assert not K.fused_transform_supported(4, ((0, 1), (2, 3)), False,
+                                           False, None)
+    assert not K.fused_transform_supported(2, ((1, 2),), False, False, None)
+    assert K.fused_transform_supported(2, ((0, 1),), False, True, hstat)
