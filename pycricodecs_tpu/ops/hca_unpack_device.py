@@ -46,6 +46,8 @@ Reference anchors: hca.cpp:1290-1355 (scalefactors), 1357-1434 (intensity),
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -501,6 +503,7 @@ class DeviceUnpacker:
         return r.astype(jnp.uint8)
 
     _G = 10  # symbols per 128-bit window superstep
+    _FR = 1024  # frames per Pallas block: (8 sublanes, 128 lanes)
 
     def _res_program(self, res):
         """One subframe's resolutions in program order (channel-major, then
@@ -515,6 +518,36 @@ class DeviceUnpacker:
         Sp = -(-S // G) * G
         prog = jnp.pad(prog, ((0, 0), (0, Sp - S)))      # pad rows: r=0 noop
         return prog.T.reshape(Sp // G, G, N), S
+
+    def _vlc_symbol(self, ws, o, cur, r):
+        """One VLC symbol at window offset `o` (abs position `cur`):
+        returns (value i32, advance i32). Shared by the XLA scan and the
+        Pallas kernel so the math cannot drift."""
+        bits = _max_bit(r)
+        code = self._ext128(ws, o, bits, cur)
+        big = r > 7
+        v_big = (1 - ((code & 1) << 1)) * (code >> 1)
+        adv_big = bits - jnp.where(v_big == 0, 1, 0)
+        scode = jnp.where(big, 0, code)
+        v_small = _nib16(_mux8(_VAL_LO, r), _mux8(_VAL_HI, r), scode) - 8
+        adv_small = _nib16(_mux8(_BIT_LO, r), _mux8(_BIT_HI, r), scode)
+        value = jnp.where(big, v_big, v_small)
+        adv = jnp.where(big, adv_big, adv_small)
+        return value, adv
+
+    def _route_qc(self, per_sub, N):
+        """Program-order symbols [8, S, N] -> qc [N, C, 8, 128] int16 with
+        static slices/pads — no scatter."""
+        off = 0
+        chans = []
+        for c in range(self.C):
+            piece = per_sub[:, off:off + self.coded[c], :]
+            off += self.coded[c]
+            piece = jnp.pad(piece,
+                            ((0, 0), (0, 128 - self.coded[c]), (0, 0)))
+            chans.append(piece)                          # [8, 128, N]
+        qc = jnp.stack(chans, axis=0)                    # [C, 8, 128, N]
+        return qc.transpose(3, 0, 1, 2)
 
     def _coefficients(self, wa, cur, res):
         """8 x C x coded_count VLC reads -> qc [N, C, 8, 128] int16.
@@ -531,19 +564,7 @@ class DeviceUnpacker:
             o = cur - base
             vals = []
             for j in range(G):
-                r = rG[j]
-                bits = _max_bit(r)
-                code = self._ext128(ws, o, bits, cur)
-                big = r > 7
-                v_big = (1 - ((code & 1) << 1)) * (code >> 1)
-                adv_big = bits - jnp.where(v_big == 0, 1, 0)
-                scode = jnp.where(big, 0, code)
-                v_small = _nib16(_mux8(_VAL_LO, r), _mux8(_VAL_HI, r),
-                                 scode) - 8
-                adv_small = _nib16(_mux8(_BIT_LO, r), _mux8(_BIT_HI, r),
-                                   scode)
-                value = jnp.where(big, v_big, v_small)
-                adv = jnp.where(big, adv_big, adv_small)
+                value, adv = self._vlc_symbol(ws, o, cur, rG[j])
                 vals.append(value.astype(jnp.int16))
                 cur = cur + adv
                 o = o + adv
@@ -554,17 +575,107 @@ class DeviceUnpacker:
             cur, ys = jax.lax.scan(step, cur, res_prog)  # ys [Sp/G, G, N]
             subframes.append(ys.reshape(-1, N)[:S])      # [sum(coded), N]
         per_sub = jnp.stack(subframes, axis=0)           # [8, sum, N]
-        # route back to [N, C, 8, 128] with static slices/pads — no scatter
-        off = 0
-        chans = []
-        for c in range(self.C):
-            piece = per_sub[:, off:off + self.coded[c], :]
-            off += self.coded[c]
-            piece = jnp.pad(piece,
-                            ((0, 0), (0, 128 - self.coded[c]), (0, 0)))
-            chans.append(piece)                          # [8, 128, N]
-        qc = jnp.stack(chans, axis=0)                    # [C, 8, 128, N]
-        return qc.transpose(3, 0, 1, 2), cur
+        return self._route_qc(per_sub, N), cur
+
+    def _coefficients_pallas(self, wa, cur, res, interpret=False):
+        """Coefficient phase as a VMEM-resident Pallas kernel.
+
+        The XLA scan re-reads the whole aligned word table from HBM on every
+        superstep (8 x ceil(S/G) traversals — ~20GB at 256x10s streams, the
+        dominant unpack cost); here a block of 1024 frames (spread over the
+        (sublane, lane) axes) keeps its word table in VMEM for the entire
+        phase. The subframe axis rides the grid (sequential per block: the
+        bit cursor carries across subframes in VMEM scratch) and the fetch /
+        VLC math is the same gather-free formulation as the scan path
+        (_vlc_symbol), so output is bit-identical."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        N = cur.shape[0]
+        res_prog, S = self._res_program(res)             # [NSTEP, G, N]
+        G = self._G
+        NSTEP = res_prog.shape[0]
+        FR = self._FR
+        NB = -(-N // FR)
+        Np = NB * FR
+        WN, NCH = self.wn, self.nc
+        if Np != N:
+            wa = jnp.pad(wa, ((0, Np - N), (0, 0)))
+            cur = jnp.pad(cur, ((0, Np - N),),
+                          constant_values=32)
+            res_prog = jnp.pad(res_prog, ((0, 0), (0, 0), (0, Np - N)))
+        # frames -> (block, sublane, lane); word/step axes become major dims
+        wa3 = wa.reshape(NB, 8, 128, WN).transpose(0, 3, 1, 2)
+        rp3 = res_prog.reshape(NSTEP, G, NB, 8, 128) \
+            .transpose(2, 0, 1, 3, 4).astype(jnp.int32)
+        cur3 = cur.reshape(NB, 1, 8, 128)
+        fs = self.fs
+
+        def kernel(wa_ref, rp_ref, cur0_ref, out_ref, cur_s):
+            s = pl.program_id(1)
+
+            @pl.when(s == 0)
+            def _():
+                cur_s[:, :] = cur0_ref[0, 0]
+
+            def superstep(j, cur):
+                rG = rp_ref[0, j]                        # [G, 8, 128]
+                bb = jnp.minimum(cur >> 3, fs - 1)
+                q = bb >> 2
+                qc8 = q >> 3
+                r8 = ((bb & 3) << 3).astype(jnp.uint32)
+                # two-chunk one-hot fetch from the VMEM word table
+                zero = jnp.zeros((8, 128), jnp.uint32)
+                w16 = []
+                for i in range(16):
+                    crel = i >> 3
+                    acc = zero
+                    for ch in range(crel, NCH):
+                        hit = qc8 == (ch - crel)
+                        acc = acc + jnp.where(hit, wa_ref[0, ch * 8
+                                                          + (i & 7)], zero)
+                    w16.append(acc)
+                rem = q & 7
+                wq = [_mux8(w16[k:k + 8], rem) for k in range(5)]
+                ws = self._funnel(wq, r8)
+                o = cur - bb * 8
+                vals = []
+                for g in range(G):
+                    value, adv = self._vlc_symbol(ws, o, cur, rG[g])
+                    vals.append(value.astype(jnp.int16))
+                    cur = cur + adv
+                    o = o + adv
+                out_ref[0, 0, pl.ds(j, 1)] = \
+                    jnp.concatenate(vals, axis=0)[None]  # [1, G*8, 128]
+                return cur
+
+            cur = jax.lax.fori_loop(0, NSTEP, superstep, cur_s[:, :])
+            cur_s[:, :] = cur
+
+        mem_kw = dict(memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((NB, 8, NSTEP, G * 8, 128),
+                                           jnp.int16),
+            grid=(NB, 8),
+            in_specs=[
+                pl.BlockSpec((1, WN, 8, 128), lambda b, s: (b, 0, 0, 0),
+                             **mem_kw),
+                pl.BlockSpec((1, NSTEP, G, 8, 128),
+                             lambda b, s: (b, 0, 0, 0, 0), **mem_kw),
+                pl.BlockSpec((1, 1, 8, 128), lambda b, s: (b, 0, 0, 0),
+                             **mem_kw),
+            ],
+            out_specs=pl.BlockSpec((1, 1, NSTEP, G * 8, 128),
+                                   lambda b, s: (b, s, 0, 0, 0), **mem_kw),
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+            interpret=interpret,
+        )(wa3, rp3, cur3)
+        # [NB, sub, NSTEP, G*8, 128] -> program-order [8, S, N]
+        per_sub = out.reshape(NB, 8, NSTEP, G, 8, 128) \
+            .transpose(1, 2, 3, 0, 4, 5) \
+            .reshape(8, NSTEP * G, Np)[:, :S, :N]
+        return self._route_qc(per_sub, N)
 
     # -- driver --------------------------------------------------------------
 
@@ -613,7 +724,15 @@ class DeviceUnpacker:
         sf = jnp.stack(sf_ch, axis=1)          # [N, C, 128]
         inten = jnp.stack(inten_ch, axis=1)    # [N, C, 8]
         res = self._resolutions(sf, packed_noise, ath_i32)
-        qc, cur = self._coefficients(wa, cur, res)
+        plat = jax.devices()[0].platform
+        if os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK") == "1":
+            qc, cur = self._coefficients(wa, cur, res)
+        elif plat == "tpu":
+            qc = self._coefficients_pallas(wa, cur, res)
+        elif os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1":
+            qc = self._coefficients_pallas(wa, cur, res, interpret=True)
+        else:
+            qc, cur = self._coefficients(wa, cur, res)
         if self.need_noise:
             nsrc, nsci, nmask = self._noise(sf, res, B)
         else:
