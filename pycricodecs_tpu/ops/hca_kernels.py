@@ -274,13 +274,31 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
 def fused_transform_supported(channels, stereo_pairs, apply_noise,
                               apply_hfr, hfr_static) -> bool:
     """True when the megakernel path (transform_fused_pallas) covers this
-    config: no PNS noise (its band routing is data-dependent), mono or a
-    single adjacent stereo pair, and a static HFR map when HFR is on."""
+    config: no PNS noise (its band routing is data-dependent) and a static
+    HFR map when HFR is on. Any channel count: channels group into lane
+    pairs (real stereo pairs first, leftovers intensity-disabled)."""
     if apply_noise or (apply_hfr and hfr_static is None):
         return False
-    if channels == 1 and not stereo_pairs:
-        return True
-    return channels == 2 and stereo_pairs in ((), ((0, 1),))
+    return all(s == p + 1 for (p, s) in stereo_pairs)
+
+
+def _channel_groups(C, stereo_pairs):
+    """Group channels 2-per-kernel-block: real pairs keep their order, the
+    rest pair up intensity-disabled (odd counts duplicate the last channel
+    as a discarded pad). Returns (order, flags, NG): `order` indexes the
+    original C axis, flags[k] = 1.0 for real intensity pairs."""
+    paired = {c for p in stereo_pairs for c in p}
+    order, flags = [], []
+    for (p, s) in stereo_pairs:
+        order += [p, s]
+        flags.append(1.0)
+    rest = [c for c in range(C) if c not in paired]
+    while rest:
+        a = rest.pop(0)
+        b = rest.pop(0) if rest else a
+        order += [a, b]
+        flags.append(0.0)
+    return order, flags, len(flags)
 
 
 def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
@@ -323,20 +341,58 @@ def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
         m_src_dev = None
         zero_band = -1
         hfr_is_t = None
-    if stereo_pairs:
-        ratio = _onehot_take(T.INTENSITY_RATIO_TABLE,
-                             intensity[..., 1, :], 16)      # [B, F, 8]
-        ratio2 = ratio.reshape(B, Tn, 1)
+    common = dict(apply_hfr=apply_hfr, base_band=base_band,
+                  total_band=total_band, zero_band=zero_band,
+                  hfr_is=hfr_is_t, interpret=interpret)
+    if C == 1:
+        qc2 = qc.transpose(0, 1, 3, 2, 4).reshape(B, Tn, 128)
+        pcm = pallas_kernels.transform_fused_pallas(
+            qc2, gain.reshape(B, F, 128), None, None,
+            hgain2.reshape(B, F, 128) if apply_hfr else None,
+            m_src_dev, halves=1, apply_intensity=False, **common)
+        return pcm.reshape(B, F, 8, 128, 1)
+
+    # group channels 2-per-block: real pairs intensity-enabled, leftovers
+    # flagged off; the group axis rides the kernel grid
+    order, flags, NG = _channel_groups(C, stereo_pairs)
+    oc = np.asarray(order)
+
+    def to_groups(x, per_frame):
+        x = x[:, :, oc]                                   # [B, F, NG*2, ...]
+        if per_frame:                                     # [.., 128] gains
+            return x.reshape(B, F, NG, 256) \
+                .transpose(0, 2, 1, 3).reshape(B * NG, F, 256)
+        return x.reshape(B, F, NG, 2, 8, 128) \
+            .transpose(0, 2, 1, 4, 3, 5).reshape(B * NG, Tn, 256)
+
+    qc2 = to_groups(qc, False)
+    gain2 = to_groups(gain, True)
+    hg2 = to_groups(hgain2.reshape(B, F, C, 128), True) if apply_hfr \
+        else None
+    apply_intensity = bool(stereo_pairs)
+    if apply_intensity:
+        rats = [_onehot_take(T.INTENSITY_RATIO_TABLE,
+                             intensity[..., s, :], 16)
+                for (_p, s) in stereo_pairs]              # each [B, F, 8]
+        ratio_g = jnp.stack(rats, axis=1)                 # [B, NP, F, 8]
+        if NG > len(rats):
+            ratio_g = jnp.concatenate(
+                [ratio_g, jnp.zeros((B, NG - len(rats), F, 8),
+                                    ratio_g.dtype)], axis=1)
+        ratio2 = ratio_g.reshape(B * NG, Tn, 1)
+        flags2 = jnp.broadcast_to(
+            jnp.asarray(np.asarray(flags, np.int32) [None, :, None, None]),
+            (B, NG, 1, 1)).reshape(B * NG, 1, 1)
     else:
-        ratio2 = None
-    qc2 = qc.transpose(0, 1, 3, 2, 4).reshape(B, Tn, C * 128)
-    gain2 = gain.reshape(B, F, C * 128)
+        ratio2, flags2 = None, None
     pcm = pallas_kernels.transform_fused_pallas(
-        qc2, gain2, ratio2, hgain2, m_src_dev, halves=C,
-        apply_hfr=apply_hfr, apply_intensity=bool(stereo_pairs),
-        base_band=base_band, total_band=total_band, zero_band=zero_band,
-        hfr_is=hfr_is_t, interpret=interpret)
-    return pcm.reshape(B, F, 8, 128, C)
+        qc2, gain2, flags2, ratio2, hg2, m_src_dev, halves=2,
+        apply_intensity=apply_intensity, **common)
+    # [B*NG, T, 256] (lanes 2*band + in-group ch) -> [B, F, 8, 128, C]
+    pcm = pcm.reshape(B, NG, F, 8, 128, 2) \
+        .transpose(0, 2, 3, 4, 1, 5).reshape(B, F, 8, 128, NG * 2)
+    inv = np.asarray([order.index(c) for c in range(C)])
+    return pcm[..., inv]
 
 
 @partial(jax.jit, static_argnames=("base_band", "total_band", "stereo_pairs",

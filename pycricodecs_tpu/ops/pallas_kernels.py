@@ -342,13 +342,13 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
         refs = list(refs)
         c1_ref, c2_ref, ma_ref, mb_ref, wa_ref, wb_ref = refs[:6]
         refs = refs[6:]
-        msrc_ref = hgain_ref = ratio_ref = None
+        msrc_ref = hgain_ref = ratio_ref = flag_ref = None
         if apply_hfr:
             msrc_ref, hgain_ref = refs[0], refs[1]
             refs = refs[2:]
         if apply_intensity:
-            ratio_ref = refs[0]
-            refs = refs[1:]
+            flag_ref, ratio_ref = refs[0], refs[1]
+            refs = refs[2:]
         qc_ref, gain_ref, out_ref, carry_ref = refs
         j = pl.program_id(1)
 
@@ -366,28 +366,36 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
         xs = [spec[:, h * LANES:(h + 1) * LANES] for h in range(halves)]
 
         band = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+        pair_on = None
+        if apply_intensity:
+            pair_on = flag_ref[0, 0, 0] > 0   # this group is a real pair
         if apply_hfr:
             hg = hgain_ref[0]
             hg8 = jnp.broadcast_to(hg[:, None, :],
                                    (frames, 8, L)).reshape(tile, L)
             hfr_m = (band >= hfr_lo) & (band < hfr_hi)
-            # secondary (intensity) halves take their high bands from the
-            # intensity copy below, never from HFR (hca.cpp:1685 analogue)
-            hfr_halves = (0,) if apply_intensity else tuple(range(halves))
-            for h in hfr_halves:
+            for h in range(halves):
+                # secondary (intensity) halves take their high bands from
+                # the intensity copy below, never from HFR (hca.cpp:1685)
+                if h > 0 and apply_intensity:
+                    en_fill = hfr_m & jnp.logical_not(pair_on)
+                    en_zero = (band == zero_band) & jnp.logical_not(pair_on)
+                else:
+                    en_fill = hfr_m
+                    en_zero = band == zero_band
                 x = xs[h]
                 fill = jax.lax.dot_general(
                     x, msrc_ref[:, :], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                x = jnp.where(hfr_m,
+                x = jnp.where(en_fill,
                               hg8[:, h * LANES:(h + 1) * LANES] * fill, x)
-                x = jnp.where(band == zero_band, jnp.float32(0.0), x)
+                x = jnp.where(en_zero, jnp.float32(0.0), x)
                 xs[h] = x
 
         if apply_intensity:
             ratio_l = ratio_ref[0]                        # [tile, 1]
-            sel = (band >= base_band) & (band < total_band)
+            sel = (band >= base_band) & (band < total_band) & pair_on
             l_spec = xs[0]
             xs[0] = jnp.where(sel, l_spec * ratio_l, l_spec)
             xs[1] = jnp.where(sel,
@@ -424,13 +432,14 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
 @functools.partial(jax.jit, static_argnames=(
     "halves", "apply_hfr", "apply_intensity", "base_band", "total_band",
     "zero_band", "hfr_is", "interpret"))
-def transform_fused_pallas(qc2, gain2, ratio2, hgain2, m_src, *, halves,
-                           apply_hfr, apply_intensity, base_band, total_band,
-                           zero_band, hfr_is, interpret=False):
+def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src, *,
+                           halves, apply_hfr, apply_intensity, base_band,
+                           total_band, zero_band, hfr_is, interpret=False):
     """qc2 i16 [G, T, halves*128] ([ch0 bands | ch1 bands] lanes),
     gain2/hgain2 f32 [G, F, halves*128] per-frame factors, ratio2 f32
-    [G, T, 1] intensity L-ratios. Returns PCM i16 [G, T, halves*128] with
-    lanes interleaved as halves*band + ch."""
+    [G, T, 1] intensity L-ratios, flags2 i32 [G, 1, 1] per-group
+    intensity-pair flags. Returns PCM i16 [G, T, halves*128] with lanes
+    interleaved as halves*band + ch."""
     from jax.experimental.pallas import tpu as pltpu
 
     G, Tn, L = qc2.shape
@@ -469,8 +478,10 @@ def transform_fused_pallas(qc2, gain2, ratio2, hgain2, m_src, *, halves,
         in_specs += [const((LANES, LANES)), frame_spec]
         args += [m_src, hgain2]
     if apply_intensity:
-        in_specs += [row_spec(1)]
-        args += [ratio2]
+        in_specs += [pl.BlockSpec((1, 1, 1), lambda g, j: (g, 0, 0),
+                                  memory_space=pltpu.SMEM),
+                     row_spec(1)]
+        args += [flags2, ratio2]
     in_specs += [row_spec(L), frame_spec]
     args += [qc2, gain2]
     out = pl.pallas_call(

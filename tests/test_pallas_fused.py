@@ -28,6 +28,11 @@ CASES = [
     ("mono_hfr_v2", 1, (), (128, 96, 0, 4, 8, 0x200)),
     ("stereo_pair_hfr_v3", 2, ((0, 1),), (128, 64, 32, 4, 8, 0x300)),
     ("stereo_discrete_hfr", 2, (), (128, 96, 0, 4, 8, 0x300)),
+    ("c3_pair_plus_discrete", 3, ((0, 1),), None),
+    ("c4_two_pairs_hfr", 4, ((0, 1), (2, 3)), (128, 64, 32, 4, 8, 0x300)),
+    ("c5_split_pair_layout", 5, ((0, 1), (3, 4)), None),
+    ("c6_pairs_ends", 6, ((0, 1), (4, 5)), (128, 64, 32, 4, 8, 0x300)),
+    ("c8_three_pairs", 8, ((0, 1), (4, 5), (6, 7)), None),
 ]
 
 
@@ -75,7 +80,17 @@ def test_fused_transform_unsupported_configs():
     hstat = K.hfr_static_of(K.build_hfr_map(128, 96, 0, 4, 8, 0x300))
     assert not K.fused_transform_supported(2, ((0, 1),), True, False, None)
     assert not K.fused_transform_supported(2, ((0, 1),), False, True, None)
-    assert not K.fused_transform_supported(4, ((0, 1), (2, 3)), False,
-                                           False, None)
-    assert not K.fused_transform_supported(2, ((1, 2),), False, False, None)
+    assert not K.fused_transform_supported(2, ((0, 2),), False, False, None)
+    assert K.fused_transform_supported(4, ((0, 1), (2, 3)), False,
+                                       False, None)
     assert K.fused_transform_supported(2, ((0, 1),), False, True, hstat)
+
+
+def test_channel_groups():
+    assert K._channel_groups(2, ((0, 1),)) == ([0, 1], [1.0], 1)
+    assert K._channel_groups(3, ((0, 1),)) == ([0, 1, 2, 2], [1.0, 0.0], 2)
+    assert K._channel_groups(5, ((0, 1), (3, 4))) == \
+        ([0, 1, 3, 4, 2, 2], [1.0, 1.0, 0.0], 3)
+    assert K._channel_groups(6, ((0, 1), (4, 5))) == \
+        ([0, 1, 4, 5, 2, 3], [1.0, 1.0, 0.0], 3)
+    assert K._channel_groups(2, ()) == ([0, 1], [0.0], 1)
