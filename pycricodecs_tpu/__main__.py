@@ -214,6 +214,17 @@ def cmd_info(args) -> None:
 
 
 def main(argv=None) -> None:
+    # Honor JAX_PLATFORMS explicitly: some environments pin a platform
+    # plugin (e.g. a remote-TPU tunnel) at a level where the env var alone
+    # is ignored; jax.config.update still wins. Without this, a dead tunnel
+    # hangs CLI commands that only need the CPU (JAX_PLATFORMS=cpu).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     ap = argparse.ArgumentParser(prog="pycricodecs_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
