@@ -618,23 +618,36 @@ class DeviceUnpacker:
             def _():
                 cur_s[:, :] = cur0_ref[0, 0]
 
-            def superstep(j, cur):
+            zero = jnp.zeros((8, 128), jnp.uint32)
+
+            def fetch_chunk(ci):
+                """8-word chunk `ci` via one one-hot pass over the table."""
+                return [sum((jnp.where(ci == ch, wa_ref[0, ch * 8 + i],
+                                       zero) for ch in range(NCH)),
+                            start=zero) for i in range(8)]
+
+            cur0 = cur_s[:, :]
+            qc80 = (jnp.minimum(cur0 >> 3, fs - 1) >> 2) >> 3
+            w16_0 = fetch_chunk(qc80) + fetch_chunk(qc80 + 1)
+
+            def superstep(j, carry):
+                cur, qc8p = carry[0], carry[1]
+                w16 = list(carry[2:])
                 rG = rp_ref[0, j]                        # [G, 8, 128]
                 bb = jnp.minimum(cur >> 3, fs - 1)
                 q = bb >> 2
                 qc8 = q >> 3
+                # rolling 2-chunk window: cursors are monotone and advance
+                # <= G*12 bits (< 8 words) per superstep, so the chunk pair
+                # moves by 0 or 1 — refill ONE chunk instead of refetching
+                # both (the full 16-word one-hot was ~2x the ops)
+                moved = qc8 > qc8p
+                refill = fetch_chunk(qc8 + 1)
+                w16 = [jnp.where(moved, w16[8 + i], w16[i])
+                       for i in range(8)] + \
+                      [jnp.where(moved, refill[i], w16[8 + i])
+                       for i in range(8)]
                 r8 = ((bb & 3) << 3).astype(jnp.uint32)
-                # two-chunk one-hot fetch from the VMEM word table
-                zero = jnp.zeros((8, 128), jnp.uint32)
-                w16 = []
-                for i in range(16):
-                    crel = i >> 3
-                    acc = zero
-                    for ch in range(crel, NCH):
-                        hit = qc8 == (ch - crel)
-                        acc = acc + jnp.where(hit, wa_ref[0, ch * 8
-                                                          + (i & 7)], zero)
-                    w16.append(acc)
                 rem = q & 7
                 wq = [_mux8(w16[k:k + 8], rem) for k in range(5)]
                 ws = self._funnel(wq, r8)
@@ -647,10 +660,11 @@ class DeviceUnpacker:
                     o = o + adv
                 out_ref[0, 0, pl.ds(j, 1)] = \
                     jnp.concatenate(vals, axis=0)[None]  # [1, G*8, 128]
-                return cur
+                return (cur, qc8) + tuple(w16)
 
-            cur = jax.lax.fori_loop(0, NSTEP, superstep, cur_s[:, :])
-            cur_s[:, :] = cur
+            carry = jax.lax.fori_loop(0, NSTEP, superstep,
+                                      (cur0, qc80) + tuple(w16_0))
+            cur_s[:, :] = carry[0]
 
         mem_kw = dict(memory_space=pltpu.VMEM)
         out = pl.pallas_call(
