@@ -290,6 +290,31 @@ class DeviceUnpacker:
 
     # -- phases --------------------------------------------------------------
 
+    def _sf_symbol(self, ws, o, cur, value, err, act, mode):
+        """One scalefactor symbol (delta/abs/zero mode per frame lane).
+        mode = (is_abs, is_delta, db, expected, half) per-frame vectors.
+        Returns (sf value i32, adv, new value, err). Shared by the XLA scan
+        and the Pallas side-info kernel."""
+        is_abs, is_delta, db, expected, half = mode
+        dcount = jnp.where(is_delta, db, 0)
+        delta = self._ext128(ws, o, dcount, cur)
+        vabs = self._ext128(ws, o, 6, cur)
+        esc = is_delta & (delta == expected)
+        vesc = self._ext128(ws, o + dcount, 6, cur + dcount)
+        test = value + delta - half
+        bad = is_delta & (~esc) & ((test < 0) | (test >= 64))
+        vdelta = jnp.where(esc, vesc, (value - half + delta) & 0x3F)
+        sf_i = jnp.where(is_abs, vabs, jnp.where(is_delta, vdelta, 0))
+        adv = jnp.where(is_abs, 6,
+                        jnp.where(is_delta,
+                                  dcount + jnp.where(esc, 6, 0), 0))
+        adv = jnp.where(act, adv, 0)
+        value = jnp.where(act & is_delta, vdelta, value)
+        err = err | (act & bad)
+        return sf_i, adv, value, err
+
+    _SF_G = 10  # scalefactor symbols per 128-bit window (<= 11 bits each)
+
     def _scalefactors_channel(self, wa, cur, err, c):
         """One channel's scalefactor section. Returns (sf [N,128], cur, err)."""
         N = cur.shape[0]
@@ -302,13 +327,12 @@ class DeviceUnpacker:
         sf0 = jnp.where(has_first, v0, 0)
 
         if cs > 1:
-            is_abs = db >= 6
-            is_delta = (db >= 1) & (db <= 5)
-            expected = jnp.left_shift(1, db) - 1          # delta mode only
-            half = expected >> 1
+            mode = (db >= 6, (db >= 1) & (db <= 5), db,
+                    jnp.left_shift(1, db) - 1,
+                    (jnp.left_shift(1, db) - 1) >> 1)
             # supersteps: 10 symbols (each <= 5+6 = 11 bits -> all end
             # within the 128-bit window) per fetch; tail padded inactive
-            G = 10
+            G = self._SF_G
             S = cs - 1
             Sp = -(-S // G) * G
             active = np.zeros((Sp // G, G), dtype=bool)
@@ -320,24 +344,8 @@ class DeviceUnpacker:
                 o = cur - base
                 outs = []
                 for j in range(G):
-                    dcount = jnp.where(is_delta, db, 0)
-                    delta = self._ext128(ws, o, dcount, cur)
-                    vabs = self._ext128(ws, o, 6, cur)
-                    esc = is_delta & (delta == expected)
-                    vesc = self._ext128(ws, o + dcount, 6, cur + dcount)
-                    test = value + delta - half
-                    bad = is_delta & (~esc) & ((test < 0) | (test >= 64))
-                    vdelta = jnp.where(esc, vesc,
-                                       (value - half + delta) & 0x3F)
-                    sf_i = jnp.where(is_abs, vabs,
-                                     jnp.where(is_delta, vdelta, 0))
-                    adv = jnp.where(is_abs, 6,
-                                    jnp.where(is_delta,
-                                              dcount + jnp.where(esc, 6, 0),
-                                              0))
-                    adv = jnp.where(act[j], adv, 0)
-                    value = jnp.where(act[j] & is_delta, vdelta, value)
-                    err = err | (act[j] & bad)
+                    sf_i, adv, value, err = self._sf_symbol(
+                        ws, o, cur, value, err, act[j], mode)
                     outs.append(sf_i.astype(jnp.uint8))
                     cur = cur + adv
                     o = o + adv
@@ -359,6 +367,25 @@ class DeviceUnpacker:
             dst = [127 - i for i in range(extra)]
             sf = sf.at[np.asarray(dst)].set(sf[np.asarray(src)])
         return sf.T, cur, err
+
+    def _inten3_symbol(self, w0, w1, o, cur, value, err, mode3):
+        """One v3 intensity follow-up symbol. mode3 = (direct, delta_m,
+        bits, bmax) per-frame vectors. Returns (value-out, adv, new value,
+        err). Shared by the XLA path and the Pallas side-info kernel."""
+        direct, delta_m, bits, bmax = mode3
+        v4d = jnp.where(direct, self._ext64(w0, w1, o, 4, cur), 0)
+        delta = jnp.where(delta_m, self._ext64(w0, w1, o, bits, cur), 0)
+        esc = delta_m & (delta == bmax)
+        vesc = self._ext64(w0, w1, o + bits, 4, cur + bits)
+        vnew = jnp.where(esc, vesc, value - (bmax >> 1) + delta)
+        # reference `value` is unsigned char: a negative differential
+        # wraps >= 241 and fails its `> 15` check
+        err = err | (delta_m & ((vnew > 15) | (vnew < 0)))
+        value = jnp.where(delta_m, vnew, value)
+        vi = jnp.where(direct, v4d, jnp.where(delta_m, value, 7))
+        adv = jnp.where(direct, 4,
+                        jnp.where(delta_m, bits + jnp.where(esc, 4, 0), 0))
+        return vi, adv, value, err
 
     def _intensity_channel(self, wa, cur, err, c, sf_c):
         """Intensity (secondary) / v2 HFR scales (other types). Returns
@@ -390,30 +417,14 @@ class DeviceUnpacker:
                 cur = cur + jnp.where(flag, 2, 0)
                 o = o + jnp.where(flag, 2, 0)
                 value = v4
-                direct = flag & (db2 == 3)
-                delta_m = flag & (db2 < 3)
-                bits = jnp.where(delta_m, db2 + 1, 0)
-                bmax = jnp.left_shift(2, db2) - 1
+                mode3 = (flag & (db2 == 3), flag & (db2 < 3),
+                         jnp.where(flag & (db2 < 3), db2 + 1, 0),
+                         jnp.left_shift(2, db2) - 1)
                 cols = [jnp.where(flag, v4, 7).astype(jnp.uint8)]
                 for _ in range(7):
-                    v4d = jnp.where(direct,
-                                    self._ext64(w0, w1, o, 4, cur), 0)
-                    delta = jnp.where(delta_m,
-                                      self._ext64(w0, w1, o, bits, cur), 0)
-                    esc = delta_m & (delta == bmax)
-                    vesc = self._ext64(w0, w1, o + bits, 4, cur + bits)
-                    vnew = jnp.where(esc, vesc, value - (bmax >> 1) + delta)
-                    # reference `value` is unsigned char: a negative
-                    # differential wraps >= 241 and fails its `> 15` check
-                    err = err | (delta_m & ((vnew > 15) | (vnew < 0)))
-                    value = jnp.where(delta_m, vnew, value)
-                    vi = jnp.where(direct, v4d,
-                                   jnp.where(delta_m, value, 7))
+                    vi, adv, value, err = self._inten3_symbol(
+                        w0, w1, o, cur, value, err, mode3)
                     cols.append((vi & 0xFF).astype(jnp.uint8))
-                    adv = jnp.where(direct, 4,
-                                    jnp.where(delta_m,
-                                              bits + jnp.where(esc, 4, 0),
-                                              0))
                     cur = cur + adv
                     o = o + adv
                 inten = jnp.stack(cols, axis=1)
@@ -577,6 +588,263 @@ class DeviceUnpacker:
         per_sub = jnp.stack(subframes, axis=0)           # [8, sum, N]
         return self._route_qc(per_sub, N), cur
 
+    def _wa3_of(self, wa, Np):
+        """[Np, WN] word table -> [NB, WN, 8, 128] Pallas block layout."""
+        NB = Np // self._FR
+        return wa.reshape(NB, 8, 128, self.wn).transpose(0, 3, 1, 2)
+
+    def _side_info_pallas(self, wa3, ath_i32, interpret=False):
+        """Scalefactor + intensity + resolution phases as one VMEM-resident
+        Pallas kernel (the XLA path runs them as per-channel lax.scans that
+        re-fetch windows from HBM). One grid step = one 1024-frame block;
+        channels unroll inside the program (the bit cursor and the rolling
+        2-chunk window flow straight through), the per-band resolution math
+        runs on a [128, 8, 128] bands-major scratch, and sf/res leave the
+        kernel byte/nibble-packed (4 and 8 bands per i32) to keep the
+        output blocks small. Returns (sf_p, res_p, inten, cur, err) device
+        arrays; unpacked by _side_info_unpack. Bit-exact with the XLA
+        phases via the shared _sf_symbol/_inten3_symbol helpers."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        NB, WN = wa3.shape[0], self.wn
+        C, fs, NCH = self.C, self.fs, self.nc
+        G = self._SF_G
+        SF_ROWS = 136  # 1 + ceil(127/G)*G rounded up; padded writes land
+
+        def kernel(wa_ref, ath_ref, sf_ref, res_ref, int_ref, cur_ref,
+                   err_ref, sfs):
+            zero = jnp.zeros((8, 128), jnp.uint32)
+
+            def fetch_chunk(ci):
+                return [sum((jnp.where(ci == ch, wa_ref[0, ch * 8 + i],
+                                       zero) for ch in range(NCH)),
+                            start=zero) for i in range(8)]
+
+            def window(cur, qc8p, w16):
+                """Slide the rolling window to `cur`, return byte-aligned
+                funneled words + state. Invariant: <= 1 chunk moved since
+                the last call (every call site consumes < 8 words)."""
+                bb = jnp.minimum(cur >> 3, fs - 1)
+                q = bb >> 2
+                qc8 = q >> 3
+                moved = qc8 > qc8p
+                refill = fetch_chunk(qc8 + 1)
+                w16 = [jnp.where(moved, w16[8 + i], w16[i])
+                       for i in range(8)] + \
+                      [jnp.where(moved, refill[i], w16[8 + i])
+                       for i in range(8)]
+                r8 = ((bb & 3) << 3).astype(jnp.uint32)
+                rem = q & 7
+                wq = [_mux8(w16[k:k + 8], rem) for k in range(5)]
+                ws = self._funnel(wq, r8)
+                return ws, cur - bb * 8, qc8, w16
+
+            cur = jnp.full((8, 128), 32, jnp.int32)
+            err = jnp.zeros((8, 128), bool)
+            qc8p = (jnp.minimum(cur >> 3, fs - 1) >> 2) >> 3
+            w16 = fetch_chunk(qc8p) + fetch_chunk(qc8p + 1)
+            # packed_noise from frame bytes 2-3 (word 0 of every frame)
+            w0f = wa_ref[0, 0]
+            anl = (((w0f >> 8) & 0xFF) << 1 | ((w0f & 0xFF) >> 7)) \
+                .astype(jnp.int32)
+            evb = (w0f & 0x7F).astype(jnp.int32)
+            packed_noise = (anl << 8) - evb
+
+            for c in range(C):
+                cs = self.cs_counts[c]
+                sfs[:, :, :] = jnp.zeros((SF_ROWS, 8, 128), jnp.int32)
+                ws, o, qc8p, w16 = window(cur, qc8p, w16)
+                db = self._ext128(ws, o, 3, cur)
+                cur, o = cur + 3, o + 3
+                v0 = self._ext128(ws, o, 6, cur)
+                has_first = db > 0
+                adv0 = jnp.where(has_first, 6, 0)
+                cur, o = cur + adv0, o + adv0
+                sf0 = jnp.where(has_first, v0, 0)
+                sfs[0] = sf0
+                if cs > 1:
+                    mode = (db >= 6, (db >= 1) & (db <= 5), db,
+                            jnp.left_shift(1, db) - 1,
+                            (jnp.left_shift(1, db) - 1) >> 1)
+                    S = cs - 1
+                    nstep = -(-S // G)
+
+                    def sf_step(j, carry):
+                        cur, value, err, qc8p = carry[:4]
+                        w16 = list(carry[4:])
+                        ws, o, qc8p, w16 = window(cur, qc8p, w16)
+                        outs = []
+                        for g in range(G):
+                            act = (j * G + g) < S
+                            sf_i, adv, value, err = self._sf_symbol(
+                                ws, o, cur, value, err, act, mode)
+                            outs.append(jnp.where(act, sf_i, 0))
+                            cur = cur + adv
+                            o = o + adv
+                        sfs[pl.ds(1 + j * G, G)] = jnp.stack(outs)
+                        return (cur, value, err, qc8p) + tuple(w16)
+
+                    carry = jax.lax.fori_loop(
+                        0, nstep, sf_step,
+                        (cur, sf0, err, qc8p) + tuple(w16))
+                    cur, _value, err, qc8p = carry[:4]
+                    w16 = list(carry[4:])
+                extra = self.extras[c]
+                if extra:
+                    # hca.cpp:1352-1355 — i=0 copies sf[cs] (a zero)
+                    for i in range(extra):
+                        sfs[127 - i] = sfs[cs - i]
+
+                # intensity / v2 HFR-scale section
+                int_rows = [jnp.zeros((8, 128), jnp.int32)] * 8
+                if self.ctype[c] == T.STEREO_SECONDARY:
+                    ws, o, qc8p, w16 = window(cur, qc8p, w16)
+                    v4 = self._ext128(ws, o, 4, cur)
+                    flag = v4 < 15
+                    if self.version <= VERSION_V200:
+                        adv = jnp.where(flag, 4, 0)
+                        cur, o = cur + adv, o + adv
+                        int_rows[0] = v4
+                        for k in range(1, 8):
+                            vi = self._ext128(ws, o, 4, cur)
+                            adv = jnp.where(flag, 4, 0)
+                            cur, o = cur + adv, o + adv
+                            int_rows[k] = jnp.where(flag, vi, 0)
+                    else:
+                        w64_0, w64_1 = ws[0], ws[1]
+                        cur, o = cur + 4, o + 4
+                        db2 = self._ext64(w64_0, w64_1, o, 2, cur)
+                        adv = jnp.where(flag, 2, 0)
+                        cur, o = cur + adv, o + adv
+                        value = v4
+                        mode3 = (flag & (db2 == 3), flag & (db2 < 3),
+                                 jnp.where(flag & (db2 < 3), db2 + 1, 0),
+                                 jnp.left_shift(2, db2) - 1)
+                        int_rows[0] = jnp.where(flag, v4, 7)
+                        for k in range(1, 8):
+                            vi, adv, value, err = self._inten3_symbol(
+                                w64_0, w64_1, o, cur, value, err, mode3)
+                            int_rows[k] = vi & 0xFF
+                            cur = cur + adv
+                            o = o + adv
+                elif self.version <= VERSION_V200 and self.hfr > 0:
+                    ws, o, qc8p, w16 = window(cur, qc8p, w16)
+                    for i in range(self.hfr):
+                        hf = self._ext128(ws, o, 6, cur)
+                        cur, o = cur + 6, o + 6
+                        sfs[128 - self.hfr + i] = hf
+                for k in range(8):
+                    int_ref[0, c, k] = int_rows[k]
+
+                # resolutions (hca.cpp:1444-1494) on the bands-major scratch
+                sf_all = sfs[pl.ds(0, 128)]               # [128, 8, 128]
+                k3 = jax.lax.broadcasted_iota(jnp.int32, (128, 8, 128), 0)
+                ath = ath_ref[0][:, :, None]              # [128, 1, 1]
+                noise_level = ath + ((packed_noise[None] + k3) >> 8)
+                curve_pos = noise_level + 1 - ((5 * sf_all) >> 1)
+                cp = jnp.clip(curve_pos, 0, 65)
+                invert = np.asarray(T.INVERT_TABLE, np.int32)
+                inv = jnp.zeros(cp.shape, jnp.int32)
+                for v in range(1, int(invert.max()) + 1):
+                    inv = inv + (cp <= int(np.max(
+                        np.nonzero(invert >= v)[0])))
+                r = jnp.where(curve_pos < 0, 15,
+                              jnp.where(curve_pos <= 65, inv, 0))
+                r = jnp.clip(r, self.min_res, self.max_res)
+                r = jnp.where(sf_all > 0, r, 0)
+                r = jnp.where(k3 < self.coded[c], r, 0)
+
+                # pack: sf 4 bands/i32 (byte lanes), res 8 bands/i32
+                for rr in range(32):
+                    sf_ref[0, c, rr] = (sf_all[4 * rr]
+                                        | (sf_all[4 * rr + 1] << 8)
+                                        | (sf_all[4 * rr + 2] << 16)
+                                        | (sf_all[4 * rr + 3] << 24))
+                for rr in range(16):
+                    acc = r[8 * rr]
+                    for s in range(1, 8):
+                        acc = acc | (r[8 * rr + s] << (4 * s))
+                    res_ref[0, c, rr] = acc
+
+            cur_ref[0, 0] = cur
+            err_ref[0, 0] = err.astype(jnp.int32)
+
+        mem_kw = dict(memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((NB, C, 32, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((NB, C, 16, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((NB, C, 8, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((NB, 1, 8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((NB, 1, 8, 128), jnp.int32),
+            ),
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec((1, WN, 8, 128), lambda b: (b, 0, 0, 0),
+                             **mem_kw),
+                pl.BlockSpec((1, 128, 1), lambda b: (0, 0, 0), **mem_kw),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, C, 32, 8, 128),
+                             lambda b: (b, 0, 0, 0, 0), **mem_kw),
+                pl.BlockSpec((1, C, 16, 8, 128),
+                             lambda b: (b, 0, 0, 0, 0), **mem_kw),
+                pl.BlockSpec((1, C, 8, 8, 128),
+                             lambda b: (b, 0, 0, 0, 0), **mem_kw),
+                pl.BlockSpec((1, 1, 8, 128), lambda b: (b, 0, 0, 0),
+                             **mem_kw),
+                pl.BlockSpec((1, 1, 8, 128), lambda b: (b, 0, 0, 0),
+                             **mem_kw),
+            ),
+            scratch_shapes=[pltpu.VMEM((SF_ROWS, 8, 128), jnp.int32)],
+            interpret=interpret,
+        )(wa3, ath_i32.reshape(1, 128, 1).astype(jnp.int32))
+        return outs
+
+    def _side_info_unpack(self, sf_p, res_p, int_p, cur_p, err_p, N):
+        """Kernel-layout packed side info -> the XLA-layout tensors
+        (sf/res [N, C, 128] u8, inten [N, C, 8] u8, cur [N] i32,
+        err [N] bool)."""
+        NB, C = sf_p.shape[0], sf_p.shape[1]
+        Np = NB * self._FR
+
+        def frames_last(x, nvals):
+            # [NB, C, R, 8, 128] (+ a stacked shift axis) -> [Np, C, R*k]
+            x = x.transpose(0, 4, 5, 1, 2, 3)
+            return x.reshape(Np, C, nvals)
+
+        sf_b = jnp.stack([(sf_p >> (8 * b)) & 0xFF for b in range(4)],
+                         axis=3)                   # [NB, C, 32, 4, 8, 128]
+        sf = frames_last(sf_b, 128)[:N].astype(jnp.uint8)
+        res_n = jnp.stack([(res_p >> (4 * s)) & 0xF for s in range(8)],
+                          axis=3)                  # [NB, C, 16, 8, 8, 128]
+        res = frames_last(res_n, 128)[:N].astype(jnp.uint8)
+        inten = int_p.transpose(0, 3, 4, 1, 2) \
+            .reshape(Np, C, 8)[:N].astype(jnp.uint8)
+        cur = cur_p.reshape(Np)[:N]
+        err = err_p.reshape(Np)[:N].astype(bool)
+        return sf, res, inten, cur, err
+
+    def _unpack_pallas(self, wa, ath_i32, interpret=False):
+        """Full unpack via the two VMEM-resident kernels (side info +
+        coefficients). Returns (qc, sf, res, inten, err) in the XLA-path
+        layouts; bit-exact with the scan path (shared symbol helpers)."""
+        N = wa.shape[0]
+        FR = self._FR
+        NB = -(-N // FR)
+        Np = NB * FR
+        wa_p = jnp.pad(wa, ((0, Np - N), (0, 0))) if Np != N else wa
+        wa3 = self._wa3_of(wa_p, Np)
+        sf_p, res_p, int_p, cur_p, err_p = self._side_info_pallas(
+            wa3, ath_i32, interpret=interpret)
+        sf, res, inten, cur, err = self._side_info_unpack(
+            sf_p, res_p, int_p, cur_p, err_p, Np)
+        qc = self._coefficients_pallas(wa_p, cur, res,
+                                       interpret=interpret)
+        return (qc[:N], sf[:N], res[:N], inten[:N], err[:N])
+
     def _coefficients_pallas(self, wa, cur, res, interpret=False):
         """Coefficient phase as a VMEM-resident Pallas kernel.
 
@@ -727,31 +995,30 @@ class DeviceUnpacker:
         le = jax.lax.bitcast_convert_type(b, jnp.uint32)
         wa = ((le << 24) | ((le & jnp.uint32(0xFF00)) << 8)
               | ((le >> 8) & jnp.uint32(0xFF00)) | (le >> 24))
-        anl = ((dec[:, 2].astype(jnp.int32) << 1)
-               | (dec[:, 3].astype(jnp.int32) >> 7))
-        evb = dec[:, 3].astype(jnp.int32) & 0x7F
-        packed_noise = (anl << 8) - evb
-        cur = jnp.full((N,), 32, dtype=jnp.int32)
-        err = jnp.zeros((N,), dtype=bool)
-
-        sf_ch, inten_ch = [], []
-        for c in range(self.C):
-            sf_c, cur, err = self._scalefactors_channel(wa, cur, err, c)
-            inten_c, sf_c, cur, err = self._intensity_channel(
-                wa, cur, err, c, sf_c)
-            sf_ch.append(sf_c)
-            inten_ch.append(inten_c)
-        sf = jnp.stack(sf_ch, axis=1)          # [N, C, 128]
-        inten = jnp.stack(inten_ch, axis=1)    # [N, C, 8]
-        res = self._resolutions(sf, packed_noise, ath_i32)
         plat = jax.devices()[0].platform
-        if os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK") == "1":
-            qc, cur = self._coefficients(wa, cur, res)
-        elif plat == "tpu":
-            qc = self._coefficients_pallas(wa, cur, res)
-        elif os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1":
-            qc = self._coefficients_pallas(wa, cur, res, interpret=True)
+        pallas_off = os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK") == "1"
+        interp = os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"
+        if not pallas_off and (plat == "tpu" or interp):
+            qc, sf, res, inten, err = self._unpack_pallas(
+                wa, ath_i32, interpret=plat != "tpu")
         else:
+            anl = ((dec[:, 2].astype(jnp.int32) << 1)
+                   | (dec[:, 3].astype(jnp.int32) >> 7))
+            evb = dec[:, 3].astype(jnp.int32) & 0x7F
+            packed_noise = (anl << 8) - evb
+            cur = jnp.full((N,), 32, dtype=jnp.int32)
+            err = jnp.zeros((N,), dtype=bool)
+
+            sf_ch, inten_ch = [], []
+            for c in range(self.C):
+                sf_c, cur, err = self._scalefactors_channel(wa, cur, err, c)
+                inten_c, sf_c, cur, err = self._intensity_channel(
+                    wa, cur, err, c, sf_c)
+                sf_ch.append(sf_c)
+                inten_ch.append(inten_c)
+            sf = jnp.stack(sf_ch, axis=1)          # [N, C, 128]
+            inten = jnp.stack(inten_ch, axis=1)    # [N, C, 8]
+            res = self._resolutions(sf, packed_noise, ath_i32)
             qc, cur = self._coefficients(wa, cur, res)
         if self.need_noise:
             nsrc, nsci, nmask = self._noise(sf, res, B)

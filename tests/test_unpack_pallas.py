@@ -29,6 +29,11 @@ def test_coefficients_pallas_bit_exact(channels, quality):
     cipher = np.asarray(info.cipher, np.uint8)
     ath = np.asarray(info.ath, np.int32)
 
+    _assert_engines_match(info, frames, cipher, ath)
+
+
+def _assert_engines_match(info, frames, cipher, ath):
+    """Full pallas unpack (interpret) vs the XLA scan path: all outputs."""
     os.environ["PYCRICODECS_NO_PALLAS_UNPACK"] = "1"
     try:
         ref = hca_unpack_device.DeviceUnpacker(info)._jit(
@@ -41,4 +46,21 @@ def test_coefficients_pallas_bit_exact(channels, quality):
             frames, cipher, ath, B=1)
     finally:
         del os.environ["PYCRICODECS_PALLAS_INTERPRET"]
-    assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    for i, name in enumerate(("qc", "sf", "res", "inten", "err")):
+        assert np.array_equal(np.asarray(ref[i]), np.asarray(got[i])), name
+
+
+def test_side_info_pallas_synthetic_v3():
+    """The side-info kernel's v3 intensity/HFR-extension paths against the
+    XLA scan engine, on grammar-driven synthetic v3 frames (escape chains,
+    per-frame error flags)."""
+    from test_hca_unpack_device import _make_v3_frame, _v3_info
+
+    info = _v3_info()
+    assert info.hfr_group_count > 0
+    rng = np.random.default_rng(20260818)
+    frames_b = b"".join(_make_v3_frame(info, rng) for _ in range(24))
+    frames = np.frombuffer(frames_b, np.uint8).reshape(24, info.frame_size)
+    _assert_engines_match(info, frames,
+                          np.asarray(info.cipher, np.uint8),
+                          np.asarray(info.ath, np.int32))
