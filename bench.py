@@ -21,6 +21,20 @@ BASELINE_X_REALTIME = 1000.0
 
 
 def main():
+    # A dead remote-TPU tunnel hangs backend init forever; probe it in a
+    # throwaway subprocess first and fall back to CPU so the bench always
+    # emits its metric line (the driver runs this unattended).
+    import subprocess
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=int(os.environ.get("BENCH_PROBE_S", "300")),
+                       check=True, capture_output=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"TPU backend probe failed ({exc!r}); forcing CPU",
+              file=sys.stderr)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     import jax
 
     # On CPU fallback keep bit-exactness flags; on TPU run as-is.
@@ -61,13 +75,21 @@ def main():
     # real-chip coverage of the batched device engine (Pallas IMDCT+OLA):
     # with auto routing to host lanes on slow links, this parity assertion
     # is what keeps the device path exercised on actual TPU hardware.
+    guard_note = None
     if engine == "host" and platform == "tpu":
-        n_guard = 4
-        dev = parallel.decode_batch(blobs[:n_guard], engine="device")
-        host = parallel.decode_batch(blobs[:n_guard], engine="host")
-        assert dev == host, "device engine diverged from host lanes on TPU"
-        print(f"device-engine parity guard: {n_guard} streams bit-exact "
-              f"on the real chip", file=sys.stderr)
+        # a guard FAILURE must be loud in the artifact but must not crash
+        # the bench (the driver runs this unattended at round end)
+        try:
+            n_guard = 4
+            dev = parallel.decode_batch(blobs[:n_guard], engine="device")
+            host = parallel.decode_batch(blobs[:n_guard], engine="host")
+            assert dev == host, \
+                "device engine diverged from host lanes on TPU"
+            print(f"device-engine parity guard: {n_guard} streams bit-exact "
+                  f"on the real chip", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            guard_note = f"DEVICE GUARD FAILED: {exc!r}"
+            print(guard_note, file=sys.stderr)
 
     best = 0.0
     for _ in range(int(os.environ.get("BENCH_RUNS", "5"))):
@@ -91,6 +113,8 @@ def main():
           f" (see README 'performance')", file=sys.stderr)
 
     extra = {}
+    if guard_note:
+        extra["device_guard"] = guard_note
     if platform == "tpu":
         # link-independent on-device number (VERDICT r1): raw frames
         # pre-staged in HBM, unpack+transform on-chip, PCM left on device
