@@ -180,18 +180,12 @@ def _frame_field_layout(alloc: np.ndarray, hdr: Mp2Header) -> np.ndarray:
     return np.array(rows, dtype=np.int64).reshape(-1, 5)
 
 
-def unpack(data: bytes, offset: int = 0,
-           max_frames: Optional[int] = None,
-           use_native: bool = True) -> Mp2Stream:
-    """Unpack consecutive Layer II frames starting at ``offset`` into SoA
-    tensors.  Stops at end of data, a sync loss, or a config change.
-
-    Fast path: the C++ core (native/cricore.cpp cri_mp2_unpack_frames)
-    unpacks whole streams in one call.  Python fallback: the data-dependent
-    side info (alloc/scfsi/scalefactors) is read serially per frame; the
-    sample sections — fixed-layout once alloc is known — are extracted for
-    ALL frames at once with width-bucketed vectorised bit gathers, then
-    ungrouped and scattered into [F, C, 36, 32]."""
+def scan_frames(data: bytes, offset: int = 0,
+                max_frames: Optional[int] = None
+                ) -> Tuple[Mp2Header, List[Tuple[int, bytes]]]:
+    """Walk consecutive same-config Layer II frames; returns (first header,
+    [(abs byte offset, frame bytes)]). Shared by unpack() and the device
+    unpacker's raw-frame stacking."""
     hdr0 = parse_header(data, offset)
     frames = []                                  # (abs byte offset, frame)
     pos = offset
@@ -211,6 +205,22 @@ def unpack(data: bytes, offset: int = 0,
             break
     if not frames:
         raise ValueError("No complete Layer II frame found.")
+    return hdr0, frames
+
+
+def unpack(data: bytes, offset: int = 0,
+           max_frames: Optional[int] = None,
+           use_native: bool = True) -> Mp2Stream:
+    """Unpack consecutive Layer II frames starting at ``offset`` into SoA
+    tensors.  Stops at end of data, a sync loss, or a config change.
+
+    Fast path: the C++ core (native/cricore.cpp cri_mp2_unpack_frames)
+    unpacks whole streams in one call.  Python fallback: the data-dependent
+    side info (alloc/scfsi/scalefactors) is read serially per frame; the
+    sample sections — fixed-layout once alloc is known — are extracted for
+    ALL frames at once with width-bucketed vectorised bit gathers, then
+    ungrouped and scattered into [F, C, 36, 32]."""
+    hdr0, frames = scan_frames(data, offset, max_frames)
 
     F, C = len(frames), hdr0.nch
     codes = np.zeros((F, C, 36, 32), dtype=np.uint16)

@@ -1000,12 +1000,24 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
     from ..ops import mp2_frame, mp2_kernels
     from ..utils.sniff import sniff
 
+    import os as _os
+
     if on_error not in ("raise", "isolate"):
         raise ValueError("on_error must be 'raise' or 'isolate'")
     if device is None:
         device = measure_d2h_bandwidth() >= D2H_HOST_ENGINE_MBPS
     _ensure_compile_cache()
-    # per stream: (Mp2Stream, total_samples, output rate) or None (corrupt)
+    plat = jax.devices()[0].platform
+    interp = _os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"
+    # device-side bitstream unpack (ops/mp2_unpack_device): raw frames ship
+    # to HBM and side info + samples decode on-chip, fused ahead of the
+    # synthesis dispatch. Mesh runs keep the host unpack (the unpack kernel
+    # is not sharding-annotated).
+    dev_unpack = device and mesh is None \
+        and (plat == "tpu" or interp) \
+        and _os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK") != "1"
+    # per stream: ("full", Mp2Stream, nframes, total, rate) or
+    # ("raw", (hdr0, frame walk, blob), nframes, total, rate) or None
     parsed: List = [None] * len(blobs)
     for i, blob in enumerate(blobs):
         blob = bytes(blob)
@@ -1021,8 +1033,15 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
                 total = info["total_samples"]
                 rate = info["sample_rate"]     # container rate wins, as in
                                                # AHX.decode
+            if dev_unpack:
+                hdr0, walk = mp2_frame.scan_frames(blob, offset)
+                if hdr0.mode != 1:             # joint stereo: host unpack
+                    parsed[i] = ("raw", (hdr0, walk), len(walk), total,
+                                 rate or hdr0.sample_rate)
+                    continue
             st = mp2_frame.unpack(blob, offset)
-            parsed[i] = (st, total, rate or st.header.sample_rate)
+            parsed[i] = ("full", st, st.nframes, total,
+                         rate or st.header.sample_rate)
         except Exception:
             if on_error == "raise":
                 raise
@@ -1031,8 +1050,8 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
     results: List = [None] * len(blobs)
 
     def _finish(idx, pcm_c_by_n):
-        st, total, rate = parsed[idx]
-        n = st.nframes * mp2_frame.SAMPLES_PER_FRAME
+        _kind, _st, nframes, total, rate = parsed[idx]
+        n = nframes * mp2_frame.SAMPLES_PER_FRAME
         if total:
             n = min(n, total)
         chunk = pcm_c_by_n[:, :n]
@@ -1043,7 +1062,7 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
         for idx, p in enumerate(parsed):
             if p is None:
                 continue
-            st = p[0]
+            st = p[1]
             C = st.header.nch
             sb = mp2_kernels.dequantize_np(st.codes, st.levels, st.sfidx)
             sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, st.nframes * 36, 32)
@@ -1054,29 +1073,78 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
     for idx, p in enumerate(parsed):
         if p is None:
             continue
-        st = p[0]
-        groups.setdefault((st.header.nch, _round_up(st.nframes, 64)),
-                          []).append(idx)
+        kind, st, nframes = p[0], p[1], p[2]
+        if kind == "raw":
+            hdr0 = st[0]
+            key = ("raw", hdr0.nch, _round_up(nframes, 64), hdr0.table_id,
+                   hdr0.sblimit, hdr0.crc,
+                   hdr0.frame_size - hdr0.padding)
+        else:
+            key = ("full", st.header.nch, _round_up(nframes, 64))
+        groups.setdefault(key, []).append(idx)
 
     import concurrent.futures as _cf
+    from ..ops import mp2_unpack_device
     fetch_pool = _cf.ThreadPoolExecutor(max_workers=2)
     try:
         pending = []
-        for (nch, bucket), members in groups.items():
+        for key, members in groups.items():
+            nch, bucket = key[1], key[2]
             B = len(members)
             Bp = B if mesh is None else _round_up(B, mesh.devices.shape[0])
-            codes = np.zeros((Bp, bucket, nch, 36, 32), dtype=np.uint16)
-            levels = np.zeros((Bp, bucket, nch, 32), dtype=np.int32)
-            sfidx = np.zeros((Bp, bucket, nch, 3, 32), dtype=np.uint8)
-            for row, idx in enumerate(members):
-                st = parsed[idx][0]
-                codes[row, :st.nframes] = st.codes
-                levels[row, :st.nframes] = st.levels
-                sfidx[row, :st.nframes] = st.sfidx
-            args = (codes, levels, sfidx)
-            if mesh is not None:
-                spec = NamedSharding(mesh, P(mesh.axis_names[0]))
-                args = tuple(jax.device_put(a, spec) for a in args)
+            if key[0] == "raw":
+                hdr0 = parsed[members[0]][1][0]
+                up = mp2_unpack_device.Mp2DeviceUnpacker(hdr0)
+                frames_np = np.zeros((Bp, bucket, up.fs_max), np.uint8)
+                for row, idx in enumerate(members):
+                    for f, (pos, fr) in enumerate(parsed[idx][1][1]):
+                        frames_np[row, f, :len(fr)] = np.frombuffer(
+                            fr, np.uint8)
+                codes_d, lev_d, sfi_d, err_d = up(
+                    frames_np.reshape(-1, up.fs_max),
+                    interpret=plat != "tpu")
+                errs = np.asarray(err_d).reshape(Bp, bucket)
+                bad = []
+                for row, idx in enumerate(members):
+                    if errs[row, :parsed[idx][2]].any():
+                        # the host unpacker raises on these frames
+                        if on_error == "raise":
+                            raise ValueError(
+                                "Layer II frame truncated mid-field.")
+                        parsed[idx] = None
+                        bad.append(row)
+                SB = hdr0.sblimit
+                codes = jnp.pad(codes_d.reshape(Bp, bucket, nch, 36, SB),
+                                ((0, 0),) * 4 + ((0, 32 - SB),)) \
+                    .astype(jnp.uint16)
+                levels = jnp.pad(lev_d.reshape(Bp, bucket, nch, SB),
+                                 ((0, 0),) * 3 + ((0, 32 - SB),))
+                sfidx = jnp.pad(sfi_d.reshape(Bp, bucket, nch, 3, SB),
+                                ((0, 0),) * 4 + ((0, 32 - SB),)) \
+                    .astype(jnp.uint8)
+                if bad:
+                    keep = np.asarray([r for r in range(Bp)
+                                       if r not in bad])
+                    members = [i for i in members
+                               if parsed[i] is not None]
+                    if not members:
+                        continue
+                    codes, levels, sfidx = (a[keep] for a in
+                                            (codes, levels, sfidx))
+                args = (codes, levels, sfidx)
+            else:
+                codes = np.zeros((Bp, bucket, nch, 36, 32), dtype=np.uint16)
+                levels = np.zeros((Bp, bucket, nch, 32), dtype=np.int32)
+                sfidx = np.zeros((Bp, bucket, nch, 3, 32), dtype=np.uint8)
+                for row, idx in enumerate(members):
+                    st = parsed[idx][1]
+                    codes[row, :st.nframes] = st.codes
+                    levels[row, :st.nframes] = st.levels
+                    sfidx[row, :st.nframes] = st.sfidx
+                args = (codes, levels, sfidx)
+                if mesh is not None:
+                    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+                    args = tuple(jax.device_put(a, spec) for a in args)
             out_dev = mp2_kernels.dispatch_decode_batched(*args)
             pending.append((fetch_pool.submit(np.asarray, out_dev), members))
         for fut, members in pending:
