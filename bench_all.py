@@ -261,11 +261,69 @@ def config10():
             n * dur / best, "audio-sec/sec/chip")
 
 
+def config11():
+    """On-device AHX pipeline, link-independent: raw Layer II frames
+    pre-staged in HBM, bitstream unpack (ops/mp2_unpack_device) + dequant +
+    synthesis filterbank on-chip, PCM left on device (config 8 is the
+    end-to-end number over the host link)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.models.ahx import AHX
+    from pycricodecs_tpu.ops import mp2_frame, mp2_kernels
+    from pycricodecs_tpu.ops import mp2_unpack_device
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    blob = AHX.encode(_sine_wav(dur, 1, sr=22050, seed=8), bitrate_kbps=96)
+    info = AHX.parse_header(blob)
+    hdr0, walk = mp2_frame.scan_frames(blob, info["data_offset"])
+    F = len(walk)
+    up = mp2_unpack_device.Mp2DeviceUnpacker(hdr0)
+    one = np.zeros((F, up.fs_max), np.uint8)
+    for f, (_pos, fr) in enumerate(walk):
+        one[f, :len(fr)] = np.frombuffer(fr, np.uint8)
+    frames_np = np.broadcast_to(one, (n, F, up.fs_max)).copy()
+    SB = hdr0.sblimit
+    interp = jax.devices()[0].platform != "tpu"
+
+    @jax.jit
+    def run(frames):
+        codes, lev, sfi, err = up._unpack(
+            frames.reshape(n * F, up.fs_max), interpret=interp)
+        codes = jnp.pad(codes.reshape(n, F, 1, 36, SB),
+                        ((0, 0),) * 4 + ((0, 32 - SB),)).astype(jnp.uint16)
+        lev = jnp.pad(lev.reshape(n, F, 1, SB),
+                      ((0, 0),) * 3 + ((0, 32 - SB),))
+        sfi = jnp.pad(sfi.reshape(n, F, 1, 3, SB),
+                      ((0, 0),) * 4 + ((0, 32 - SB),)).astype(jnp.uint8)
+        pcm = mp2_kernels.dispatch_decode_batched(codes, lev, sfi)
+        return pcm, jnp.any(err) | (pcm[0, 0, 0] == 12345.0)
+
+    dev = jax.device_put(frames_np)
+    pcm, e = run(dev)
+    assert not bool(np.asarray(e))
+    # parity guard vs the host-unpack engine's float64 reference
+    from pycricodecs_tpu import parallel
+    ref = parallel.ahx_decode_batch([blob], device=False)[0]
+    got = np.asarray(pcm[0]).reshape(-1)[:info["total_samples"]]
+    refp = np.frombuffer(ref[44:], "<i2").astype(int)
+    d = np.abs(got[:len(refp)].astype(int) - refp)
+    assert d.max() <= 1, f"AHX device pipeline diverged: {d.max()} LSB"
+    best = 1e18
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pcm, e = run(dev)
+        assert not bool(np.asarray(e))   # scalar fetch = completion barrier
+        best = min(best, time.perf_counter() - t0)
+    return ("ahx_device_pipeline_audio_sec_per_sec_per_chip",
+            n * dur / best, "audio-sec/sec/chip")
+
+
 def main():
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
-               "9": config9, "10": config10}
+               "9": config9, "10": config10, "11": config11}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",
