@@ -320,6 +320,17 @@ def config11():
 
 
 def main():
+    # mirror bench.py: a dead remote-TPU tunnel hangs backend init forever
+    import subprocess
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=int(os.environ.get("BENCH_PROBE_S", "300")),
+                       check=True, capture_output=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"TPU backend probe failed ({exc!r}); forcing CPU",
+              file=sys.stderr)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
