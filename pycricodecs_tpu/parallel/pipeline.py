@@ -1100,10 +1100,44 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
                     for f, (pos, fr) in enumerate(parsed[idx][1][1]):
                         frames_np[row, f, :len(fr)] = np.frombuffer(
                             fr, np.uint8)
-                codes_d, lev_d, sfi_d, err_d = up(
-                    frames_np.reshape(-1, up.fs_max),
-                    interpret=plat != "tpu")
-                errs = np.asarray(err_d).reshape(Bp, bucket)
+                try:
+                    codes_d, lev_d, sfi_d, err_d = up(
+                        frames_np.reshape(-1, up.fs_max),
+                        interpret=plat != "tpu")
+                    errs = np.asarray(err_d).reshape(Bp, bucket)
+                except Exception:  # noqa: BLE001
+                    # device unpack unavailable (e.g. kernel rejected by
+                    # the backend): degrade to the host unpacker for this
+                    # group rather than failing the bank
+                    codes = np.zeros((Bp, bucket, nch, 36, 32),
+                                     dtype=np.uint16)
+                    levels = np.zeros((Bp, bucket, nch, 32),
+                                      dtype=np.int32)
+                    sfidx = np.zeros((Bp, bucket, nch, 3, 32),
+                                     dtype=np.uint8)
+                    keepm = []
+                    for row, idx in enumerate(members):
+                        hdr0i, walk = parsed[idx][1]
+                        try:
+                            st = mp2_frame.unpack(
+                                b"".join(fr for _p, fr in walk))
+                        except Exception:
+                            if on_error == "raise":
+                                raise
+                            parsed[idx] = None
+                            continue
+                        codes[len(keepm), :st.nframes] = st.codes
+                        levels[len(keepm), :st.nframes] = st.levels
+                        sfidx[len(keepm), :st.nframes] = st.sfidx
+                        keepm.append(idx)
+                    members = keepm
+                    if not members:
+                        continue
+                    out_dev = mp2_kernels.dispatch_decode_batched(
+                        codes, levels, sfidx)
+                    pending.append((fetch_pool.submit(np.asarray, out_dev),
+                                    members))
+                    continue
                 bad = []
                 for row, idx in enumerate(members):
                     if errs[row, :parsed[idx][2]].any():
