@@ -228,6 +228,7 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
         raise ValueError("on_error must be 'raise' or 'isolate'")
     if engine not in ("auto", "device", "host"):
         raise ValueError("engine must be 'auto', 'device' or 'host'")
+    auto_routed = engine == "auto"
     if engine == "auto":
         engine = pick_hca_engine()
     _ensure_compile_cache()
@@ -273,7 +274,20 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
     else:
         for group in groups.values():
             if on_error == "raise":
-                _decode_group(group, infos, results, mesh, stats)
+                if not auto_routed:
+                    _decode_group(group, infos, results, mesh, stats)
+                    continue
+                try:
+                    _decode_group(group, infos, results, mesh, stats)
+                except Exception:  # noqa: BLE001
+                    # auto-routed: the device path failing (kernel rejected
+                    # by the backend, device lost mid-run, or a corrupt
+                    # stream) degrades to the host lanes, which re-raise
+                    # for genuinely corrupt streams
+                    gset = set(group)
+                    sub = [e if i in gset else None
+                           for i, e in enumerate(infos)]
+                    _decode_host_lanes(sub, results, failures, on_error)
                 continue
             try:
                 _decode_group(group, infos, results, mesh, stats)
