@@ -171,7 +171,8 @@ class DeviceUnpacker:
                 raise ValueError("cs_count == 128 with HFR extension")
             self.cs_counts.append(cs)
             self.extras.append(extra)
-        self._jit = jax.jit(self._unpack, static_argnames=("B",))
+        self._jit = jax.jit(self._unpack,
+                            static_argnames=("B", "use_pallas_unpack"))
 
     # -- bit primitives ------------------------------------------------------
     #
@@ -961,12 +962,18 @@ class DeviceUnpacker:
 
     # -- driver --------------------------------------------------------------
 
-    def _unpack(self, frames_u8, cipher_u8, ath_i32, B=1):
+    def _unpack(self, frames_u8, cipher_u8, ath_i32, B=1,
+                use_pallas_unpack=None):
         """frames_u8: uint8 [N, frame_size] (enciphered, sync+CRC already
         validated host-side); cipher_u8 [256], ath_i32 [128] as DYNAMIC
         inputs so one compiled program serves every key and sample rate of
         a config (only cipher_identity is static: the identity map skips
-        the decipher pass entirely). Returns (qc, sf, res, inten, err)."""
+        the decipher pass entirely). Returns (qc, sf, res, inten, err).
+
+        use_pallas_unpack: None = auto (Pallas kernels on TPU, interpret
+        under PYCRICODECS_PALLAS_INTERPRET=1, XLA scan otherwise); False
+        forces the XLA scan — mesh-sharded callers use this because
+        pallas_call carries no GSPMD partitioning rule."""
         N = frames_u8.shape[0]
         if self.cipher_identity:
             dec = frames_u8
@@ -996,7 +1003,9 @@ class DeviceUnpacker:
         wa = ((le << 24) | ((le & jnp.uint32(0xFF00)) << 8)
               | ((le >> 8) & jnp.uint32(0xFF00)) | (le >> 24))
         plat = jax.devices()[0].platform
-        pallas_off = os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK") == "1"
+        pallas_off = (use_pallas_unpack is False
+                      or os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK")
+                      == "1")
         interp = os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"
         if not pallas_off and (plat == "tpu" or interp):
             qc, sf, res, inten, err = self._unpack_pallas(

@@ -380,16 +380,18 @@ def _crc16_rows(arr: np.ndarray) -> np.ndarray:
     return crcmod.crc16_batch(arr)
 
 
-def _get_fused_device_decode(info0, pairs, use_pallas):
+def _get_fused_device_decode(info0, pairs, use_pallas, pallas_unpack=True):
     """Fused device unpack+transform jit for one config, or None when the
-    config needs the host unpacker (noise path, degenerate band configs)."""
+    config needs the host unpacker (noise path, degenerate band configs).
+    pallas_unpack=False keeps the bitstream unpack on the XLA scan engine
+    (mesh-sharded callers: pallas_call has no GSPMD partitioning rule)."""
     from ..ops import hca_unpack_device
     # cipher + ATH are dynamic inputs to the unpacker; only the
     # identity-cipher flag (it skips the decipher pass) is compiled in
     key = (_config_key(info0),
            bool(np.array_equal(np.asarray(info0.cipher, np.uint8),
                                np.arange(256, dtype=np.uint8))),
-           pairs, use_pallas)
+           pairs, use_pallas, pallas_unpack)
     hit = _fused_device_decode_cache.get(key)
     if hit is not None:
         return hit or None
@@ -412,7 +414,8 @@ def _get_fused_device_decode(info0, pairs, use_pallas):
     def fused(frames, cipher, ath, hfr_is, hfr_src, hfr_group, hfr_zero):
         B, F, fs = frames.shape
         qc, sf, res, inten, err, nsrc, nsci, nmask = up._unpack(
-            frames.reshape(B * F, fs), cipher, ath, B=B)
+            frames.reshape(B * F, fs), cipher, ath, B=B,
+            use_pallas_unpack=None if pallas_unpack else False)
         if up.need_noise:
             noise_args = (nsrc.reshape(B, F, up.C, 8, 128),
                           nsci.reshape(B, F, up.C, 8, 128),
@@ -513,12 +516,14 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
         # shares the cipher/ATH shipped with the dispatch; different keys or
         # rates land in their own sub-batches against the same compiled
         # program (cipher/ATH are dynamic unpacker inputs)
-        # a pallas_call does not partition under a mesh (see the transform's
-        # use_pallas note); the unpack itself shards fine: N = B*F rows are
-        # independent, so the (dp, sp) sharding of frames [B, F, fs] merges
-        # into a block-sharded row axis through the reshape
+        # a pallas_call does not partition under a mesh, so sharded runs
+        # keep BOTH the transform and the bitstream unpack on the XLA
+        # engines (whose N = B*F independent rows shard fine: the (dp, sp)
+        # sharding of frames [B, F, fs] merges into a block-sharded row
+        # axis through the reshape)
         use_pallas = (jax.devices()[0].platform == "tpu" and mesh is None)
-        dev_decode = _get_fused_device_decode(info0, pairs, use_pallas)
+        dev_decode = _get_fused_device_decode(info0, pairs, use_pallas,
+                                              pallas_unpack=mesh is None)
     for csize in chunk_sizes:
         members = group[start:start + csize]
         start += csize
