@@ -1036,7 +1036,7 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
         and (plat == "tpu" or interp) \
         and _os.environ.get("PYCRICODECS_NO_PALLAS_UNPACK") != "1"
     # per stream: ("full", Mp2Stream, nframes, total, rate) or
-    # ("raw", (hdr0, frame walk, blob), nframes, total, rate) or None
+    # ("raw", (hdr0, frame walk), nframes, total, rate) or None
     parsed: List = [None] * len(blobs)
     for i, blob in enumerate(blobs):
         blob = bytes(blob)
