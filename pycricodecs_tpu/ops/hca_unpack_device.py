@@ -843,10 +843,10 @@ class DeviceUnpacker:
         sf, res, inten, cur, err = self._side_info_unpack(
             sf_p, res_p, int_p, cur_p, err_p, Np)
         qc = self._coefficients_pallas(wa_p, cur, res,
-                                       interpret=interpret)
+                                       interpret=interpret, wa3=wa3)
         return (qc[:N], sf[:N], res[:N], inten[:N], err[:N])
 
-    def _coefficients_pallas(self, wa, cur, res, interpret=False):
+    def _coefficients_pallas(self, wa, cur, res, interpret=False, wa3=None):
         """Coefficient phase as a VMEM-resident Pallas kernel.
 
         The XLA scan re-reads the whole aligned word table from HBM on every
@@ -874,7 +874,8 @@ class DeviceUnpacker:
                           constant_values=32)
             res_prog = jnp.pad(res_prog, ((0, 0), (0, 0), (0, Np - N)))
         # frames -> (block, sublane, lane); word/step axes become major dims
-        wa3 = wa.reshape(NB, 8, 128, WN).transpose(0, 3, 1, 2)
+        if wa3 is None:
+            wa3 = self._wa3_of(wa, Np)
         rp3 = res_prog.reshape(NSTEP, G, NB, 8, 128) \
             .transpose(2, 0, 1, 3, 4).astype(jnp.int32)
         cur3 = cur.reshape(NB, 1, 8, 128)
