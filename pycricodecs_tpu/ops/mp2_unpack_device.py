@@ -165,8 +165,11 @@ class Mp2DeviceUnpacker:
                 lev = jnp.stack(lev_rows)          # [R, 8, 128]
                 err = jnp.broadcast_to(off > fs_bits, (8, 128))
                 lv_s[:, :, :] = lev
-                lev_ref[0] = lev.reshape(SB, C, 8, 128) \
-                    .transpose(1, 0, 2, 3)
+                # static row stores (in-kernel reshape+transpose of the
+                # row-major layout may not lower in Mosaic)
+                for sb in range(SB):
+                    for ch in range(C):
+                        lev_ref[0, ch, sb] = lev_rows[sb * C + ch]
 
     # --- scfsi: 2 bits per present field; offsets by python-level
                 # row prefixes (a cumsum over the row axis may not lower
@@ -203,8 +206,10 @@ class Mp2DeviceUnpacker:
                                jnp.where(scfsi == 2, r0, r1))
                 sfp = jnp.stack([a, bv, cv])       # [3, R, 8, 128]
                 sfp = jnp.where(present[None], sfp, 0)
-                sfi_ref[0] = sfp.reshape(3, SB, C, 8, 128) \
-                    .transpose(2, 0, 1, 3, 4)
+                for sb in range(SB):
+                    for ch in range(C):
+                        for k in range(3):
+                            sfi_ref[0, ch, k, sb] = sfp[k, sb * C + ch]
                 sf_end = sc_end + pre
 
                 # --- per-granule width + truncation check (the host
@@ -248,8 +253,10 @@ class Mp2DeviceUnpacker:
             codes = jnp.stack([jnp.where(grouped, c0g, u0),
                                jnp.where(grouped, c1g, u1),
                                jnp.where(grouped, q2, u2)])
-            codes_ref[0, 0] = codes.reshape(3, SB, C, 8, 128) \
-                .transpose(2, 0, 1, 3, 4)
+            for sb in range(SB):
+                for ch in range(C):
+                    for k in range(3):
+                        codes_ref[0, 0, ch, k, sb] = codes[k, sb * C + ch]
 
         mem_kw = dict(memory_space=pltpu.VMEM)
         codes, lev, sfi, errs = pl.pallas_call(

@@ -359,9 +359,16 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
         tile = out_ref.shape[1]
         frames = tile // 8
         qc = qc_ref[0]                                    # [tile, L] i16
-        gain = gain_ref[0]                                # [frames, L]
-        g8 = jnp.broadcast_to(gain[:, None, :],
-                              (frames, 8, L)).reshape(tile, L)
+
+        def per_frame_rows(x):
+            # [frames, L] -> [tile, L] repeating each row 8x: sublane
+            # broadcast + concat only (a (frames, 8, L) -> (tile, L)
+            # reshape is a sublane-dim reshape Mosaic may not lower)
+            return jnp.concatenate(
+                [jnp.broadcast_to(x[f:f + 1], (8, L))
+                 for f in range(frames)], axis=0)
+
+        g8 = per_frame_rows(gain_ref[0])
         spec = g8 * qc.astype(jnp.float32)                # dequantise
         xs = [spec[:, h * LANES:(h + 1) * LANES] for h in range(halves)]
 
@@ -370,9 +377,7 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
         if apply_intensity:
             pair_on = flag_ref[0, 0, 0] > 0   # this group is a real pair
         if apply_hfr:
-            hg = hgain_ref[0]
-            hg8 = jnp.broadcast_to(hg[:, None, :],
-                                   (frames, 8, L)).reshape(tile, L)
+            hg8 = per_frame_rows(hgain_ref[0])
             hfr_m = (band >= hfr_lo) & (band < hfr_hi)
             for h in range(halves):
                 # secondary (intensity) halves take their high bands from
