@@ -11,9 +11,13 @@ scan exists at all. The kernel therefore VECTORISES OVER FIELD SLOTS: all
 over the frame's VMEM-resident word span — a few hundred traced ops total
 (a straightforward per-field unroll compiled for >28 minutes).
 
-Scope: mono / stereo / dual-channel streams (every AHX stream is LSF mono).
-Joint stereo's per-frame `bound` changes which fields exist per frame, so
-those streams keep the host unpacker (mp2_frame.unpack) — as do CPU runs.
+Scope: every Layer II mode.  Joint (intensity) stereo's per-frame `bound`
+(from the header's mode_extension bits) changes which fields exist per
+frame: rows for (sb >= bound, ch 1) get width 0 in every prefix sum, the
+alloc phase switches from static word funnels to the same extract()
+pattern the later phases use, and shared sample/alloc values route to
+channel 1 with a `bound > sb` select at store time.  CPU runs keep the
+host unpacker (mp2_frame.unpack).
 
 Bit-exactness: integer-only; semantics mirror mp2_frame._read_side_info /
 _frame_field_layout (locked against libtwolame/libmpg123 oracles in
@@ -39,8 +43,7 @@ class Mp2DeviceUnpacker:
     _FR = 1024  # frames per block: (8 sublanes, 128 lanes)
 
     def __init__(self, hdr):
-        if hdr.mode == 1:
-            raise ValueError("joint stereo needs the host unpacker")
+        self.joint = int(hdr.mode) == 1
         self.nch = int(hdr.nch)
         self.sblimit = int(hdr.sblimit)
         self.crc = bool(hdr.crc)
@@ -93,12 +96,26 @@ class Mp2DeviceUnpacker:
         wa3 = wa.reshape(NB, 8, 128, WN).transpose(0, 3, 1, 2)
         side_base = 48 if self.crc else 32
         fs_base8 = self.fs_base * 8
-        alloc_end = side_base + self.nch * sum(self.nbal)
+        joint = self.joint
+        # alloc-section length: static unless joint stereo, where channel 1
+        # rows exist only below the per-frame bound in [4, min(16, SB)]
+        if joint:
+            alloc_min = side_base + sum(nb for nb in self.nbal) \
+                + sum(self.nbal[:min(4, SB)])
+            alloc_max = side_base + sum(nb for nb in self.nbal) \
+                + sum(self.nbal[:min(16, SB)])
+        else:
+            alloc_min = alloc_max = side_base + self.nch * sum(self.nbal)
         # static word spans per phase (scfsi <= 2R bits; sf <= 18R more)
-        sc_w0 = alloc_end >> 5
-        sc_wn = min(WN - sc_w0, (2 * R + 31 + 31) // 32 + 1)
+        al_w0 = side_base >> 5
+        al_wn = min(WN - al_w0,
+                    (alloc_max - (al_w0 << 5) + 31 + 31) // 32 + 1)
+        sc_w0 = alloc_min >> 5
+        sc_wn = min(WN - sc_w0,
+                    (alloc_max - (sc_w0 << 5) + 2 * R + 31 + 31) // 32 + 1)
         sf_w0 = sc_w0
-        sf_wn = min(WN - sf_w0, (20 * R + 31 + 31) // 32 + 2)
+        sf_wn = min(WN - sf_w0,
+                    (alloc_max - (sf_w0 << 5) + 20 * R + 31 + 31) // 32 + 2)
         table, nbal = self.table, self.nbal
 
         def kernel(wa_ref, codes_ref, lev_ref, sfi_ref, err_ref, lv_s,
@@ -106,6 +123,16 @@ class Mp2DeviceUnpacker:
             g = pl.program_id(1)
             w0 = wa_ref[0, 0]
             fs_bits = (fs_base8 + ((w0 >> 9) & 1).astype(jnp.int32) * 8)
+            if joint:
+                # first jointly-coded subband, per frame (header mode_ext)
+                bound = jnp.minimum(
+                    (((w0 >> 4) & 3).astype(jnp.int32) + 1) * 4, SB)
+                # row exists in the bitstream: always for ch 0, below the
+                # bound for ch 1 (shared fields are read once)
+                exists = jnp.stack(
+                    [jnp.broadcast_to(bound > sb if ch else
+                                      jnp.bool_(True), (8, 128))
+                     for sb in range(SB) for ch in range(C)])
 
             def extract(w_base, n_words, offs, count):
                 """`count` bits at absolute bit offsets `offs` (vectors of
@@ -144,26 +171,54 @@ class Mp2DeviceUnpacker:
 
             @pl.when(g == 0)
             def _():
-                # --- bit allocation: STATIC offsets, direct word funnels
-                lev_rows = []
-                off = side_base
-                for sb in range(SB):
-                    for ch in range(C):
-                        nb = nbal[sb]
-                        q, o = off >> 5, off & 31
-                        hi = wa_ref[0, q]
-                        if o:
-                            left = (hi << o) | (wa_ref[0, q + 1]
-                                                >> (32 - o))
-                        else:
-                            left = hi
-                        idx = (left >> (32 - nb)).astype(jnp.int32) \
-                            & ((1 << nb) - 1)
-                        idx = jnp.where(off + nb <= fs_bits, idx, 0)
-                        lev_rows.append(self._take(table[sb], idx))
-                        off += nb
+                if not joint:
+                    # --- bit allocation: STATIC offsets, direct word
+                    # funnels
+                    lev_rows = []
+                    off = side_base
+                    for sb in range(SB):
+                        for ch in range(C):
+                            nb = nbal[sb]
+                            q, o = off >> 5, off & 31
+                            hi = wa_ref[0, q]
+                            if o:
+                                left = (hi << o) | (wa_ref[0, q + 1]
+                                                    >> (32 - o))
+                            else:
+                                left = hi
+                            idx = (left >> (32 - nb)).astype(jnp.int32) \
+                                & ((1 << nb) - 1)
+                            idx = jnp.where(off + nb <= fs_bits, idx, 0)
+                            lev_rows.append(self._take(table[sb], idx))
+                            off += nb
+                    alloc_end = jnp.broadcast_to(
+                        jnp.int32(off), (8, 128))
+                else:
+                    # --- bit allocation, joint stereo: offsets depend on
+                    # the per-frame bound, so use the same prefix-sum +
+                    # extract() pattern as the later phases (absent rows
+                    # read 0 bits)
+                    w_al = [jnp.where(exists[r], nbal[r // C], 0)
+                            for r in range(R)]
+                    pre = jnp.zeros((8, 128), jnp.int32)
+                    offs_rows = []
+                    for r in range(R):
+                        offs_rows.append(side_base + pre)
+                        pre = pre + w_al[r]
+                    idxs = extract(al_w0, al_wn, jnp.stack(offs_rows),
+                                   jnp.stack(w_al))
+                    lev_rows = []
+                    for sb in range(SB):
+                        for ch in range(C):
+                            lv = self._take(table[sb], idxs[sb * C + ch])
+                            if ch:
+                                # shared field: channel 0's value applies
+                                lv = jnp.where(bound > sb, lv,
+                                               lev_rows[sb * C])
+                            lev_rows.append(lv)
+                    alloc_end = side_base + pre
                 lev = jnp.stack(lev_rows)          # [R, 8, 128]
-                err = jnp.broadcast_to(off > fs_bits, (8, 128))
+                err = alloc_end > fs_bits
                 lv_s[:, :, :] = lev
                 # static row stores (in-kernel reshape+transpose of the
                 # row-major layout may not lower in Mosaic)
@@ -216,6 +271,8 @@ class Mp2DeviceUnpacker:
                 # raises ValueError anywhere a read crosses the frame end;
                 # offsets are monotone so the final bound covers them all)
                 _g, _gb, _nb, w_f = field_widths(lev)
+                if joint:
+                    w_f = jnp.where(exists, w_f, 0)
                 gran_w = jnp.zeros((8, 128), jnp.int32)
                 for r in range(R):
                     gran_w = gran_w + w_f[r]
@@ -227,6 +284,8 @@ class Mp2DeviceUnpacker:
             # --- samples for granule g (every grid step, incl. 0)
             lev = lv_s[:, :, :]
             grouped, gb, nbv, w_f = field_widths(lev)
+            if joint:
+                w_f = jnp.where(exists, w_f, 0)
             base = aux_s[0] + g * aux_s[1]
             pre = jnp.zeros((8, 128), jnp.int32)
             offs_rows = []
@@ -234,7 +293,7 @@ class Mp2DeviceUnpacker:
                 offs_rows.append(base + pre)
                 pre = pre + w_f[r]
             offs = jnp.stack(offs_rows)
-            live = lev != 0
+            live = (lev != 0) & exists if joint else (lev != 0)
             vg = extract(0, WN, offs, jnp.where(grouped & live, gb, 0))
             cu = jnp.where(live & ~grouped, nbv, 0)
             u0 = extract(0, WN, offs, cu)
@@ -256,7 +315,13 @@ class Mp2DeviceUnpacker:
             for sb in range(SB):
                 for ch in range(C):
                     for k in range(3):
-                        codes_ref[0, 0, ch, k, sb] = codes[k, sb * C + ch]
+                        v = codes[k, sb * C + ch]
+                        if joint and ch:
+                            # shared samples above the bound scatter to
+                            # both channels
+                            v = jnp.where(bound > sb, v,
+                                          codes[k, sb * C])
+                        codes_ref[0, 0, ch, k, sb] = v
 
         mem_kw = dict(memory_space=pltpu.VMEM)
         codes, lev, sfi, errs = pl.pallas_call(

@@ -1054,7 +1054,13 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
                                                # AHX.decode
             if dev_unpack:
                 hdr0, walk = mp2_frame.scan_frames(blob, offset)
-                if hdr0.mode != 1:             # joint stereo: host unpack
+                # the kernel assumes one frame size (+/- the padding
+                # byte); scan_frames tolerates mid-stream bitrate changes
+                # (table_id is bitrate-independent for LSF), so verify
+                # before stacking — VBR streams keep the host unpacker
+                fs0 = hdr0.frame_size - hdr0.padding
+                if all(len(fr) - ((fr[2] >> 1) & 1) == fs0
+                       for _pos, fr in walk):
                     parsed[i] = ("raw", (hdr0, walk), len(walk), total,
                                  rate or hdr0.sample_rate)
                     continue
@@ -1097,7 +1103,7 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
             hdr0 = st[0]
             key = ("raw", hdr0.nch, _round_up(nframes, 64), hdr0.table_id,
                    hdr0.sblimit, hdr0.crc,
-                   hdr0.frame_size - hdr0.padding)
+                   hdr0.frame_size - hdr0.padding, hdr0.mode == 1)
         else:
             key = ("full", st.header.nch, _round_up(nframes, 64))
         groups.setdefault(key, []).append(idx)
