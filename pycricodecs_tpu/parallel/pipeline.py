@@ -187,6 +187,12 @@ def pick_hca_engine() -> str:
     from .. import native
     if native.load() is None:
         return "device"
+    # the "device" engine is only worth routing to when the backend is a
+    # real accelerator: on a CPU backend (e.g. a dead remote-TPU tunnel
+    # degraded to the host platform) it is XLA-on-CPU, which the threaded
+    # native lanes beat ~25x on this host
+    if jax.devices()[0].platform != "tpu":
+        return "host"
     return "host" if measure_d2h_bandwidth() < D2H_HOST_ENGINE_MBPS \
         else "device"
 

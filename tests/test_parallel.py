@@ -479,3 +479,12 @@ def test_hca_encode_batch_device_sharded(oracle):
                                         mesh=mesh)
     for wav, blob in zip(wavs, sharded):
         assert blob == bytes(oracle.HcaEncode(wav, 0, 2))
+
+
+def test_pick_hca_engine_prefers_host_off_tpu():
+    # on a non-TPU backend (incl. a dead remote tunnel degraded to CPU) the
+    # "device" engine is XLA-on-CPU; the native lanes must win the route
+    from pycricodecs_tpu import native
+    if native.load() is None:
+        pytest.skip("native core unavailable")
+    assert parallel.pick_hca_engine() == "host"
