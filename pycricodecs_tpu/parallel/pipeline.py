@@ -1030,7 +1030,12 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
     if on_error not in ("raise", "isolate"):
         raise ValueError("on_error must be 'raise' or 'isolate'")
     if device is None:
-        device = measure_d2h_bandwidth() >= D2H_HOST_ENGINE_MBPS
+        # same routing rule as pick_hca_engine: the device engine is only
+        # worth it on a real accelerator (on a CPU backend it is XLA-on-CPU,
+        # measured slower than the numpy host path) and only when the
+        # device->host link can carry the PCM back
+        device = jax.devices()[0].platform == "tpu" \
+            and measure_d2h_bandwidth() >= D2H_HOST_ENGINE_MBPS
     _ensure_compile_cache()
     plat = jax.devices()[0].platform
     interp = _os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"

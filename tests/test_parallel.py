@@ -66,7 +66,8 @@ def test_decode_batch_device_unpack_mixed_subkeys(oracle):
         h.encrypt(key, subkey=sk)
         enc.append(h.get_hca())
     stats = parallel.DecodeStats()
-    out = parallel.decode_batch(enc, key=key, subkeys=[1, 2], stats=stats)
+    out = parallel.decode_batch(enc, key=key, subkeys=[1, 2], stats=stats,
+                                engine="device")
     assert stats.device_unpack_streams == 2
     assert stats.groups == 2
     for blob, wav_bytes in zip(plain, out):
