@@ -672,7 +672,10 @@ class DeviceUnpacker:
                     nstep = -(-S // G)
 
                     def sf_step(j, carry):
-                        cur, value, err, qc8p = carry[:4]
+                        # err rides the carry as i32: Mosaic cannot
+                        # legalize vector<8x128xi1> scf.for carries
+                        cur, value, erri, qc8p = carry[:4]
+                        err = erri != 0
                         w16 = list(carry[4:])
                         ws, o, qc8p, w16 = window(cur, qc8p, w16)
                         outs = []
@@ -684,12 +687,14 @@ class DeviceUnpacker:
                             cur = cur + adv
                             o = o + adv
                         sfs[pl.ds(1 + j * G, G)] = jnp.stack(outs)
-                        return (cur, value, err, qc8p) + tuple(w16)
+                        return (cur, value, err.astype(jnp.int32),
+                                qc8p) + tuple(w16)
 
                     carry = jax.lax.fori_loop(
                         0, nstep, sf_step,
-                        (cur, sf0, err, qc8p) + tuple(w16))
-                    cur, _value, err, qc8p = carry[:4]
+                        (cur, sf0, err.astype(jnp.int32), qc8p) + tuple(w16))
+                    cur, _value, erri, qc8p = carry[:4]
+                    err = erri != 0
                     w16 = list(carry[4:])
                 extra = self.extras[c]
                 if extra:
