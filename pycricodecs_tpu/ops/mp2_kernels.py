@@ -30,6 +30,30 @@ def _w512(dtype) -> np.ndarray:
     return np.transpose(G, (0, 2, 1)).reshape(512, 32).astype(dtype)
 
 
+def _w_blocks(dtype):
+    """Block-Toeplitz synthesis constants A, B [512, 512].
+
+    Grouping 16 time steps per row (X[b] = sb rows 16b..16b+15 flattened to
+    512 lanes), the 16-tap FIR of 32x32 matrices becomes exactly
+    out[b] = X[b-1] @ A + X[b] @ B, where
+      B[j*32:(j+1)*32, r*32:(r+1)*32] = G[r-j].T   for 0 <= r-j <= 15
+      A[j*32:(j+1)*32, r*32:(r+1)*32] = G[r-j+16].T for j > r.
+    Same nonzero products as the [T, 512] @ W form, but the operand stays a
+    dense [T/16, 512] relayout of the subband tensor — no 16-way shifted
+    concat (16x HBM) and no [T, 32] lane-padded temps (4x HBM on TPU)."""
+    G = T.synthesis_matrices(np.float64)          # [16, 32, 32]
+    GT = np.transpose(G, (0, 2, 1))
+    A = np.zeros((512, 512), np.float64)
+    B = np.zeros((512, 512), np.float64)
+    for r in range(16):
+        for j in range(16):
+            if 0 <= r - j <= 15:
+                B[j * 32:(j + 1) * 32, r * 32:(r + 1) * 32] = GT[r - j]
+            elif j > r:
+                A[j * 32:(j + 1) * 32, r * 32:(r + 1) * 32] = GT[r - j + 16]
+    return A.astype(dtype), B.astype(dtype)
+
+
 def dequantize_np(codes: np.ndarray, levels: np.ndarray,
                   sfidx: np.ndarray, dtype=np.float64) -> np.ndarray:
     """[F, C, 36, 32] codes -> subband samples (silent bands = 0)."""
@@ -86,7 +110,7 @@ def _jax():
     return jax, jnp
 
 
-def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w512):
+def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w_a, w_b):
     import jax as _j
     _, jnp = _jax()
     n = levels[:, :, None, :].astype(jnp.float32)
@@ -94,17 +118,22 @@ def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w512):
     val = (2.0 * codes.astype(jnp.float32) + 1.0 - n) / jnp.where(n > 0, n, 1.0)
     sb = jnp.where(n > 0, val * sf, 0.0)                   # [F, C, 36, 32]
     F, C = sb.shape[0], sb.shape[1]
-    sb = jnp.transpose(sb, (1, 0, 2, 3)).reshape(C, F * 36, 32)
     Tn = F * 36
-    pad = jnp.concatenate([jnp.zeros((C, 15, 32), jnp.float32), sb], axis=1)
-    stack = jnp.concatenate(
-        [pad[:, 15 - k:15 - k + Tn, :] for k in range(16)], axis=-1)
-    # full-fp32 matmul: the TPU's default (bf16 multiplicands) costs ~76
-    # int16 LSB of error; HIGHEST keeps the device within 1 LSB of the
-    # float64 reference (tests + real-TPU parity check)
-    out = jnp.matmul(stack, w512,
-                     precision=_j.lax.Precision.HIGHEST)   # [C, T, 32]
-    pcm = out.reshape(C, Tn * 32) * 32768.0
+    T16 = -(-Tn // 16) * 16
+    sb = jnp.transpose(sb, (1, 0, 2, 3)).reshape(C, Tn, 32)
+    if T16 != Tn:
+        sb = jnp.pad(sb, ((0, 0), (0, T16 - Tn), (0, 0)))
+    # 16 time steps per row: dense [T/16, 512] operand, block-Toeplitz FIR
+    # (see _w_blocks) — prev-block term is a one-row shift, not a 16-way
+    # shifted concat. full-fp32 matmuls: the TPU's default (bf16
+    # multiplicands) costs ~76 int16 LSB of error; HIGHEST keeps the device
+    # within 1 LSB of the float64 reference (tests + real-TPU parity check)
+    x = sb.reshape(C, T16 // 16, 512)
+    xp = jnp.concatenate([jnp.zeros((C, 1, 512), jnp.float32), x[:, :-1]],
+                         axis=1)
+    out = jnp.matmul(x, w_b, precision=_j.lax.Precision.HIGHEST) \
+        + jnp.matmul(xp, w_a, precision=_j.lax.Precision.HIGHEST)
+    pcm = out.reshape(C, T16 * 32)[:, :Tn * 32] * 32768.0
     return jnp.clip(jnp.floor(pcm + 0.5), -32768, 32767).astype(jnp.int16)
 
 
@@ -123,9 +152,9 @@ def decode_transform_device(codes: np.ndarray, levels: np.ndarray,
     if _decode_jit is None:
         sf_table = jnp.asarray(T.scalefactors(np.float32))
         part = jnp.asarray(_PART_OF_ROW)
-        w512 = jnp.asarray(_w512(np.float32))
+        w_a, w_b = (jnp.asarray(m) for m in _w_blocks(np.float32))
         _decode_jit = jax.jit(partial(_decode_jax_impl, sf_table=sf_table,
-                                      part_of_row=part, w512=w512))
+                                      part_of_row=part, w_a=w_a, w_b=w_b))
     return np.asarray(_decode_jit(codes, levels.astype(np.int32), sfidx))
 
 
@@ -173,9 +202,9 @@ def dispatch_decode_batched(codes, levels, sfidx):
     if _decode_batched_jit is None:
         sf_table = jnp.asarray(T.scalefactors(np.float32))
         part = jnp.asarray(_PART_OF_ROW)
-        w512 = jnp.asarray(_w512(np.float32))
+        w_a, w_b = (jnp.asarray(m) for m in _w_blocks(np.float32))
         fn = partial(_decode_jax_impl, sf_table=sf_table, part_of_row=part,
-                     w512=w512)
+                     w_a=w_a, w_b=w_b)
         _decode_batched_jit = jax.jit(jax.vmap(fn))
     if hasattr(levels, "astype") and levels.dtype != np.int32:
         levels = levels.astype(np.int32)
