@@ -1,12 +1,15 @@
 """MPEG Layer II device kernels (JAX) + numpy references (for the AHX codec).
 
 TPU-first formulation: the ISO synthesis filterbank (matrixing + window
-overlap) collapses into ONE matmul per stream — for each output step t,
-pcm[t*32:(t+1)*32] = W @ concat(S_t, S_{t-1}, ..., S_{t-15}) with a constant
-W[32, 512] that folds the cosine matrixing and the 512-tap window together
-(a 16-tap FIR of 32x32 matrices).  Stacking the shifted subband tensors gives
-a single [C*T, 512] x [512, 32] MXU matmul; there is no serial state at all.
-The analysis filterbank (encoder) is the same shape in reverse.
+overlap) is a 16-tap FIR of 32x32 matrices with no serial state.  The DEVICE
+path evaluates it as two block-Toeplitz [512, 512] matmuls (``_w_blocks``):
+rows group 16 time steps, so out[b] = X[b-1] @ A + X[b] @ B over a dense
+[T/16, 512] relayout — no 16-way shifted concat (16x HBM) and no lane-padded
+[T, 32] temps.  The NUMPY reference (``synthesize_np``) keeps the original
+stacked form: pcm[t*32:(t+1)*32] = concat(S_t, ..., S_{t-15}) @ W with one
+constant W[512, 32] folding the cosine matrixing and the 512-tap window
+(a [C*T, 512] x [512, 32] matmul).  The analysis filterbank (encoder) is the
+same shape in reverse.
 
 Dequantisation is closed-form elementwise: value = (2c + 1 - n) / n * sf.
 
@@ -131,6 +134,10 @@ def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w_a, w_b):
     x = sb.reshape(C, T16 // 16, 512)
     xp = jnp.concatenate([jnp.zeros((C, 1, 512), jnp.float32), x[:, :-1]],
                          axis=1)
+    # NB: splitting the 512-dot into two matmuls + add costs one extra fp32
+    # rounding per sample vs single-dot accumulation; the <=1 LSB parity
+    # tests/guards are the fence.  If a future content case trips 2 LSB,
+    # concatenate [xp, x] on the contraction axis against [w_a; w_b].
     out = jnp.matmul(x, w_b, precision=_j.lax.Precision.HIGHEST) \
         + jnp.matmul(xp, w_a, precision=_j.lax.Precision.HIGHEST)
     pcm = out.reshape(C, T16 * 32)[:, :Tn * 32] * 32768.0
