@@ -1,0 +1,290 @@
+"""Device-side (JAX) HCA frame packer: encode tensors -> frame bytes in HBM.
+
+The inverse of ops/hca_unpack_device.py, completing the link-free on-chip
+encode pipeline (reference: PackFrame, /root/reference/CriCodecs/hca.cpp:
+2894-2963, plus the MSB-first BitWriter in IO.cpp).
+
+TPU formulation (no gathers, no scatters, no scans):
+
+- Every frame is the SAME statically-known sequence of N (value, bits)
+  symbols: sync(16) + anl/evb(16), then per channel the 3-bit delta-width,
+  the coded_count scalefactor codes (raw 6-bit / delta / escape+raw), the
+  8x4-bit intensity or hfr_group x 6-bit scales, then 8 x coded_count
+  spectrum VLCs.  Only the VALUES and WIDTHS are data-dependent — the
+  sequence is fixed by the header config, so (value, bits) build as plain
+  elementwise tensors [B, F, N] (packed-nibble table muxes for the <8
+  resolutions, closed form bits = res - 4 + sign for >= 8).
+
+- Bit offsets are an exclusive prefix sum of the widths.  Each symbol
+  (<= 16 bits) spans at most two u32 words: its contribution splits into
+  (hi -> word off>>5, lo -> word (off>>5)+1) with clamped shifts.
+
+- The symbol->word "scatter" is a monotone threshold reduction: offsets are
+  nondecreasing, so  word_hi[w] = sum_n hi_n * [w_n == w]  is the adjacent
+  difference of  A[t] = sum_n hi_n * [w_n < t]  — a compare+multiply reduce
+  over the static threshold axis.  Bit ranges are disjoint (every output bit
+  is written at most once), so modular u32 sums ARE the bitwise OR.
+
+- CRC16 (poly 0x8005) is linear over GF(2): the checksum is an XOR-fold of
+  a static per-(word, bit) constant table masked by the output bits — no
+  byte-serial state loop.
+
+Semantics locked against ops/hca_frame.py::pack_frame by byte-parity tests
+(tests/test_pack_device.py); one documented divergence: the host BitWriter
+silently drops writes that cross the buffer end WITHOUT advancing the
+cursor (IO.cpp semantics).  Rate control guarantees packed frames fit
+(used_bits <= frame_size*8 counts sync+crc), so the case is unreachable for
+frames this packer receives — encode_batch_device reroutes rate-control
+failures (level < 0) to the host encoder before packing.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import hca_tables as T
+from .hca_unpack_device import _mux8, _nib16
+from ..utils.crc import CRC16_TABLE
+
+u32 = jnp.uint32
+i32 = jnp.int32
+
+STEREO_SECONDARY = 2
+
+
+def _pack_rows(table):
+    """[8,16] nibble table -> (lo, hi) packed u32 rows (values <= 15)."""
+    lo, hi = [], []
+    for row in np.asarray(table, np.int64):
+        l = h = 0
+        for c in range(8):
+            l |= int(row[c]) << (4 * c)
+            h |= int(row[c + 8]) << (4 * c)
+        lo.append(l)
+        hi.append(h)
+    return lo, hi
+
+
+_QSB_LO, _QSB_HI = _pack_rows(T.QUANTIZE_SPECTRUM_BITS)
+_QSV_LO, _QSV_HI = _pack_rows(T.QUANTIZE_SPECTRUM_VALUE)
+
+
+def _crc_word_table(fs: int, nwords: int) -> np.ndarray:
+    """K[w, t] u16: CRC16 contribution of bit t (LSB order) of output word w.
+
+    CRC16 is GF(2)-linear, so crc(frame[:fs-2]) = XOR over set message bits
+    of the per-position unit contribution.  Contribution depends only on the
+    distance from the message end: D[d, k] = crc16 of byte (1 << k) followed
+    by d zero bytes, built with the same table recurrence as utils/crc.py.
+    """
+    L = fs - 2  # CRC covers frame[:fs-2] (sync + payload), crc.py semantics
+    table = CRC16_TABLE.astype(np.uint32)
+    # D[d, k]: state after processing byte (1<<k) then d zero bytes
+    D = np.zeros((L, 8), dtype=np.uint32)
+    state = np.array([table[1 << k] for k in range(8)], dtype=np.uint32)
+    D[0] = state
+    for d in range(1, L):
+        state = ((state << 8) ^ table[(state >> 8) & 0xFF]) & 0xFFFF
+        D[d] = state
+    K = np.zeros((nwords, 32), dtype=np.uint32)
+    for w in range(nwords):
+        for i in range(4):           # big-endian byte i of word w
+            j = 4 * w + i            # message byte position
+            if j >= L:
+                continue
+            for k in range(8):       # bit k (LSB) of that byte
+                K[w, 24 - 8 * i + k] = D[L - 1 - j, k]
+    return K
+
+
+def _xor_fold(x):
+    """XOR-reduce the last axis (length padded to a power of two)."""
+    n = x.shape[-1]
+    m = 1 << (n - 1).bit_length()
+    if m != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (m - n,), x.dtype)], axis=-1)
+    while x.shape[-1] > 1:
+        h = x.shape[-1] // 2
+        x = x[..., :h] ^ x[..., h:]
+    return x[..., 0]
+
+
+def _spectrum_symbols(res, quant):
+    """(value, bits) u32 for every spectrum slot. res u8/i32, quant i16.
+
+    reference hca.cpp:2938-2957: res 0 emits nothing; 1..7 use the
+    QUANTIZE_SPECTRUM_VALUE/BITS nibble tables at q+8; 8..15 write |q| in
+    (QUANTIZED_SPECTRUM_MAX_BITS[res]-1 == res-4) bits plus a sign bit when
+    q != 0.
+    """
+    r = res.astype(i32)[..., None, :]   # broadcast bands over subframes
+    q = quant.astype(i32)
+    code = jnp.clip(q + 8, 0, 15)
+    r8 = jnp.clip(r, 0, 7)
+    v_lo = _nib16(_mux8(_QSV_LO, r8), _mux8(_QSV_HI, r8), code)
+    b_lo = _nib16(_mux8(_QSB_LO, r8), _mux8(_QSB_HI, r8), code)
+    base = r - 4                      # QUANTIZED_SPECTRUM_MAX_BITS[r] - 1
+    nz = q != 0
+    aq = jnp.abs(q)
+    v_hi = jnp.where(nz, (aq << 1) | (q < 0).astype(i32), 0)
+    b_hi = jnp.where(nz, base + 1, base)
+    value = jnp.where(r >= 8, v_hi, jnp.where(r >= 1, v_lo, 0))
+    bits = jnp.where(r >= 8, b_hi, jnp.where(r >= 1, b_lo, 0))
+    return value.astype(u32), bits.astype(i32)
+
+
+def _scalefactor_symbols(sf_c, db):
+    """(value, bits) for one channel's coded scalefactors.
+
+    sf_c i32 [B, F, cc], db i32 [B, F] (hca.cpp:2906-2920): width 0 emits
+    nothing, width 6 raw codes, else sf[0] raw then deltas with
+    (1<<db)-1 escape + raw 6-bit.
+    """
+    dbe = db[..., None]
+    maxd = (1 << jnp.maximum(dbe - 1, 0)) - 1
+    escape = (1 << dbe) - 1
+    prev = jnp.concatenate([sf_c[..., :1], sf_c[..., :-1]], axis=-1)
+    delta = sf_c - prev
+    esc = jnp.abs(delta) > maxd
+    v_delta = jnp.where(esc, (escape << 6) | sf_c, maxd + delta)
+    b_delta = jnp.where(esc, dbe + 6, dbe)
+    is_first = jnp.arange(sf_c.shape[-1]) == 0
+    value = jnp.where(dbe == 6, sf_c, jnp.where(is_first, sf_c, v_delta))
+    bits = jnp.where(dbe == 6, 6, jnp.where(is_first, 6, b_delta))
+    value = jnp.where(dbe == 0, 0, value)
+    bits = jnp.where(dbe == 0, 0, bits)
+    return value.astype(u32), bits.astype(i32)
+
+
+@partial(jax.jit, static_argnames=("channels", "coded_counts",
+                                   "channel_types", "hfr_group_count",
+                                   "frame_size"))
+def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
+                       delta_bits, quant, *, channels, coded_counts,
+                       channel_types, hfr_group_count, frame_size):
+    """Pack frames on device: encode tensors -> u8 [B, F, frame_size].
+
+    level/boundary i32 [B,F]; sf/res u8 [B,F,C,128]; intensity u8 [B,F,C,8];
+    hfr_scales i32 [B,F,C,G]; delta_bits i32 [B,F,C]; quant i16 [B,F,C,8,128].
+    Output frames are byte-identical to ops/hca_frame.py::pack_frame.
+    """
+    C = channels
+    G = hfr_group_count
+    fs = frame_size
+    B, F = level.shape
+
+    values = [jnp.broadcast_to(u32(0xFFFF), (B, F))[..., None]]
+    widths = [jnp.broadcast_to(i32(16), (B, F))[..., None]]
+
+    hdr = ((level.astype(i32) & 0x1FF) << 7) | (boundary.astype(i32) & 0x7F)
+    values.append(hdr.astype(u32)[..., None])
+    widths.append(jnp.broadcast_to(i32(16), (B, F))[..., None])
+
+    sf_i = sf.astype(i32)
+    for c in range(C):
+        cc = int(coded_counts[c])
+        db = delta_bits[..., c].astype(i32)
+        values.append((db.astype(u32) & 7)[..., None])
+        widths.append(jnp.broadcast_to(i32(3), (B, F))[..., None])
+        v, b = _scalefactor_symbols(sf_i[..., c, :cc], db)
+        values.append(v)
+        widths.append(b)
+        if channel_types[c] == STEREO_SECONDARY:
+            values.append(intensity[..., c, :].astype(u32))
+            widths.append(jnp.broadcast_to(i32(4), (B, F, 8)))
+        elif G > 0:
+            values.append(hfr_scales[..., c, :G].astype(u32))
+            widths.append(jnp.broadcast_to(i32(6), (B, F, G)))
+
+    v_spec, b_spec = _spectrum_symbols(res, quant)   # [B, F, C, 8, 128]
+    # subframe-major, channel-minor, band-innermost (hca.cpp:2938-2941)
+    v_spec = jnp.moveaxis(v_spec, 3, 2)              # [B, F, 8, C, 128]
+    b_spec = jnp.moveaxis(b_spec, 3, 2)
+    same_cc = len(set(int(x) for x in coded_counts[:C])) == 1
+    if same_cc:
+        cc = int(coded_counts[0])
+        values.append(v_spec[..., :cc].reshape(B, F, 8 * C * cc))
+        widths.append(b_spec[..., :cc].reshape(B, F, 8 * C * cc))
+    else:
+        for s in range(8):
+            for c in range(C):
+                cc = int(coded_counts[c])
+                values.append(v_spec[:, :, s, c, :cc])
+                widths.append(b_spec[:, :, s, c, :cc])
+
+    value = jnp.concatenate(values, axis=-1)         # [B, F, N] u32
+    bits = jnp.concatenate(widths, axis=-1)          # [B, F, N] i32
+
+    # exclusive prefix sum -> bit offsets; BitWriter drop semantics for any
+    # symbol crossing the writable end (unreachable for rate-controlled
+    # frames; see module docstring)
+    csum = jnp.cumsum(bits, axis=-1)
+    off = csum - bits
+    keep = (off + bits) <= (fs * 8 - 16)
+    bcl = jnp.minimum(bits, 31)
+    value = jnp.where(keep, value & ((u32(1) << bcl.astype(u32)) - 1), 0)
+
+    # split each symbol into (hi -> word w, lo -> word w+1) contributions
+    w_n = (off >> 5).astype(i32)
+    rel = (off & 31).astype(i32)
+    end = rel + bits
+    sh_hi_le = jnp.clip(32 - end, 0, 31).astype(u32)   # end <= 32 case
+    sh_hi_gt = jnp.clip(end - 32, 0, 31).astype(u32)   # end > 32 case
+    hi = jnp.where(end <= 32, value << sh_hi_le, value >> sh_hi_gt)
+    sh_lo = jnp.clip(64 - end, 0, 31).astype(u32)
+    lo = jnp.where(end > 32, value << sh_lo, u32(0))
+
+    # monotone threshold sums: A[t] = sum_n hi * [w_n < t] (mod 2^32 — equal
+    # to OR because written bit ranges are disjoint); words by difference
+    W = -(-fs // 4)
+    thr = jnp.arange(W + 1, dtype=i32)
+    mask = w_n[..., None] < thr                       # [B, F, N, W+1]
+    A = jnp.sum(jnp.where(mask, hi[..., None], u32(0)), axis=-2)
+    Bv = jnp.sum(jnp.where(mask, lo[..., None], u32(0)), axis=-2)
+    word_hi = A[..., 1:] - A[..., :-1]
+    d_lo = Bv[..., 1:] - Bv[..., :-1]                 # sum lo * [w_n == w]
+    word_lo = jnp.concatenate(
+        [jnp.zeros_like(d_lo[..., :1]), d_lo[..., :-1]], axis=-1)
+    words = word_hi | word_lo                         # [B, F, W]
+
+    # CRC16 over frame[:fs-2]: XOR-fold of the static contribution table
+    # (bytes at fs-2.. are zero in `words`: rate control ends the payload
+    # before the CRC slot)
+    K = jnp.asarray(_crc_word_table(fs, W))           # [W, 32] u32
+    bit_idx = jnp.arange(32, dtype=u32)
+    msg_bits = (words[..., None] >> bit_idx) & u32(1)  # [B, F, W, 32]
+    crc = _xor_fold((msg_bits * K).reshape(B, F, W * 32))
+
+    # big-endian byte layout (static 4-slice stack: no jnp.flip on this
+    # backend — see CLAUDE.md TPU-plugin miscompilation note)
+    le = jax.lax.bitcast_convert_type(words, jnp.uint8)  # [B, F, W, 4] LE
+    be = jnp.stack([le[..., 3], le[..., 2], le[..., 1], le[..., 0]], axis=-1)
+    payload = be.reshape(B, F, W * 4)[..., :fs - 2]
+    crc_b = jnp.stack([(crc >> 8).astype(jnp.uint8),
+                       (crc & 0xFF).astype(jnp.uint8)], axis=-1)
+    return jnp.concatenate([payload, crc_b], axis=-1)
+
+
+class DevicePacker:
+    """Per-config compiled packer (config static args resolved once)."""
+
+    def __init__(self, info):
+        self._kw = dict(
+            channels=int(info.channels),
+            coded_counts=tuple(int(x) for x in info.coded_count),
+            channel_types=tuple(int(x) for x in info.channel_type),
+            hfr_group_count=int(info.hfr_group_count),
+            frame_size=int(info.frame_size))
+
+    def __call__(self, level, boundary, sf, res, intensity, hfr_scales,
+                 delta_bits, quant):
+        return pack_frames_device(
+            jnp.asarray(level, i32), jnp.asarray(boundary, i32),
+            jnp.asarray(sf), jnp.asarray(res), jnp.asarray(intensity),
+            jnp.asarray(hfr_scales, i32), jnp.asarray(delta_bits, i32),
+            jnp.asarray(quant), **self._kw)
