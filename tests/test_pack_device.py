@@ -1,0 +1,143 @@
+"""Device-side HCA frame packer parity (ops/hca_pack_device.py).
+
+The packer is the inverse of the device unpacker: encode tensors already on
+device -> frame bytes in HBM, byte-identical to the host packer
+(ops/hca_frame.py::pack_frame, reference PackFrame hca.cpp:2894-2963).
+Inputs come from the shipped device encode transform so the test exercises
+exactly the tensors the end-to-end pipeline feeds it.
+"""
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from pycricodecs_tpu.ops import hca_encode_device as D
+from pycricodecs_tpu.ops import hca_encode_host as H
+from pycricodecs_tpu.ops import hca_frame
+from pycricodecs_tpu.ops import hca_tables as T
+from pycricodecs_tpu.ops.hca_pack_device import DevicePacker
+
+
+def _wav(samples=8192, channels=2, rate=44100, seed=0, loop=False):
+    rng = np.random.default_rng(seed)
+    t = np.arange(samples) / rate
+    pcm = np.zeros((channels, samples), np.float64)
+    for c in range(channels):
+        f0 = 180.0 * (c + 1) + 37.0 * seed
+        pcm[c] = (0.5 * np.sin(2 * np.pi * f0 * t)
+                  + 0.2 * np.sin(2 * np.pi * 3.1 * f0 * t)
+                  + 0.08 * rng.standard_normal(samples))
+    data = np.clip(pcm * 18000.0, -32768, 32767).astype('<i2')
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(data.T.tobytes())
+    w.close()
+    raw = bytearray(buf.getvalue())
+    if loop:
+        # minimal smpl chunk: one loop over the middle half
+        import struct
+        smpl = struct.pack('<4sI', b'smpl', 60) + b'\x00' * 28 + \
+            struct.pack('<I', 1) + b'\x00' * 4 + \
+            struct.pack('<IIIIII', 0, 0, samples // 4, samples // 2, 0, 0)
+        raw += smpl
+        raw[4:8] = struct.pack('<I', len(raw) - 8)
+    return bytes(raw)
+
+
+def _encode_tensors(wav_bytes, quality):
+    """Run the device encode transform exactly as encode_batch_device does,
+    returning (info, per-stream host-layout tensors, device [1,F,...] args).
+    """
+    from pycricodecs_tpu.utils import wav as wavmod
+
+    w = wavmod.parse_wav(wav_bytes)
+    cfg = H.init_encode(w, quality, w.looping)
+    info = cfg.info
+    C = info.channels
+    F = info.frame_count
+    Fp = -(-F // 16) * 16
+    pcm = np.zeros((1, C, Fp * 1024), np.int16)
+    tl = H.build_timeline(cfg, w)
+    pcm[0, :, :tl.shape[1]] = tl
+    pairs = tuple((c, c + 1) for c in range(C - 1)
+                  if info.channel_type[c] == T.STEREO_PRIMARY) \
+        if info.stereo_band_count > 0 else ()
+    out = D.hca_encode_transform(
+        pcm,
+        base_band=int(info.base_band_count),
+        total_band=int(info.total_band_count),
+        pairs=pairs,
+        coded_counts=tuple(int(x) for x in info.coded_count),
+        channel_types=tuple(int(x) for x in info.channel_type),
+        hfr_group_count=int(info.hfr_group_count),
+        bands_per_hfr_group=int(info.bands_per_hfr_group),
+        hfr_band_count=int(cfg.hfr_band_count),
+        frame_size=int(info.frame_size))
+    sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \
+        [np.asarray(x) for x in out]
+    assert (level[0, :F] >= 0).all(), "rate-control fallback in test input"
+    hfr_scales = D._host_hfr_scales(info, cfg, ga, gs)
+    return info, F, (level, boundary, sf, res, intensity, hfr_scales,
+                     delta_bits, quant)
+
+
+CASES = [
+    dict(channels=1, quality=1, samples=8192, seed=1),
+    dict(channels=2, quality=1, samples=8192, seed=2),
+    dict(channels=2, quality=0, samples=12288, seed=3),
+    dict(channels=2, quality=4, samples=8192, seed=4),   # high HFR count
+    dict(channels=6, quality=2, samples=6144, seed=5),   # intensity stereo
+    dict(channels=8, quality=3, samples=4096, seed=6),
+    dict(channels=2, quality=2, samples=8192, seed=7, rate=16000),
+    dict(channels=1, quality=3, samples=8192, seed=8, rate=48000),
+    dict(channels=2, quality=1, samples=16384, seed=9, loop=True),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: (
+    f"ch{c['channels']}q{c['quality']}r{c.get('rate', 44100)}"
+    f"{'loop' if c.get('loop') else ''}"))
+def test_pack_device_matches_host(case):
+    quality = case["quality"]
+    wav_bytes = _wav(samples=case["samples"], channels=case["channels"],
+                     rate=case.get("rate", 44100), seed=case["seed"],
+                     loop=case.get("loop", False))
+    info, F, tensors = _encode_tensors(wav_bytes, quality)
+    level, boundary, sf, res, intensity, hfr_scales, delta_bits, quant = \
+        tensors
+
+    host = D.hca_frame_pack(info, level[0, :F], boundary[0, :F], sf[0, :F],
+                            res[0, :F], intensity[0, :F], hfr_scales[0, :F],
+                            delta_bits[0, :F], quant[0, :F])
+
+    packer = DevicePacker(info)
+    dev = np.asarray(packer(level, boundary, sf, res, intensity,
+                            hfr_scales, delta_bits, quant))
+    got = dev[0, :F].tobytes()
+    assert got == host
+
+
+def test_pack_device_batch_consistency():
+    """Two different streams packed in one [B, F] batch match their
+    individually packed selves (no cross-stream leakage)."""
+    wavs = [_wav(samples=8192, channels=2, seed=11),
+            _wav(samples=8192, channels=2, seed=12)]
+    infos, tens = [], []
+    for wb in wavs:
+        info, F, t = _encode_tensors(wb, 1)
+        infos.append((info, F))
+        tens.append(t)
+    batch = [np.concatenate([a, b], axis=0)
+             for a, b in zip(tens[0], tens[1])]
+    packer = DevicePacker(infos[0][0])
+    dev = np.asarray(packer(*batch))
+    for b, (info, F) in enumerate(infos):
+        host = D.hca_frame_pack(
+            info, tens[b][0][0, :F], tens[b][1][0, :F], tens[b][2][0, :F],
+            tens[b][3][0, :F], tens[b][4][0, :F], tens[b][5][0, :F],
+            tens[b][6][0, :F], tens[b][7][0, :F])
+        assert dev[b, :F].tobytes() == host
