@@ -416,11 +416,57 @@ def _delta_lengths(sf, coded_counts, channel_types, hfr_group_count):
 
 
 # ---------------------------------------------------------------------------
+# Fused on-device encode: PCM -> HCA frame bytes in HBM
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("base_band", "total_band", "pairs",
+                                   "coded_counts", "channel_types",
+                                   "hfr_group_count", "bands_per_hfr_group",
+                                   "hfr_band_count", "frame_size",
+                                   "hfr_counts", "hfr_counts2"))
+def hca_encode_frames(pcm, *, base_band, total_band, pairs, coded_counts,
+                      channel_types, hfr_group_count, bands_per_hfr_group,
+                      hfr_band_count, frame_size, hfr_counts, hfr_counts2):
+    """PCM16 [B, C, F*1024] -> (frames u8 [B, F, frame_size], fallback [B,F]).
+
+    The full encode pipeline on device: transform -> certified-exact HFR
+    scale normalisation (ops/hca_hfr_device.py) -> frame packer
+    (ops/hca_pack_device.py).  Frame bytes stay in HBM; nothing but the
+    packed frames (and the tiny fallback mask) ever crosses the link.
+
+    fallback[b, f] is True where byte-exactness cannot be certified on
+    device: rate-control failure (level < 0, reference top-band zeroing
+    hca.cpp:2816-2828) or an HFR comparison inside the guard band.  Callers
+    must reroute those streams to the exact host encoder.
+    """
+    from .hca_hfr_device import hfr_scales_device
+    from .hca_pack_device import pack_frames_device
+
+    sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \
+        hca_encode_transform(
+            pcm, base_band=base_band, total_band=total_band, pairs=pairs,
+            coded_counts=coded_counts, channel_types=channel_types,
+            hfr_group_count=hfr_group_count,
+            bands_per_hfr_group=bands_per_hfr_group,
+            hfr_band_count=hfr_band_count, frame_size=frame_size)
+    hfr_scales, guard = hfr_scales_device(
+        ga, gs, counts=hfr_counts, counts2=hfr_counts2,
+        channel_types=channel_types)
+    frames = pack_frames_device(
+        level, boundary, sf, res, intensity, hfr_scales, delta_bits, quant,
+        channels=pcm.shape[1], coded_counts=coded_counts,
+        channel_types=channel_types, hfr_group_count=hfr_group_count,
+        frame_size=frame_size)
+    return frames, guard | (level < 0)
+
+
+# ---------------------------------------------------------------------------
 # Host driver: batched device encode
 # ---------------------------------------------------------------------------
 
 def encode_batch_device(wav_blobs, quality: int = 1,
-                        force_not_looping: bool = False, mesh=None):
+                        force_not_looping: bool = False, mesh=None,
+                        pack: str = "auto"):
     """Encode a batch of same-format WAVs to HCA with the device pipeline.
 
     Streams must share (channels, sample_rate) so they form one jitted shape
@@ -429,6 +475,13 @@ def encode_batch_device(wav_blobs, quality: int = 1,
     Output is byte-identical to hca_encode_host.encode / the C++ reference.
     With a `mesh`, the stream axis shards over the first mesh axis (the
     encode transform is per-stream; no collectives needed).
+
+    pack="device" runs the frame packer + HFR normalisation on device too
+    (hca_encode_frames): only finished frame bytes cross the link, ~6x less
+    traffic than the tensor fetch, and frames can stay in HBM for link-free
+    pipelines.  pack="host" fetches the encode tensors and packs with the
+    native C++ packer.  "auto" picks device on a real TPU, host otherwise
+    (on CPU the XLA packer loses to the native one).
     """
     from . import hca_encode_host as H
     from ..utils import wav as wavmod
@@ -464,8 +517,7 @@ def encode_batch_device(wav_blobs, quality: int = 1,
     pairs = tuple((c, c + 1) for c in range(C - 1)
                   if info0.channel_type[c] == T.STEREO_PRIMARY) \
         if info0.stereo_band_count > 0 else ()
-    out = hca_encode_transform(
-        pcm,
+    kw = dict(
         base_band=int(info0.base_band_count),
         total_band=int(info0.total_band_count),
         pairs=pairs,
@@ -475,6 +527,32 @@ def encode_batch_device(wav_blobs, quality: int = 1,
         bands_per_hfr_group=int(info0.bands_per_hfr_group),
         hfr_band_count=int(cfgs[0].hfr_band_count),
         frame_size=int(info0.frame_size))
+
+    if pack == "auto":
+        import jax as _jax
+        pack = "device" if _jax.devices()[0].platform == "tpu" else "host"
+    if pack == "device":
+        from .hca_hfr_device import _group_counts
+
+        counts, counts2 = _group_counts(info0, int(cfgs[0].hfr_band_count))
+        frames, fb = hca_encode_frames(
+            pcm, hfr_counts=tuple(counts), hfr_counts2=tuple(counts2), **kw)
+        frames = np.asarray(frames[:B])
+        fb = np.asarray(fb[:B])
+        results = []
+        for b, cfg in enumerate(cfgs):
+            F = cfg.info.frame_count
+            if fb[b, :F].any():
+                # guard-band or rate-control fallback: exact host path
+                results.append(H.encode(bytes(wav_blobs[b]),
+                                        force_not_looping=force_not_looping,
+                                        quality=quality))
+            else:
+                results.append(H.pack_header(cfg.info)
+                               + frames[b, :F].tobytes())
+        return results
+
+    out = hca_encode_transform(pcm, **kw)
     # slice padded mesh rows off on device BEFORE fetching: on slow
     # device->host links the silence rows are pure wasted transfer
     sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \

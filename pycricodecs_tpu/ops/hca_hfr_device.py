@@ -231,7 +231,10 @@ def hfr_scales_device(ga, gs, *, counts, counts2, channel_types):
     Byte-identical to hca_encode_host.calc_hfr_scales wherever guard is
     False; guard=True frames must reroute to the host encoder.
     """
-    B, F, C, G = ga.shape
+    # ga/gs carry a padded group axis of max(G, 1); the real group count is
+    # len(counts) (== info.hfr_group_count), zero for no-HFR configs
+    B, F, C = ga.shape[:3]
+    G = len(counts)
     scales = []
     guard = jnp.zeros((B, F), bool)
     sec = np.asarray([t == T.STEREO_SECONDARY for t in channel_types])

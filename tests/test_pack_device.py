@@ -121,6 +121,33 @@ def test_pack_device_matches_host(case):
     assert got == host
 
 
+@pytest.mark.parametrize("case", [CASES[1], CASES[3], CASES[4], CASES[8]],
+                         ids=lambda c: (
+    f"ch{c['channels']}q{c['quality']}r{c.get('rate', 44100)}"
+    f"{'loop' if c.get('loop') else ''}"))
+def test_encode_batch_device_pack_device(case):
+    """End-to-end fused on-device encode (transform -> HFR -> packer):
+    encode_batch_device(pack="device") is byte-identical to the host
+    encoder, header included."""
+    wav_bytes = _wav(samples=case["samples"], channels=case["channels"],
+                     rate=case.get("rate", 44100), seed=case["seed"],
+                     loop=case.get("loop", False))
+    quality = case["quality"]
+    got = D.encode_batch_device([wav_bytes], quality=quality,
+                                pack="device")[0]
+    want = H.encode(wav_bytes, quality=quality)
+    assert got == want
+
+
+def test_encode_batch_device_pack_device_multi():
+    """Two different-length streams through one fused device dispatch."""
+    wavs = [_wav(samples=8192, channels=2, seed=21),
+            _wav(samples=14336, channels=2, seed=22)]
+    got = D.encode_batch_device(wavs, quality=1, pack="device")
+    for g, w in zip(got, wavs):
+        assert g == H.encode(w, quality=1)
+
+
 def test_pack_device_batch_consistency():
     """Two different streams packed in one [B, F] batch match their
     individually packed selves (no cross-stream leakage)."""
