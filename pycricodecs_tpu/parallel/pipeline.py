@@ -236,7 +236,9 @@ def decode_batch(blobs: Sequence[bytes], key: int = 0, subkey: int = 0,
         raise ValueError("engine must be 'auto', 'device' or 'host'")
     auto_routed = engine == "auto"
     if engine == "auto":
-        engine = pick_hca_engine()
+        # an explicit mesh is a request for the sharded device path; the
+        # link probe only arbitrates the meshless host-vs-device choice
+        engine = "device" if mesh is not None else pick_hca_engine()
     _ensure_compile_cache()
     t_start = time.perf_counter()
     infos = []
@@ -386,18 +388,42 @@ def _crc16_rows(arr: np.ndarray) -> np.ndarray:
     return crcmod.crc16_batch(arr)
 
 
-def _get_fused_device_decode(info0, pairs, use_pallas, pallas_unpack=True):
+def _get_fused_device_decode(info0, pairs, use_pallas, pallas_unpack=True,
+                             mesh=None):
     """Fused device unpack+transform jit for one config, or None when the
     config needs the host unpacker (noise path, degenerate band configs).
-    pallas_unpack=False keeps the bitstream unpack on the XLA scan engine
-    (mesh-sharded callers: pallas_call has no GSPMD partitioning rule)."""
+    pallas_unpack=False keeps the bitstream unpack on the XLA scan engine.
+
+    With a `mesh`, the fused fn is manually partitioned via shard_map so the
+    Pallas kernels run per-device (pallas_call has no GSPMD rule, but each
+    device's block is local): streams shard over the first mesh axis, frames
+    over the second, with a one-frame input halo (ppermute) covering the
+    overlap-add's one-step cross-frame coupling.  Exception: v3 PNS noise
+    configs on a frame-sharded mesh keep GSPMD XLA engines — the per-stream
+    LCG prefix sums span the full frame axis and must not be localised.
+    """
     from ..ops import hca_unpack_device
+
+    sp_name = None
+    if mesh is not None:
+        if len(mesh.axis_names) > 1 and mesh.devices.shape[1] > 1:
+            sp_name = mesh.axis_names[1]
+        if info0.min_resolution == 0 and sp_name is not None:
+            # noise path + frame sharding: GSPMD shards the LCG cumsums
+            use_pallas = False
+            pallas_unpack = False
+            mesh = None
+            sp_name = None
+    mesh_key = None
+    if mesh is not None:
+        mesh_key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+                    tuple(int(d.id) for d in mesh.devices.flat))
     # cipher + ATH are dynamic inputs to the unpacker; only the
     # identity-cipher flag (it skips the decipher pass) is compiled in
     key = (_config_key(info0),
            bool(np.array_equal(np.asarray(info0.cipher, np.uint8),
                                np.arange(256, dtype=np.uint8))),
-           pairs, use_pallas, pallas_unpack)
+           pairs, use_pallas, pallas_unpack, mesh_key)
     hit = _fused_device_decode_cache.get(key)
     if hit is not None:
         return hit or None
@@ -416,8 +442,7 @@ def _get_fused_device_decode(info0, pairs, use_pallas, pallas_unpack=True):
         int(info0.stereo_band_count), int(info0.bands_per_hfr_group),
         hfr_group_count, int(info0.version))) if apply_hfr else None
 
-    @jax.jit
-    def fused(frames, cipher, ath, hfr_is, hfr_src, hfr_group, hfr_zero):
+    def core(frames, cipher, ath, hfr_is, hfr_src, hfr_group, hfr_zero):
         B, F, fs = frames.shape
         qc, sf, res, inten, err, nsrc, nsci, nmask = up._unpack(
             frames.reshape(B * F, fs), cipher, ath, B=B,
@@ -443,6 +468,37 @@ def _get_fused_device_decode(info0, pairs, use_pallas, pallas_unpack=True):
             hfr_group_count=hfr_group_count, use_pallas=use_pallas,
             hfr_static=hfr_static)
         return pcm, err.reshape(B, F)
+
+    if mesh is None:
+        fused = jax.jit(core)
+    else:
+        dp = mesh.axis_names[0]
+        nsp = mesh.devices.shape[1] if sp_name is not None else 1
+
+        def local(frames, cipher, ath, hfr_is, hfr_src, hfr_group, hfr_zero):
+            if sp_name is not None:
+                # one-frame input halo: the OLA couples frame f to f-1 only,
+                # so each shard redundantly decodes its left neighbour's
+                # last frame and drops that frame's output.  Shard 0's halo
+                # is a zero frame, which IMDCTs to silence — exactly the
+                # empty carry the stream head needs.
+                halo = jax.lax.ppermute(
+                    frames[:, -1:], sp_name,
+                    [(i, i + 1) for i in range(nsp - 1)])
+                frames = jnp.concatenate([halo, frames], axis=1)
+            pcm, err = core(frames, cipher, ath, hfr_is, hfr_src,
+                            hfr_group, hfr_zero)
+            if sp_name is not None:
+                pcm = pcm[:, 1:]
+                err = err[:, 1:]
+            return pcm, err
+
+        rep = P()
+        fused = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(dp, sp_name, None), rep, rep, rep, rep, rep, rep),
+            out_specs=(P(dp, sp_name, None, None, None), P(dp, sp_name)),
+            check_vma=False))
 
     _fused_device_decode_cache[key] = fused
     return fused
@@ -522,14 +578,15 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
         # shares the cipher/ATH shipped with the dispatch; different keys or
         # rates land in their own sub-batches against the same compiled
         # program (cipher/ATH are dynamic unpacker inputs)
-        # a pallas_call does not partition under a mesh, so sharded runs
-        # keep BOTH the transform and the bitstream unpack on the XLA
-        # engines (whose N = B*F independent rows shard fine: the (dp, sp)
-        # sharding of frames [B, F, fs] merges into a block-sharded row
-        # axis through the reshape)
-        use_pallas = (jax.devices()[0].platform == "tpu" and mesh is None)
+        # meshes run the fused fn under shard_map (manual partitioning:
+        # per-device blocks are local, so pallas_call composes); only the
+        # noise+frame-sharded combination stays on GSPMD XLA engines — see
+        # _get_fused_device_decode
+        use_pallas = (jax.devices()[0].platform == "tpu"
+                      or os.environ.get("PYCRICODECS_PALLAS_INTERPRET")
+                      == "1")
         dev_decode = _get_fused_device_decode(info0, pairs, use_pallas,
-                                              pallas_unpack=mesh is None)
+                                              mesh=mesh)
     for csize in chunk_sizes:
         members = group[start:start + csize]
         start += csize
@@ -1240,14 +1297,19 @@ def encode_batch(wavs: Sequence[bytes], **adx_kwargs) -> List[bytes]:
 def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
                      force_not_looping: bool = False,
                      max_workers: int = 0, device: bool = False,
-                     mesh: Optional[Mesh] = None) -> List[bytes]:
+                     mesh: Optional[Mesh] = None,
+                     pack: str = "auto") -> List[bytes]:
     """Encode many WAVs to HCA concurrently.
 
     device=True runs the numeric pipeline on the accelerator
     (ops/hca_encode_device, byte-identical output): streams are grouped by
-    (channels, sample_rate) and each group encodes as one jitted dispatch.
-    Otherwise each stream's encode is frame-vectorised numpy with a threaded
-    C++ packer, fanned out over a thread pool.
+    (channels, sample_rate) and each group encodes as one jitted dispatch;
+    pack="device" keeps the frame packer + HFR normalisation on device too
+    (only finished frame bytes cross the link — see
+    hca_encode_device.hca_encode_frames), "host" fetches tensors and packs
+    natively, "auto" picks by platform.  Otherwise each stream's encode is
+    frame-vectorised numpy with a threaded C++ packer, fanned out over a
+    thread pool.
     """
     import concurrent.futures as cf
 
@@ -1269,7 +1331,7 @@ def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
         for members in groups.values():
             encoded = hca_encode_device.encode_batch_device(
                 [wavs[i] for i in members], quality=quality,
-                force_not_looping=force_not_looping, mesh=mesh)
+                force_not_looping=force_not_looping, mesh=mesh, pack=pack)
             for i, blob in zip(members, encoded):
                 results[i] = blob
         return results
