@@ -445,6 +445,60 @@ def config12():
             n * dur / best, "audio-sec/sec/chip")
 
 
+def config13():
+    """On-device ADX decode pipeline, link-independent: raw block bytes
+    pre-staged in HBM, fixed-width unpack (reshape/mask — no VLC) + chained-
+    block fixpoint ADPCM on-chip, PCM left in HBM.  Config 7 is the
+    end-to-end host-lane number (reference hot loop adx.cpp:189-273)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.models import adx as adx_model
+    from pycricodecs_tpu.ops import adx_kernels
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    blob = adx_model.encode(_sine_wav(dur, 2, seed=13))
+    h = adx_model.parse_adx_header(blob)
+    pl = np.moveaxis(adx_model._payload_blocks(blob, h), 1, 0)  # [C, nb, bs]
+    nb, bs = pl.shape[1], pl.shape[2]
+    L = n * h.channels
+    payload_np = np.broadcast_to(pl, (n,) + pl.shape).reshape(L, nb, bs).copy()
+    g_h1, g_h2 = adx_model._history_init(h)
+    h1 = np.tile(g_h1, n).astype(np.int32)
+    h2 = np.tile(g_h2, n).astype(np.int32)
+    coef = adx_model.calculate_coefficients(h.highpass_frequency,
+                                            h.sample_rate)
+    kw = dict(block_size=h.block_size, bit_depth=h.bit_depth,
+              encoding_mode=h.encoding_mode,
+              coef=tuple(int(x) for x in coef),
+              static_coefficients=tuple(int(x) for x
+                                        in adx_model.STATIC_COEFFICIENTS))
+
+    @jax.jit
+    def run(payload, h1, h2):
+        pcm, conv = adx_kernels.adx_decode_device_pipeline(
+            payload, h1, h2, **kw)
+        return pcm, conv ^ (pcm[0, 0, 0] == 12345)   # scalar completion
+
+    dev = jax.device_put(payload_np)
+    h1d, h2d = jax.device_put(h1), jax.device_put(h2)
+    pcm, flag = run(dev, h1d, h2d)
+    assert bool(np.asarray(flag))                     # converged
+    # parity guard: one stream vs the native host decode
+    ref = adx_model._decode_arrays(blob, h, use_jax=False)
+    got = np.asarray(pcm[:h.channels]).reshape(h.channels, -1)
+    assert np.array_equal(got[:, :ref.shape[1]], ref), \
+        "ADX device pipeline diverged"
+    best = 1e18
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pcm, flag = run(dev, h1d, h2d)
+        assert bool(np.asarray(flag))
+        best = min(best, time.perf_counter() - t0)
+    return ("adx_device_pipeline_audio_sec_per_sec_per_chip",
+            n * dur / best, "audio-sec/sec/chip")
+
+
 def main():
     # mirror bench.py: a dead remote-TPU tunnel hangs backend init forever
     import subprocess
@@ -457,11 +511,11 @@ def main():
               file=sys.stderr)
         import jax
         jax.config.update("jax_platforms", "cpu")
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12,13")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
                "9": config9, "10": config10, "11": config11,
-               "12": config12}
+               "12": config12, "13": config13}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",

@@ -130,12 +130,28 @@ def adx_decode_fixpoint(codes, scales, c0, c1, h1, h2, *, spb,
     """
     L, N = codes.shape
     nb = N // spb
-    if max_passes is None:
-        max_passes = 48 + nb // 96
     q = codes.reshape(L, nb, spb)
     s = scales.reshape(L, nb, spb)[:, :, 0]
     a0 = c0.reshape(L, nb, spb)[:, :, 0]
     a1 = c1.reshape(L, nb, spb)[:, :, 0]
+    out, conv = adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2,
+                                           max_passes=max_passes)
+    return out.reshape(L, N), conv
+
+
+@partial(jax.jit, static_argnames=("max_passes",))
+def adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2, *, max_passes=None):
+    """Block-form fixpoint decode: q int32 [L, nb, spb]; s/a0/a1 [L, nb]
+    per-block scale/coefficients; h1/h2 [L] initial history.  Returns
+    (pcm int16 [L, nb, spb], converged).  See adx_decode_fixpoint."""
+    L, nb, spb = q.shape
+    if max_passes is None:
+        # frontier advance per pass scales with the per-block contraction
+        # |z|^spb, so small blocks (high bit depths) need proportionally
+        # more passes; the while_loop exits early on convergence, so the
+        # cap only bounds adversarial content (measured: spb=8 banks that
+        # fail at the spb=32 budget converge within ~2x the scaled one)
+        max_passes = 48 + (nb * 64) // (96 * max(spb, 1))
 
     def block_pass(p1, p2):
         """Decode all blocks in parallel from (p1, p2) [L, nb] start states;
@@ -171,7 +187,101 @@ def adx_decode_fixpoint(codes, scales, c0, c1, h1, h2, *, spb,
     npass, s1, s2, changed = jax.lax.while_loop(
         cond, body, (jnp.int32(0), s1, s2, jnp.bool_(True)))
     out, _e1, _e2 = block_pass(s1, s2)
-    return (out.reshape(L, N).astype(jnp.int16), ~changed)
+    return (out.astype(jnp.int16), ~changed)
+
+
+# ---------------------------------------------------------------------------
+# On-device block unpack + fused raw-bytes -> PCM pipeline
+# ---------------------------------------------------------------------------
+
+def adx_unpack_device(payload, *, block_size, bit_depth, encoding_mode,
+                      coef, static_coefficients=None):
+    """Raw ADX blocks -> dense fixpoint-kernel inputs, on device.
+
+    payload: uint8 [L, nb, block_size] (one lane per (stream, channel) —
+    the container's channel interleave is a host-side reshape/transpose of
+    the mmapped bytes, no unpacking).  Unlike HCA there is NO VLC: each
+    block is a 2-byte BE scale word + fixed `bit_depth`-wide codes MSB-
+    first (reference adx.cpp:380-414), so the unpack is static slicing,
+    shifts and masks — exactly the tensor reshape SURVEY §7.1 L1 predicted.
+
+    Returns (q int32 [L, nb, spb], s, a0, a1 int32 [L, nb]) matching
+    models/adx._decode_arrays_host semantics byte-for-byte (incl. the mode
+    4 int32 `1 << ((12 - scale) & 31)` overflow and the mode 2 predictor
+    select from STATIC_COEFFICIENTS).
+    """
+    i32 = jnp.int32
+    L, nb, bs = payload.shape
+    spb = (bs - 2) * 8 // bit_depth
+    p = payload.astype(i32)
+    scale_raw = (p[..., 0] << 8) | p[..., 1]
+    data = p[..., 2:]
+
+    if bit_depth == 4:
+        q = jnp.stack([data >> 4, data & 15], axis=-1).reshape(L, nb, spb)
+    elif bit_depth == 8:
+        q = data
+    elif bit_depth == 2:
+        q = jnp.stack([(data >> 6) & 3, (data >> 4) & 3,
+                       (data >> 2) & 3, data & 3], axis=-1).reshape(
+            L, nb, spb)
+    else:
+        # generic width: sample t spans <= 3 bytes at static offsets
+        cols = []
+        for t in range(spb):
+            bit0 = t * bit_depth
+            b0 = bit0 // 8
+            word = data[..., b0] << 16
+            if b0 + 1 < bs - 2:
+                word = word | (data[..., b0 + 1] << 8)
+            if b0 + 2 < bs - 2:
+                word = word | data[..., b0 + 2]
+            sh = 24 - (bit0 - 8 * b0) - bit_depth
+            cols.append((word >> sh) & ((1 << bit_depth) - 1))
+        q = jnp.stack(cols, axis=-1)
+    signbit = 1 << (bit_depth - 1)
+    q = jnp.where((q & signbit) != 0, q - (1 << bit_depth), q)
+
+    if encoding_mode == 4:
+        s = i32(1) << ((i32(12) - scale_raw) & 31)
+        a0 = jnp.full((L, nb), coef[0], i32)
+        a1 = jnp.full((L, nb), coef[1], i32)
+    elif encoding_mode == 2:
+        predictor = scale_raw >> 13                     # 0..7
+        s = (scale_raw & 0x1FFF) + 1
+        tab = np.asarray(static_coefficients, np.int32).reshape(-1, 2)
+        a0 = jnp.zeros((L, nb), i32)
+        a1 = jnp.zeros((L, nb), i32)
+        for k in range(tab.shape[0]):
+            hit = predictor == k
+            a0 = jnp.where(hit, i32(int(tab[k, 0])), a0)
+            a1 = jnp.where(hit, i32(int(tab[k, 1])), a1)
+    else:
+        s = scale_raw + 1
+        a0 = jnp.full((L, nb), coef[0], i32)
+        a1 = jnp.full((L, nb), coef[1], i32)
+    return q, s, a0, a1
+
+
+@partial(jax.jit, static_argnames=("block_size", "bit_depth",
+                                   "encoding_mode", "coef",
+                                   "static_coefficients", "max_passes"))
+def adx_decode_device_pipeline(payload, h1, h2, *, block_size, bit_depth,
+                               encoding_mode, coef,
+                               static_coefficients=None, max_passes=None):
+    """Full on-chip ADX decode: raw block bytes in HBM -> PCM16 in HBM.
+
+    payload uint8 [L, nb, block_size], h1/h2 int32 [L].  Returns
+    (pcm int16 [L, nb, spb], converged bool).  The unpack is reshape/mask
+    work (no VLC) and the ADPCM recurrence runs as the provably-exact
+    chained-block fixpoint — the decode mirror of the HCA config-10
+    pipeline (reference hot loop: adx.cpp:189-273)."""
+    q, s, a0, a1 = adx_unpack_device(
+        payload, block_size=block_size, bit_depth=bit_depth,
+        encoding_mode=encoding_mode, coef=coef,
+        static_coefficients=static_coefficients)
+    return adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2,
+                                      max_passes=max_passes)
 
 
 def adx_decode_host(codes, scales, c0, c1, h1, h2):

@@ -836,18 +836,23 @@ def adx_decode_batch(blobs: Sequence[bytes],
         spb = h.samples_per_block
         nblocks = math.ceil(h.sample_count / spb) if h.sample_count else 0
         bucket = _round_up(max(nblocks, 1), 64)
-        key = (h.encoding_mode, h.bit_depth, h.block_size, h.version, bucket)
+        # highpass/sample-rate join the key: the AR(2) coefficients are
+        # compile-time constants of the on-device unpack
+        key = (h.encoding_mode, h.bit_depth, h.block_size, h.version,
+               h.highpass_frequency, h.sample_rate, bucket)
         groups.setdefault(key, []).append(idx)
 
     results: List = [None] * len(blobs)
-    for (mode, bit_depth, block_size, version, bucket), members in groups.items():
+    for (mode, bit_depth, block_size, version, hfreq, srate,
+         bucket), members in groups.items():
         spb = (block_size - 2) * 8 // bit_depth
         nlanes = sum(parsed[i][0].channels for i in members)
         N = bucket * spb
-        codes = np.zeros((nlanes, N), dtype=np.int32)
-        scales = np.zeros((nlanes, N), dtype=np.int32)
-        c0 = np.zeros((nlanes, N), dtype=np.int32)
-        c1 = np.zeros((nlanes, N), dtype=np.int32)
+        # raw block bytes straight to the device: the fixed-width unpack is
+        # reshape/mask work (ops/adx_kernels.adx_unpack_device), and raw u8
+        # is ~16x less H2D than the four int32 lane tensors the host demux
+        # used to ship
+        payload = np.zeros((nlanes, bucket, block_size), dtype=np.uint8)
         h1 = np.zeros(nlanes, dtype=np.int32)
         h2 = np.zeros(nlanes, dtype=np.int32)
         lane = 0
@@ -855,27 +860,32 @@ def adx_decode_batch(blobs: Sequence[bytes],
         for idx in members:
             h, blob = parsed[idx]
             ch = h.channels
-            arr = adx_model._decode_arrays_host(blob, h)
-            (g_codes, g_scales, g_c0, g_c1, g_h1, g_h2) = arr
-            n = g_codes.shape[1]
-            codes[lane:lane + ch, :n] = g_codes
-            scales[lane:lane + ch, :n] = g_scales
-            c0[lane:lane + ch, :n] = g_c0
-            c1[lane:lane + ch, :n] = g_c1
+            pl = adx_model._payload_blocks(blob, h)      # [nb, C, bs]
+            nb = pl.shape[0]
+            payload[lane:lane + ch, :nb] = np.moveaxis(pl, 1, 0)
+            g_h1, g_h2 = adx_model._history_init(h)
             h1[lane:lane + ch] = g_h1
             h2[lane:lane + ch] = g_h2
-            lane_spans.append((idx, lane, ch, n))
+            lane_spans.append((idx, lane, ch, nb * spb))
             lane += ch
+        coef = (0, 0) if mode == 2 else adx_model.calculate_coefficients(
+            hfreq, srate)
         # block-parallel fixpoint decode (lanes = streams x channels x
         # blocks); provably exact when converged — the rare non-converged
-        # case (1-LSB limit cycles) falls back to the serial-in-time scan
-        pcm_dev, conv = adx_kernels.adx_decode_fixpoint(
-            codes, scales, c0, c1, h1, h2, spb=spb)
+        # case (1-LSB limit cycles) falls back to the serial native decode
+        pcm_dev, conv = adx_kernels.adx_decode_device_pipeline(
+            payload, h1, h2, block_size=block_size, bit_depth=bit_depth,
+            encoding_mode=mode, coef=tuple(int(x) for x in coef),
+            static_coefficients=tuple(
+                int(x) for x in adx_model.STATIC_COEFFICIENTS))
         if bool(np.asarray(conv)):
-            pcm = np.asarray(pcm_dev)
+            pcm = np.asarray(pcm_dev).reshape(nlanes, N)
         else:
-            pcm = np.asarray(adx_kernels.adx_decode_scan_blocked(
-                codes, scales, c0, c1, h1, h2, spb=spb))
+            for idx in members:
+                h, blob = parsed[idx]
+                results[idx] = adx_model.decode(blob, use_jax=False,
+                                                strict_cri_check=False)
+            continue
         for idx, lane0, ch, n in lane_spans:
             h, _blob = parsed[idx]
             count = h.sample_count

@@ -371,3 +371,37 @@ def test_adx_scale_fix_does_not_inherit_u16_wrap():
             _, sraw, _ = engine(*args, spb=32, encoding_mode=3, bit_depth=2,
                                 scale_fix=sfix)
             assert int(np.asarray(sraw)[0, 0]) == expect, (engine, sfix)
+
+
+@pytest.mark.parametrize("mode,bd,bs", [
+    (3, 4, 0x12), (4, 4, 0x12), (2, 4, 0x12),       # standard nibble paths
+    (3, 8, 0x12), (3, 2, 0x12),                      # byte / 2-bit reshapes
+    (3, 5, 12), (3, 11, 13), (3, 15, 17),            # generic 3-byte spans
+])
+def test_adx_device_pipeline_unpack_exact(oracle, mode, bd, bs):
+    """Full on-chip ADX pipeline (raw block bytes -> device unpack ->
+    fixpoint ADPCM) is sample-exact vs the host demux+scan for every
+    encoding mode and bit-depth family (reference adx.cpp:189-273,
+    380-414)."""
+    import jax.numpy as jnp
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    pcm = make_sine_pcm16(20000, 2, 32000, seed=91)
+    wav = write_wav(pcm, 2, 32000)
+    blob = bytes(oracle.AdxEncode(wav, bd, bs, mode, 0x1F4, 0, 4, 0))
+    h = adxmod.parse_adx_header(blob, strict_cri_check=False)
+    payload = adxmod._payload_blocks(blob, h)
+    pl = np.moveaxis(payload, 1, 0)                  # [C, nb, bs]
+    h1, h2 = adxmod._history_init(h)
+    coef = (0, 0) if mode == 2 else adxmod.calculate_coefficients(
+        h.highpass_frequency, h.sample_rate)
+    pcm_dev, conv = K.adx_decode_device_pipeline(
+        jnp.asarray(pl), jnp.asarray(h1), jnp.asarray(h2),
+        block_size=h.block_size, bit_depth=h.bit_depth,
+        encoding_mode=h.encoding_mode, coef=tuple(int(x) for x in coef),
+        static_coefficients=tuple(int(x)
+                                  for x in adxmod.STATIC_COEFFICIENTS))
+    assert bool(np.asarray(conv))
+    ref = adxmod._decode_arrays(blob, h, use_jax=False)
+    got = np.asarray(pcm_dev).reshape(h.channels, -1)[:, :ref.shape[1]]
+    assert np.array_equal(got, ref)

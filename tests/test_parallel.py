@@ -231,7 +231,7 @@ def test_adx_fixpoint_nonconverged_falls_back(oracle, monkeypatch):
     pcm[:128] = 0
     blob = adxmod.encode(write_wav(pcm, 2, 48000))
 
-    real = K.adx_decode_fixpoint
+    real = K.adx_decode_device_pipeline
     calls = {"n": 0}
 
     def never_converges(*a, **kw):
@@ -240,7 +240,7 @@ def test_adx_fixpoint_nonconverged_falls_back(oracle, monkeypatch):
         import jax.numpy as jnp
         return out, jnp.bool_(False)
 
-    monkeypatch.setattr(K, "adx_decode_fixpoint", never_converges)
+    monkeypatch.setattr(K, "adx_decode_device_pipeline", never_converges)
     out = parallel.adx_decode_batch([blob], device=True)
     assert calls["n"] == 1
     assert out[0] == adxmod.decode(blob)
@@ -255,7 +255,8 @@ def test_adx_fixpoint_nonconverged_falls_back(oracle, monkeypatch):
     c1 = np.full((L, nb * spb), -0x0D4C, np.int32)
     h1 = np.full(L, 10000, np.int32)
     h2 = np.full(L, -5000, np.int32)
-    _out, conv = real(codes, scales, c0, c1, h1, h2, spb=spb, max_passes=1)
+    _out, conv = K.adx_decode_fixpoint(codes, scales, c0, c1, h1, h2,
+                                       spb=spb, max_passes=1)
     assert not bool(np.asarray(conv))
 
 
