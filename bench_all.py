@@ -319,22 +319,17 @@ def config10():
             n * dur / best, "audio-sec/sec/chip")
 
 
-def config11():
-    """On-device AHX pipeline, link-independent: raw Layer II frames
-    pre-staged in HBM, bitstream unpack (ops/mp2_unpack_device) + dequant +
-    synthesis filterbank on-chip, PCM left on device (config 8 is the
-    end-to-end number over the host link)."""
+def _ahx_device_rate(mp2_stream, data_offset, n, dur, total_samples,
+                     ref_wav, nch):
+    """Link-free on-chip Layer II decode rate for one stream broadcast to
+    an n-bank, with a <=1 LSB parity guard vs `ref_wav` (host engine)."""
     import jax
     import jax.numpy as jnp
 
-    from pycricodecs_tpu.models.ahx import AHX
     from pycricodecs_tpu.ops import mp2_frame, mp2_kernels
     from pycricodecs_tpu.ops import mp2_unpack_device
 
-    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
-    blob = AHX.encode(_sine_wav(dur, 1, sr=22050, seed=8), bitrate_kbps=96)
-    info = AHX.parse_header(blob)
-    hdr0, walk = mp2_frame.scan_frames(blob, info["data_offset"])
+    hdr0, walk = mp2_frame.scan_frames(mp2_stream, data_offset)
     F = len(walk)
     up = mp2_unpack_device.Mp2DeviceUnpacker(hdr0)
     one = np.zeros((F, up.fs_max), np.uint8)
@@ -348,23 +343,20 @@ def config11():
     def run(frames):
         codes, lev, sfi, err = up._unpack(
             frames.reshape(n * F, up.fs_max), interpret=interp)
-        codes = jnp.pad(codes.reshape(n, F, 1, 36, SB),
+        codes = jnp.pad(codes.reshape(n, F, nch, 36, SB),
                         ((0, 0),) * 4 + ((0, 32 - SB),)).astype(jnp.uint16)
-        lev = jnp.pad(lev.reshape(n, F, 1, SB),
+        lev = jnp.pad(lev.reshape(n, F, nch, SB),
                       ((0, 0),) * 3 + ((0, 32 - SB),))
-        sfi = jnp.pad(sfi.reshape(n, F, 1, 3, SB),
+        sfi = jnp.pad(sfi.reshape(n, F, nch, 3, SB),
                       ((0, 0),) * 4 + ((0, 32 - SB),)).astype(jnp.uint8)
         pcm = mp2_kernels.dispatch_decode_batched(codes, lev, sfi)
-        return pcm, jnp.any(err) | (pcm[0, 0, 0] == 12345.0)
+        return pcm, jnp.any(err) | (pcm[(0,) * pcm.ndim] == 12345.0)
 
     dev = jax.device_put(frames_np)
     pcm, e = run(dev)
     assert not bool(np.asarray(e))
-    # parity guard vs the host-unpack engine's float64 reference
-    from pycricodecs_tpu import parallel
-    ref = parallel.ahx_decode_batch([blob], device=False)[0]
-    got = np.asarray(pcm[0]).reshape(-1)[:info["total_samples"]]
-    refp = np.frombuffer(ref[44:], "<i2").astype(int)
+    got = np.asarray(pcm[0]).reshape(-1)[:total_samples * nch]
+    refp = np.frombuffer(ref_wav[44:], "<i2").astype(int)
     d = np.abs(got[:len(refp)].astype(int) - refp)
     assert d.max() <= 1, f"AHX device pipeline diverged: {d.max()} LSB"
     best = 1e18
@@ -373,8 +365,56 @@ def config11():
         pcm, e = run(dev)
         assert not bool(np.asarray(e))   # scalar fetch = completion barrier
         best = min(best, time.perf_counter() - t0)
-    return ("ahx_device_pipeline_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+    return n * dur / best
+
+
+def config11():
+    """On-device AHX pipeline, link-independent: raw Layer II frames
+    pre-staged in HBM, bitstream unpack (ops/mp2_unpack_device) + dequant +
+    synthesis filterbank on-chip, PCM left on device (config 8 is the
+    end-to-end number over the host link).  Measures mono (the classic AHX
+    shape) and, when the system twolame oracle is present, a joint-stereo
+    stream through the bound-dependent unpack path (second JSON record)."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models.ahx import AHX
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    blob = AHX.encode(_sine_wav(dur, 1, sr=22050, seed=8), bitrate_kbps=96)
+    info = AHX.parse_header(blob)
+    ref = parallel.ahx_decode_batch([blob], device=False)[0]
+    mono = _ahx_device_rate(blob, info["data_offset"], n, dur,
+                            info["total_samples"], ref, 1)
+
+    # joint-stereo: twolame-encoded MPEG-1 Layer II through the same path
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "mpeg_oracles", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tests", "mpeg_oracles.py"))
+        mo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mo)
+        ok = mo.available()
+    except Exception:  # noqa: BLE001
+        ok = False
+    if ok:
+        sr = 44100
+        t = np.arange(int(sr * dur)) / sr
+        pcm = np.stack([np.sin(2 * np.pi * 440 * t),
+                        np.sin(2 * np.pi * 554 * t)]) * 11000
+        stream = mo.twolame_encode(pcm.astype(np.int16), sr, 192,
+                                   mode="joint")
+        nsamp = int(sr * dur)
+        refs = parallel.ahx_decode_batch([stream], device=False)[0]
+        js = _ahx_device_rate(stream, 0, n, dur, nsamp, refs, 2)
+        print(json.dumps({
+            "metric": "ahx_device_pipeline_joint_stereo_audio_sec_per_sec_per_chip",
+            "value": round(js, 2), "unit": "audio-sec/sec/chip",
+            "vs_baseline": round(js / 1000.0, 4)}))
+    else:
+        print("-- config 11: twolame unavailable, joint-stereo skipped",
+              file=sys.stderr)
+    return ("ahx_device_pipeline_audio_sec_per_sec_per_chip", mono,
+            "audio-sec/sec/chip")
 
 
 def config12():
@@ -499,6 +539,75 @@ def config13():
             n * dur / best, "audio-sec/sec/chip")
 
 
+def config14():
+    """Heterogeneous bank decode: mixed qualities/rates/channels/lengths/
+    keys through decode_batch(engine="device") — the realistic ACB workload.
+    Reports mixed-bank throughput plus vs_homogeneous (a same-total-audio
+    uniform bank through the same engine), isolating the grouping/shape-
+    bucketing/padding overhead that single-stream broadcast banks hide."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.models import hca as hcamod
+    from pycricodecs_tpu.ops import hca_encode_host
+    from pycricodecs_tpu.ops.hca_frame import parse_header
+
+    n = int(os.environ.get("BENCH_STREAMS", "96"))
+    key = 0xCF222F1FE0748978
+    cases = [  # (quality, channels, rate, seconds, subkey or 0)
+        (0, 2, 48000, 10.0, 0), (1, 2, 44100, 8.0, 0),
+        (2, 1, 32000, 6.0, 0), (2, 2, 48000, 12.0, 0x55AA),
+        (3, 2, 24000, 10.0, 0), (4, 1, 48000, 4.0, 0),
+        (1, 4, 48000, 6.0, 0), (2, 6, 44100, 5.0, 0x0102),
+    ]
+    blobs, subkeys, durs = [], [], []
+    for i in range(n):
+        q, ch, sr, dur, sk = cases[i % len(cases)]
+        blob = hca_encode_host.encode(
+            _sine_wav(dur, ch, sr=sr, seed=140 + i), quality=q)
+        if sk:
+            hs = parse_header(blob).header_size
+            blob = hcamod.crypt(blob, True, hs, 56, key, subkey=sk)
+        blobs.append(blob)
+        subkeys.append(sk)
+        durs.append(dur)
+    total_audio = sum(durs)
+    kw = dict(key=key, subkeys=subkeys, engine="device")
+    out = parallel.decode_batch(blobs, **kw)      # warm every shape bucket
+    # parity on EVERY stream vs the single-stream decode
+    for blob, sk, got in zip(blobs, subkeys, out):
+        want = hcamod.decode(blob, key=key, subkey=sk) if sk \
+            else hcamod.decode(blob)
+        assert got == want, "heterogeneous bank stream diverged"
+    mixed_bytes = sum(len(o) - 44 for o in out)
+    best = 1e18
+    for _ in range(3):
+        t0 = time.perf_counter()
+        parallel.decode_batch(blobs, **kw)
+        best = min(best, time.perf_counter() - t0)
+    mixed = total_audio / best
+
+    # homogeneous control: same machinery, same PCM OUTPUT VOLUME (on a
+    # link-bound backend throughput is bytes/s, so matching audio-seconds
+    # alone would let the channel mix skew the ratio), one config
+    dur0 = 10.0
+    blob0 = hca_encode_host.encode(_sine_wav(dur0, 2, seed=140), quality=2)
+    one_bytes = len(hcamod.decode(blob0)) - 44
+    n0 = max(1, int(round(mixed_bytes / one_bytes)))
+    homog = [blob0] * n0
+    out0 = parallel.decode_batch(homog, engine="device")
+    uniform_bytes = sum(len(o) - 44 for o in out0)
+    best0 = 1e18
+    for _ in range(3):
+        t0 = time.perf_counter()
+        parallel.decode_batch(homog, engine="device")
+        best0 = min(best0, time.perf_counter() - t0)
+    ratio = (mixed_bytes / best) / (uniform_bytes / best0)
+    print(f"-- config 14: mixed {mixed_bytes/best/1e6:.1f} MB/s vs "
+          f"homogeneous {uniform_bytes/best0/1e6:.1f} MB/s "
+          f"(x{ratio:.3f})", file=sys.stderr)
+    return ("hca_heterogeneous_bank_audio_sec_per_sec", mixed,
+            "audio-sec/sec", None, round(ratio, 4))
+
+
 def main():
     # mirror bench.py: a dead remote-TPU tunnel hangs backend init forever
     import subprocess
@@ -511,11 +620,11 @@ def main():
               file=sys.stderr)
         import jax
         jax.config.update("jax_platforms", "cpu")
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12,13")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12,13,14")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
                "9": config9, "10": config10, "11": config11,
-               "12": config12, "13": config13}
+               "12": config12, "13": config13, "14": config14}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",
@@ -530,6 +639,10 @@ def main():
                 # ours-vs-compiled-reference on the same host (oracle timed
                 # in a fresh subprocess, best-of-N); > 1 means we are faster
                 rec["vs_reference"] = round(res[3], 3)
+            if len(res) > 4 and res[4] is not None:
+                # mixed-bank throughput relative to a uniform bank of the
+                # same total audio through the same engine (config 14)
+                rec["vs_homogeneous"] = res[4]
             print(json.dumps(rec))
 
 

@@ -116,6 +116,11 @@ def _jax():
 def _decode_jax_impl(codes, levels, sfidx, sf_table, part_of_row, w_a, w_b):
     import jax as _j
     _, jnp = _jax()
+    # the cached closures hold these as NUMPY (a jnp constant built during
+    # an outer trace would leak that trace's tracers); lift per trace here —
+    # numpy can't be indexed by tracers
+    sf_table = jnp.asarray(sf_table)
+    part_of_row = jnp.asarray(part_of_row)
     n = levels[:, :, None, :].astype(jnp.float32)
     sf = sf_table[sfidx][:, :, part_of_row, :]
     val = (2.0 * codes.astype(jnp.float32) + 1.0 - n) / jnp.where(n > 0, n, 1.0)
@@ -157,9 +162,11 @@ def decode_transform_device(codes: np.ndarray, levels: np.ndarray,
     global _decode_jit
     jax, jnp = _jax()
     if _decode_jit is None:
-        sf_table = jnp.asarray(T.scalefactors(np.float32))
-        part = jnp.asarray(_PART_OF_ROW)
-        w_a, w_b = (jnp.asarray(m) for m in _w_blocks(np.float32))
+        # numpy constants only — see analyze_device: a jnp constant built
+        # while tracing would be cached as a dead tracer for later traces
+        sf_table = T.scalefactors(np.float32)
+        part = np.asarray(_PART_OF_ROW)
+        w_a, w_b = _w_blocks(np.float32)
         _decode_jit = jax.jit(partial(_decode_jax_impl, sf_table=sf_table,
                                       part_of_row=part, w_a=w_a, w_b=w_b))
     return np.asarray(_decode_jit(codes, levels.astype(np.int32), sfidx))
@@ -186,8 +193,11 @@ def analyze_device(pcm: np.ndarray) -> np.ndarray:
     global _analyze_jit
     jax, jnp = _jax()
     if _analyze_jit is None:
-        c_win = jnp.asarray(T.analysis_window(np.float32))
-        m_t = jnp.asarray(T.analysis_matrix(np.float32).T)
+        # close over NUMPY constants: jnp.asarray here would create tracers
+        # when the first caller sits inside an outer jit trace, and the
+        # cached closure would leak them into every later trace
+        c_win = T.analysis_window(np.float32)
+        m_t = np.ascontiguousarray(T.analysis_matrix(np.float32).T)
         _analyze_jit = jax.jit(partial(_analyze_jax_impl, c_win=c_win,
                                        m_t=m_t))
     return np.asarray(_analyze_jit(np.asarray(pcm, dtype=np.float32)))
@@ -207,9 +217,11 @@ def dispatch_decode_batched(codes, levels, sfidx):
     global _decode_batched_jit
     jax, jnp = _jax()
     if _decode_batched_jit is None:
-        sf_table = jnp.asarray(T.scalefactors(np.float32))
-        part = jnp.asarray(_PART_OF_ROW)
-        w_a, w_b = (jnp.asarray(m) for m in _w_blocks(np.float32))
+        # numpy constants only — see analyze_device: a jnp constant built
+        # while tracing would be cached as a dead tracer for later traces
+        sf_table = T.scalefactors(np.float32)
+        part = np.asarray(_PART_OF_ROW)
+        w_a, w_b = _w_blocks(np.float32)
         fn = partial(_decode_jax_impl, sf_table=sf_table, part_of_row=part,
                      w_a=w_a, w_b=w_b)
         _decode_batched_jit = jax.jit(jax.vmap(fn))
