@@ -25,6 +25,7 @@ from .hca_kernels import _onehot_take
 from .hca_unpack_device import _mux8, _nib16
 
 f32 = jnp.float32
+i32 = jnp.int32
 
 # QUANTIZE_SPECTRUM_BITS[8][16] packed 4 bits/entry per row (values <= 4):
 # evaluated inside the rate-control while_loops over [B,F,C,8,128] tensors,
@@ -202,9 +203,86 @@ def _used_bits(sf, scaled, header_len, noise_level, eval_boundary,
             + jnp.sum(cost, axis=(-2, -1))).astype(jnp.int32)
 
 
+# positions where the (monotone nonincreasing) resolution curve drops by 1:
+# res(idx) = 15 - #{k : idx >= k}, giving the exact table lookup as 14
+# integer compares instead of a 59-way select
+_CURVE_DROPS = tuple(
+    int(i) for i in
+    (np.nonzero(np.diff(np.asarray(T.SCALE_TO_RESOLUTION_CURVE,
+                                   np.int64)) == -1)[0] + 1))
+assert len(_CURVE_DROPS) == 15 - int(T.SCALE_TO_RESOLUTION_CURVE[-1])
+
+
+def _band_cost_table(scaled, coded_mask):
+    """Per-band bit cost for every resolution r in 0..15, byte-packed.
+
+    The search-time half of _used_bits depends on (sf, scaled) only through
+    cost[band, r]: one pass over the [B,F,C,8,128] spectra builds the table,
+    after which each binary-search iteration touches only [B,F,C,128] bytes
+    (the host AVX2 encoder's resolution->cost-table trick, cricore.cpp).
+    Costs are <= 96 bits per band so a byte holds them; returns 4 u32 words
+    [B,F,C,128] with cost[r] at byte (r & 3) of word (r >> 2).
+    """
+    a = jnp.abs(scaled)
+    costs = []
+    for r in range(16):
+        if r == 0:
+            costs.append(jnp.zeros(scaled.shape[:3] + (128,), i32))
+            continue
+        if r >= 8:
+            extra = jnp.sum(
+                (a >= f32(float(T.QUANTIZER_DEAD_ZONE[r]))).astype(i32),
+                axis=-2)
+            costs.append(8 * (int(T.QUANTIZED_SPECTRUM_MAX_BITS[r]) - 1)
+                         + extra)
+        else:
+            # same f32 arithmetic as _used_bits: ssi from the f32 table,
+            # shift_up = ssi + 1 computed IN f32, shift_down from the
+            # precomputed trunc table
+            ssi = np.float32(T.QUANTIZER_INVERSE_STEP_SIZE[r])
+            shift_up = np.float32(ssi + np.float32(1.0))
+            shift_down = int(_SHIFT_DOWN_UB[r])
+            q = (scaled * ssi + shift_up).astype(i32) - shift_down
+            qb = _nib16(_QSB_LO[r], _QSB_HI[r], jnp.clip(q, 0, 15))
+            costs.append(jnp.sum(qb, axis=-2))
+    words = []
+    for j in range(4):
+        wv = costs[4 * j].astype(jnp.uint32)
+        for k in range(1, 4):
+            wv = wv | (costs[4 * j + k].astype(jnp.uint32) << (8 * k))
+        words.append(jnp.where(coded_mask[None, None], wv, jnp.uint32(0)))
+    # one materialization; without the fence XLA refuses the table into the
+    # while_loop bodies and recomputes the full spectra pass per iteration
+    return jax.lax.optimization_barrier(tuple(words))
+
+
+def _used_bits_fast(cost_words, sf, header_sum, noise_level, eval_boundary):
+    """Table-backed CalculateUsedBits: exact same result as _used_bits.
+
+    cost_words: the 4 packed u32 tables; sf i32 [B,F,C,128];
+    header_sum [B,F] = 48 + sum(header_len); noise/eval_boundary [B,F].
+    """
+    band = jnp.arange(128)
+    noise = jnp.where(
+        band[None, None, None, :] < eval_boundary[..., None, None],
+        noise_level[..., None, None] - 1, noise_level[..., None, None])
+    idx = jnp.clip(noise - (5 * sf) // 2 + 2, 0, 58)
+    res = 15 - sum((idx >= k).astype(i32) for k in _CURVE_DROPS)
+    res = jnp.where(sf == 0, 0, res)
+    w01 = jnp.where(res < 8, cost_words[0], cost_words[2])
+    w23 = jnp.where(res < 8, cost_words[1], cost_words[3])
+    word = jnp.where((res & 4) == 0, w01, w23)
+    byte = (word >> ((res & 3).astype(jnp.uint32) * 8)) & jnp.uint32(0xFF)
+    return (header_sum
+            + jnp.sum(byte.astype(i32), axis=(-2, -1))).astype(i32)
+
+
 def _binary_search_level(sf, scaled, header_len, avail, coded_mask):
     B, F = sf.shape[0], sf.shape[1]
     zeros = jnp.zeros((B, F), jnp.int32)
+    cost_words = _band_cost_table(scaled, coded_mask)
+    sf_i = sf.astype(i32) if sf.dtype != jnp.int32 else sf
+    header_sum = 48 + jnp.sum(header_len, axis=-1)
 
     def cond(state):
         low, high, _ = state
@@ -214,7 +292,7 @@ def _binary_search_level(sf, scaled, header_len, avail, coded_mask):
         low, high, mid_value = state
         active = low != high
         mid = (low + high) // 2
-        mv = _used_bits(sf, scaled, header_len, mid, zeros, coded_mask)
+        mv = _used_bits_fast(cost_words, sf_i, header_sum, mid, zeros)
         mid_value = jnp.where(active, mv, mid_value)
         go_up = active & (mv > avail)
         low = jnp.where(go_up, mid + 1, low)
@@ -230,6 +308,9 @@ def _binary_search_level(sf, scaled, header_len, avail, coded_mask):
 def _binary_search_boundary(sf, scaled, header_len, avail, noise_level,
                             coded_mask):
     B, F = sf.shape[0], sf.shape[1]
+    cost_words = _band_cost_table(scaled, coded_mask)
+    sf_i = sf.astype(i32) if sf.dtype != jnp.int32 else sf
+    header_sum = 48 + jnp.sum(header_len, axis=-1)
 
     def cond(state):
         low, high = state
@@ -239,7 +320,7 @@ def _binary_search_boundary(sf, scaled, header_len, avail, noise_level,
         low, high = state
         active = jnp.abs(high - low) > 1
         mid = (low + high) // 2
-        mv = _used_bits(sf, scaled, header_len, noise_level, mid, coded_mask)
+        mv = _used_bits_fast(cost_words, sf_i, header_sum, noise_level, mid)
         over = active & (avail < mv)
         high = jnp.where(over, mid - 1, high)
         low = jnp.where(active & ~over, mid, low)
@@ -249,7 +330,7 @@ def _binary_search_boundary(sf, scaled, header_len, avail, noise_level,
         cond, body, (jnp.zeros((B, F), jnp.int32),
                      jnp.full((B, F), 127, jnp.int32)))
     eq = low == high
-    hi_val = _used_bits(sf, scaled, header_len, noise_level, high, coded_mask)
+    hi_val = _used_bits_fast(cost_words, sf_i, header_sum, noise_level, high)
     res_eq = jnp.where(low < 127, low, -1)
     res_neq = jnp.where(hi_val > avail, low, high)
     return jnp.where(eq, res_eq, res_neq)

@@ -161,6 +161,68 @@ def _scalefactor_symbols(sf_c, db):
     return value.astype(u32), bits.astype(i32)
 
 
+def _scatter_words(w_n, hi, lo, W):
+    """Monotone symbol->word scatter, two-level: [B,F,N] -> [B,F,W] u32.
+
+    Level 1 (VPU): symbols in chunks of S=32; within a chunk, word indices
+    span <= S*16/32 + 2 = 18 words from the chunk's first word, so local
+    threshold sums (A[t] = sum hi*[rel < t], adjacent-differenced) cost
+    N x 19 instead of N x (W+1).  The lo halves land at rel+1 and fold into
+    the same pass.  Modular u32 sums equal the bitwise OR because written
+    bit ranges are disjoint.
+
+    Level 2 (MXU): each chunk contributes one contiguous 18-word segment at
+    its (monotone) base word.  Placement = byte-planes of the segments
+    against a {0,1} base-word one-hot, as 4 exact f32 matmuls
+    (einsum 'bfkj,bfkw->bfjw'): plane values <= 255 are exact in bf16
+    multiplicands and partial sums stay < 2^24, so the default TPU matmul
+    precision is bit-exact here.  A final static diagonal fold
+    out[w] += X[j, w-j] recombines the planes and segments.
+
+    This replaces the direct N x (W+1) threshold reduce (~150 GB of fused
+    compare-select traffic per 256-stream bank, the packer's hot spot).
+    """
+    B, F, N = w_n.shape
+    S = 32
+    K = -(-N // S)
+    pad = K * S - N
+    if pad:
+        # zero-width padding symbols: value 0 everywhere, index tied to the
+        # last real symbol so chunk-local offsets stay in range
+        w_n = jnp.concatenate(
+            [w_n, jnp.broadcast_to(w_n[..., -1:], (B, F, pad))], axis=-1)
+        hi = jnp.concatenate([hi, jnp.zeros((B, F, pad), hi.dtype)], axis=-1)
+        lo = jnp.concatenate([lo, jnp.zeros((B, F, pad), lo.dtype)], axis=-1)
+    w_c = w_n.reshape(B, F, K, S)
+    hi_c = hi.reshape(B, F, K, S)
+    lo_c = lo.reshape(B, F, K, S)
+    base = w_c[..., 0]                                  # [B, F, K]
+    rel = w_c - base[..., None]                         # in [0, 17]
+    J = S * 16 // 32 + 2                                # 18 local words
+    thr = jnp.arange(J + 1, dtype=i32)                  # [J+1]
+    m_hi = rel[..., None] < thr                         # [B,F,K,S,J+1]
+    m_lo = (rel + 1)[..., None] < thr
+    A = jnp.sum(jnp.where(m_hi, hi_c[..., None], u32(0)), axis=-2) \
+        + jnp.sum(jnp.where(m_lo, lo_c[..., None], u32(0)), axis=-2)
+    seg = A[..., 1:] - A[..., :-1]                      # [B, F, K, J] u32
+
+    # byte planes -> exact f32 matmul placement against the base one-hot
+    planes = jax.lax.bitcast_convert_type(seg, jnp.uint8)  # [B,F,K,J,4]
+    planes = planes.reshape(B, F, K, J * 4).astype(jnp.float32)
+    onehot = (base[..., None]
+              == jnp.arange(W, dtype=i32)).astype(jnp.float32)
+    X = jnp.einsum("bfkj,bfkw->bfjw", planes, onehot)   # [B,F,J*4,W]
+    Xw = X.astype(u32).reshape(B, F, J, 4, W)
+    Xw = (Xw[..., 0, :] | (Xw[..., 1, :] << 8)
+          | (Xw[..., 2, :] << 16) | (Xw[..., 3, :] << 24))  # [B,F,J,W]
+    # diagonal fold: word w accumulates segment offset j placed at w - j
+    words = Xw[..., 0, :]
+    for j in range(1, J):
+        words = words + jnp.concatenate(
+            [jnp.zeros((B, F, j), u32), Xw[..., j, :W - j]], axis=-1)
+    return words
+
+
 @partial(jax.jit, static_argnames=("channels", "coded_counts",
                                    "channel_types", "hfr_group_count",
                                    "frame_size"))
@@ -219,6 +281,10 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
 
     value = jnp.concatenate(values, axis=-1)         # [B, F, N] u32
     bits = jnp.concatenate(widths, axis=-1)          # [B, F, N] i32
+    # materialize the symbol tensors once: keeps XLA from fusing the whole
+    # symbol-build chain into both downstream reduces (hi and lo) and
+    # recomputing it per consumer
+    value, bits = jax.lax.optimization_barrier((value, bits))
 
     # exclusive prefix sum -> bit offsets; BitWriter drop semantics for any
     # symbol crossing the writable end (unreachable for rate-controlled
@@ -238,19 +304,11 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     hi = jnp.where(end <= 32, value << sh_hi_le, value >> sh_hi_gt)
     sh_lo = jnp.clip(64 - end, 0, 31).astype(u32)
     lo = jnp.where(end > 32, value << sh_lo, u32(0))
+    # same fence: the offset/shift chain feeds two level-1 reduces
+    w_n, hi, lo = jax.lax.optimization_barrier((w_n, hi, lo))
 
-    # monotone threshold sums: A[t] = sum_n hi * [w_n < t] (mod 2^32 — equal
-    # to OR because written bit ranges are disjoint); words by difference
     W = -(-fs // 4)
-    thr = jnp.arange(W + 1, dtype=i32)
-    mask = w_n[..., None] < thr                       # [B, F, N, W+1]
-    A = jnp.sum(jnp.where(mask, hi[..., None], u32(0)), axis=-2)
-    Bv = jnp.sum(jnp.where(mask, lo[..., None], u32(0)), axis=-2)
-    word_hi = A[..., 1:] - A[..., :-1]
-    d_lo = Bv[..., 1:] - Bv[..., :-1]                 # sum lo * [w_n == w]
-    word_lo = jnp.concatenate(
-        [jnp.zeros_like(d_lo[..., :1]), d_lo[..., :-1]], axis=-1)
-    words = word_hi | word_lo                         # [B, F, W]
+    words = _scatter_words(w_n, hi, lo, W)            # [B, F, W]
 
     # CRC16 over frame[:fs-2]: XOR-fold of the static contribution table
     # (bytes at fs-2.. are zero in `words`: rate control ends the payload
