@@ -355,7 +355,9 @@ def _ahx_device_rate(mp2_stream, data_offset, n, dur, total_samples,
     dev = jax.device_put(frames_np)
     pcm, e = run(dev)
     assert not bool(np.asarray(e))
-    got = np.asarray(pcm[0]).reshape(-1)[:total_samples * nch]
+    # pcm[0] is [C, N] channel-major; the WAV reference is interleaved
+    p0 = np.asarray(pcm[0]).reshape(nch, -1)
+    got = p0.T.reshape(-1)[:total_samples * nch]
     refp = np.frombuffer(ref_wav[44:], "<i2").astype(int)
     d = np.abs(got[:len(refp)].astype(int) - refp)
     assert d.max() <= 1, f"AHX device pipeline diverged: {d.max()} LSB"
