@@ -47,10 +47,7 @@ def decode_mp2(data: bytes, offset: int = 0, device: bool = False,
         pcm = mp2_kernels.decode_transform_device(st.codes, st.levels,
                                                   st.sfidx)
         return pcm, st.header.sample_rate
-    sb = mp2_kernels.dequantize_np(st.codes, st.levels, st.sfidx)
-    C = st.header.nch
-    sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, st.nframes * 36, 32)
-    pcm = mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb))
+    pcm = mp2_kernels.decode_pcm16_host(st.codes, st.levels, st.sfidx)
     return pcm, st.header.sample_rate
 
 

@@ -83,6 +83,11 @@ def load():
             u8p, i64p, i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
             i32p, i32p, u16p, i32p, u8p]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.cri_mp2_synthesize.restype = ctypes.c_int32
+        lib.cri_mp2_synthesize.argtypes = [
+            u16p, i32p, u8p, ctypes.c_int32, ctypes.c_int32,
+            f64p, f64p, f64p, i16p]
         lib.cri_adx_decode_scan.restype = None
         lib.cri_adx_decode_scan.argtypes = [
             i32p, i32p, i32p, i32p, i32p, i32p,

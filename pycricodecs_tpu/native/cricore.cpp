@@ -2860,5 +2860,143 @@ int32_t cri_mp2_unpack_frames(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// MP2/AHX host synthesis lane: dequantise + ISO synthesis filterbank +
+// int16 rounding in one pass.  Factored V-FIFO form of the stacked matmul
+// in ops/mp2_kernels.synthesize_np (same maths as ISO 11172-3 fig. A.2 /
+// the reference decoder's windowed sum): per granule V = N @ S (64x32
+// matrixing), then out[j] = sum_m D[64m+j]*V[t-2m][j]
+//                                + D[64m+32+j]*V[t-2m-1][32+j]
+// — 80 MACs/sample instead of synthesize_np's 512 (the stacked form
+// re-derives the matrixing inside every window tap).
+//
+// Rounding contract: dequantisation replays numpy's exact op order
+// ((2c+1-n)/n*sf elementwise), and both matrixing and window sums keep a
+// fixed k-order / m-order accumulation with SEPARATE mul and add (no FMA),
+// so the AVX2 twin, the scalar path, and -march variants all produce
+// IDENTICAL bits; vs the numpy stacked matmul the factored form differs
+// only in f64 association (~1e-15 relative), inside the package's 1-LSB
+// engine fence (tests/test_ahx.py pins both engines to libmpg123).
+//
+//   codes  u16 [F, C, 36, 32]; levels i32 [F, C, 32]; sfidx u8 [F, C, 3, 32]
+//   sf_table f64 [64] (mp2_tables.scalefactors)
+//   nt     f64 [32][64]: synthesis matrixing N TRANSPOSED (nt[k][q]=N[q][k])
+//   dwin   f64 [512]    (mp2_tables.synth_window)
+//   pcm    i16 out [C, F*36*32]  (channel-major, like synthesize_np's input)
+int32_t cri_mp2_synthesize(
+    const uint16_t* codes, const int32_t* levels, const uint8_t* sfidx,
+    int32_t F, int32_t C, const double* sf_table, const double* nt,
+    const double* dwin, int16_t* pcm) {
+    const int64_t T = (int64_t)F * 36;
+    std::vector<double> ringbuf(16 * 64);
+    double s[32], nlev[32], sfrow[3][32];
+    for (int ch = 0; ch < C; ch++) {
+        double* ring = ringbuf.data();
+        std::memset(ring, 0, 16 * 64 * sizeof(double));
+        int16_t* out = pcm + (size_t)ch * T * 32;
+        for (int64_t t = 0; t < T; t++) {
+            const int64_t f = t / 36;
+            const int row = (int)(t % 36);
+            if (row == 0) {          // per-frame dequant constants
+                const int32_t* lv = levels + ((size_t)f * C + ch) * 32;
+                const uint8_t* sfi = sfidx + ((size_t)f * C + ch) * 3 * 32;
+                for (int sb = 0; sb < 32; sb++) {
+                    nlev[sb] = lv[sb] > 0 ? (double)lv[sb] : 0.0;
+                    for (int p = 0; p < 3; p++)
+                        sfrow[p][sb] = sf_table[sfi[p * 32 + sb]];
+                }
+            }
+            const uint16_t* cq = codes + (((size_t)f * C + ch) * 36
+                                          + row) * 32;
+            const double* sf = sfrow[row / 12];
+            for (int sb = 0; sb < 32; sb++) {
+                // numpy's exact elementwise order: ((2c + 1 - n) / n) * sf
+                double n = nlev[sb];
+                s[sb] = n > 0.0
+                    ? ((2.0 * (double)cq[sb] + 1.0 - n) / n) * sf[sb]
+                    : 0.0;
+            }
+            double* v = ring + (size_t)(t & 15) * 64;
+#if defined(__AVX2__)
+            {
+                __m256d acc[16];
+                const double* r0 = nt;
+                __m256d sk = _mm256_set1_pd(s[0]);
+                for (int q = 0; q < 16; q++)
+                    acc[q] = _mm256_mul_pd(sk, _mm256_loadu_pd(r0 + q * 4));
+                for (int k = 1; k < 32; k++) {
+                    const double* rk = nt + (size_t)k * 64;
+                    sk = _mm256_set1_pd(s[k]);
+                    for (int q = 0; q < 16; q++)
+                        acc[q] = _mm256_add_pd(acc[q],
+                            _mm256_mul_pd(sk, _mm256_loadu_pd(rk + q * 4)));
+                }
+                for (int q = 0; q < 16; q++)
+                    _mm256_storeu_pd(v + q * 4, acc[q]);
+            }
+#else
+            for (int q = 0; q < 64; q++) v[q] = s[0] * nt[q];
+            for (int k = 1; k < 32; k++) {
+                const double* rk = nt + (size_t)k * 64;
+                const double sk = s[k];
+                for (int q = 0; q < 64; q++) v[q] += sk * rk[q];
+            }
+#endif
+            // window: 8 even taps on V[t-2m][0:32], 8 odd on V[t-2m-1][32:64]
+            double o[32];
+#if defined(__AVX2__)
+            {
+                __m256d acc[8];
+                const double* ve = ring + (size_t)(t & 15) * 64;
+                for (int j = 0; j < 8; j++)
+                    acc[j] = _mm256_mul_pd(_mm256_loadu_pd(dwin + j * 4),
+                                           _mm256_loadu_pd(ve + j * 4));
+                for (int m = 0; m < 8; m++) {
+                    if (m) {
+                        const double* vv = ring
+                            + (size_t)((t - 2 * m) & 15) * 64;
+                        const double* de = dwin + (size_t)m * 64;
+                        for (int j = 0; j < 8; j++)
+                            acc[j] = _mm256_add_pd(acc[j], _mm256_mul_pd(
+                                _mm256_loadu_pd(de + j * 4),
+                                _mm256_loadu_pd(vv + j * 4)));
+                    }
+                    const double* vo = ring
+                        + (size_t)((t - 2 * m - 1) & 15) * 64 + 32;
+                    const double* dd = dwin + (size_t)m * 64 + 32;
+                    for (int j = 0; j < 8; j++)
+                        acc[j] = _mm256_add_pd(acc[j], _mm256_mul_pd(
+                            _mm256_loadu_pd(dd + j * 4),
+                            _mm256_loadu_pd(vo + j * 4)));
+                }
+                for (int j = 0; j < 8; j++)
+                    _mm256_storeu_pd(o + j * 4, acc[j]);
+            }
+#else
+            for (int m = 0; m < 8; m++) {
+                const double* vv = ring + (size_t)((t - 2 * m) & 15) * 64;
+                const double* vo = ring
+                    + (size_t)((t - 2 * m - 1) & 15) * 64 + 32;
+                const double* de = dwin + (size_t)m * 64;
+                const double* dd = de + 32;
+                if (m == 0)
+                    for (int j = 0; j < 32; j++) o[j] = de[j] * vv[j];
+                else
+                    for (int j = 0; j < 32; j++) o[j] += de[j] * vv[j];
+                for (int j = 0; j < 32; j++) o[j] += dd[j] * vo[j];
+            }
+#endif
+            int16_t* op = out + t * 32;
+            for (int j = 0; j < 32; j++) {
+                double y = std::floor(o[j] * 32768.0 + 0.5);
+                if (y < -32768.0) y = -32768.0;
+                if (y > 32767.0) y = 32767.0;
+                op[j] = (int16_t)y;
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
 

@@ -102,6 +102,33 @@ static void mp2_unpack_cases() {
     printf("  mp2 unpack fuzz OK\n");
 }
 
+static void mp2_synthesize_cases() {
+    // hostile SoA tensors (out-of-range codes/levels/sfidx — anything a
+    // corrupt unpack could hand over) must never read OOB: sfidx is the
+    // only indexing input and the sf table is 64 entries, so every uint8
+    // must be clamped... it is NOT — the contract is sfidx < 64, which the
+    // unpacker guarantees (6-bit reads); fuzz within that contract and
+    // with extreme codes/levels values.
+    std::mt19937 rng(0x3141);
+    std::vector<double> sf(64), nt(32 * 64), dwin(512);
+    for (auto& x : sf) x = (double)(rng() % 1000) / 500.0;
+    for (auto& x : nt) x = (double)(int32_t)rng() / 2e9;
+    for (auto& x : dwin) x = (double)(int32_t)rng() / 2e9;
+    for (int t = 0; t < 20; t++) {
+        int32_t F = 1 + (int32_t)(rng() % 7), C = 1 + (int32_t)(rng() % 2);
+        std::vector<uint16_t> codes((size_t)F * C * 36 * 32);
+        std::vector<int32_t> levels((size_t)F * C * 32);
+        std::vector<uint8_t> sfidx((size_t)F * C * 3 * 32);
+        for (auto& x : codes) x = (uint16_t)rng();
+        for (auto& x : levels) x = (int32_t)(rng() % 70000) - 2;
+        for (auto& x : sfidx) x = (uint8_t)(rng() % 64);
+        std::vector<int16_t> pcm((size_t)C * F * 36 * 32);
+        cri_mp2_synthesize(codes.data(), levels.data(), sfidx.data(), F, C,
+                           sf.data(), nt.data(), dwin.data(), pcm.data());
+    }
+    printf("  mp2 synthesize fuzz OK\n");
+}
+
 static void hca_boundary_fuzz() {
     // Adversarial fuzz of the ctypes boundary: every header-reachable
     // parameter combination (channels at the 16 cap, any validated band
@@ -244,6 +271,7 @@ static void hca_boundary_fuzz() {
 int main() {
     hostile_decompress();
     mp2_unpack_cases();
+    mp2_synthesize_cases();
     hca_boundary_fuzz();
     std::mt19937 rng(7);
     std::vector<uint8_t> text;

@@ -105,6 +105,45 @@ def pcm16(x: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(y + 0.5), -32768, 32767).astype(np.int16)
 
 
+def decode_pcm16_host(codes: np.ndarray, levels: np.ndarray,
+                      sfidx: np.ndarray) -> np.ndarray:
+    """[F, C, 36, 32] codes -> int16 PCM [C, F*36*32] (host engine).
+
+    Fast lane: the C++ core's factored V-FIFO synthesis (cricore.cpp
+    cri_mp2_synthesize — matrixing once per granule + 16-tap windowed sum,
+    80 MACs/sample vs the stacked matmul's 512).  Fallback: the float64
+    numpy reference chain.  Dequantisation is bit-identical between the
+    two; the synthesis differs only in f64 association order, within the
+    package-wide 1-LSB engine fence (tests/test_ahx.py pins both to
+    libmpg123)."""
+    from .. import native
+
+    F, C = codes.shape[0], codes.shape[1]
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+
+        from . import mp2_tables as _T
+
+        codes = np.ascontiguousarray(codes, dtype=np.uint16)
+        levels = np.ascontiguousarray(levels, dtype=np.int32)
+        sfidx = np.ascontiguousarray(sfidx, dtype=np.uint8)
+        sf = np.ascontiguousarray(_T.scalefactors(np.float64))
+        nt = np.ascontiguousarray(_T.synthesis_matrixing(np.float64).T)
+        dwin = np.ascontiguousarray(_T.synth_window(np.float64))
+        pcm = np.empty((C, F * 36 * 32), dtype=np.int16)
+        p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+        lib.cri_mp2_synthesize(
+            p(codes, ctypes.c_uint16), p(levels, ctypes.c_int32),
+            p(sfidx, ctypes.c_uint8), F, C,
+            p(sf, ctypes.c_double), p(nt, ctypes.c_double),
+            p(dwin, ctypes.c_double), p(pcm, ctypes.c_int16))
+        return pcm
+    sb = dequantize_np(codes, levels, sfidx)
+    sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, F * 36, 32)
+    return pcm16(synthesize_np(sb))
+
+
 # --- JAX device path ---------------------------------------------------------
 
 def _jax():

@@ -180,6 +180,15 @@ def synthesis_matrices(dtype=np.float64) -> np.ndarray:
     return _matrices(np.dtype(dtype).name)[0]
 
 
+def synthesis_matrixing(dtype=np.float64) -> np.ndarray:
+    """N[64, 32]: the raw ISO matrixing cos((16+i)(2k+1)pi/64), i.e. the
+    factor G folds with the window — the native V-FIFO synthesis lane
+    (cricore.cpp cri_mp2_synthesize) applies it once per granule."""
+    i = np.arange(64)[:, None]
+    k = np.arange(32)[None, :]
+    return np.cos((16 + i) * (2 * k + 1) * np.pi / 64).astype(dtype)
+
+
 def analysis_matrix(dtype=np.float64) -> np.ndarray:
     """M[32, 64]: S = M @ Y with Y the windowed+folded input (X[0] newest)."""
     return _matrices(np.dtype(dtype).name)[1]

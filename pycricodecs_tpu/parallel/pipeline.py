@@ -1166,10 +1166,8 @@ def ahx_decode_batch(blobs: Sequence[bytes], device: Optional[bool] = None,
             if p is None:
                 continue
             st = p[1]
-            C = st.header.nch
-            sb = mp2_kernels.dequantize_np(st.codes, st.levels, st.sfidx)
-            sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, st.nframes * 36, 32)
-            _finish(idx, mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb)))
+            _finish(idx, mp2_kernels.decode_pcm16_host(
+                st.codes, st.levels, st.sfidx))
         return results
 
     groups: dict = {}

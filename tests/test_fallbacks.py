@@ -80,3 +80,29 @@ def test_mp2_unpack_python_mirrors(no_native):
     assert st.nframes > 0 and st.codes.any()
     wav = AHX.decode(blob)
     assert wav[:4] == b"RIFF"
+
+
+def test_mp2_synthesis_native_vs_numpy():
+    """The native V-FIFO synthesis lane (cri_mp2_synthesize) vs the f64
+    numpy stacked-matmul reference: dequantisation must be bit-identical
+    and the synthesis within the package-wide 1-LSB fence (the factored
+    form differs only in f64 association order)."""
+    from pycricodecs_tpu.ops import mp2_kernels
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(42)
+    for F, C in ((5, 1), (83, 2)):
+        lvs = np.array([0, 3, 5, 7, 9, 15, 31, 63, 255, 1023, 65535])
+        levels = lvs[rng.integers(0, len(lvs), (F, C, 32))].astype(np.int32)
+        n36 = np.maximum(levels[:, :, None, :], 1)
+        codes = (rng.integers(0, 1 << 16, (F, C, 36, 32)) % n36
+                 ).astype(np.uint16)
+        sfidx = rng.integers(0, 63, (F, C, 3, 32)).astype(np.uint8)
+        fast = mp2_kernels.decode_pcm16_host(codes, levels, sfidx)
+        sb = mp2_kernels.dequantize_np(codes, levels, sfidx)
+        sb = np.transpose(sb, (1, 0, 2, 3)).reshape(C, F * 36, 32)
+        ref = mp2_kernels.pcm16(mp2_kernels.synthesize_np(sb))
+        assert fast.shape == ref.shape
+        d = np.abs(fast.astype(int) - ref.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.001
