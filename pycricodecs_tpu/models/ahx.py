@@ -121,7 +121,7 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     if device:
         S = mp2_kernels.analyze_device(x).astype(np.float64)
     else:
-        S = mp2_kernels.analyze_np(x)                  # [C, F*36, 32]
+        S = mp2_kernels.analyze_fast(x)                # [C, F*36, 32]
     S = S.reshape(C, F, 12, 3, 32)
 
     # scalefactors per (frame, ch, part, sb)
@@ -198,14 +198,11 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     codes_all = np.where(nf > 0, np.clip(q, 0, nf - 1), 0)
     codes_all = codes_all.reshape(C, F, 36, sblimit).astype(np.uint16)
 
-    out = bytearray()
-    for f in range(F):
-        fhdr = hdr._replace(padding=int(pads[f]),
-                            frame_size=int(frame_sizes[f]))
-        out += mp2_frame.pack_frame(
-            fhdr, bitrate_idx, sr_idx, alloc[f], scfsi[:, f, :sblimit],
-            sfidx[:, f, :, :sblimit], codes_all[:, f])
-    return bytes(out)
+    return mp2_frame.pack_frames(
+        hdr, bitrate_idx, sr_idx, alloc,
+        scfsi.transpose(1, 0, 2)[:, :, :sblimit],
+        sfidx.transpose(1, 0, 2, 3)[:, :, :, :sblimit],
+        codes_all.transpose(1, 0, 2, 3), pads, frame_sizes)
 
 
 # --- AHX container -----------------------------------------------------------

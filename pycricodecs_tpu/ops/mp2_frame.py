@@ -351,6 +351,127 @@ def pack_frame(hdr: Mp2Header, bitrate_idx: int, sr_idx: int,
     return bw.getvalue()
 
 
+def _bit_scatter(bits: np.ndarray, offs: np.ndarray, widths: np.ndarray,
+                 vals: np.ndarray) -> None:
+    """Write MSB-first fields into an unpacked bit array, bucketed by width
+    (the unpack() gather in reverse).  Fields must not overlap."""
+    offs = offs.astype(np.int64, copy=False)
+    vals = vals.astype(np.int64, copy=False)
+    for w in np.unique(widths):
+        sel = np.nonzero(widths == w)[0]
+        j = np.arange(w, dtype=np.int64)
+        idx = offs[sel, None] + j
+        bits[idx] = (vals[sel, None] >> (w - 1 - j)) & 1
+
+
+def pack_frames(hdr: Mp2Header, bitrate_idx: int, sr_idx: int,
+                alloc_idx: np.ndarray, scfsi: np.ndarray,
+                sfidx: np.ndarray, codes: np.ndarray,
+                pads: np.ndarray, frame_sizes: np.ndarray) -> bytes:
+    """Pack a whole CBR Layer II stream at once (no CRC) — byte-identical
+    to per-frame ``pack_frame`` (kept as the reference implementation), but
+    every section lays its field offsets out with prefix sums and writes
+    through width-bucketed vectorised bit scatters, so the cost is a few
+    numpy passes instead of ~100 BitWriter calls per frame.
+
+    alloc_idx [F, C, SB] (table indices), scfsi [F, C, SB],
+    sfidx [F, C, 3, SB], codes [F, C, 36, SB], pads/frame_sizes [F].
+    """
+    table = T.ALLOC_TABLES[hdr.table_id]
+    sblimit, bound, C = hdr.sblimit, hdr.bound, hdr.nch
+    F = alloc_idx.shape[0]
+    alloc_idx = alloc_idx.astype(np.int64, copy=False)
+    fsz = np.asarray(frame_sizes, dtype=np.int64)
+    fb0 = np.cumsum(fsz) * 8 - fsz * 8                   # frame start bits
+    bits = np.zeros(int(fsz.sum()) * 8, dtype=np.uint8)
+
+    # header (padding varies per frame)
+    base_hdr = header_word(hdr.version, bitrate_idx, sr_idx, 0,
+                           hdr.mode, hdr.mode_ext)
+    _bit_scatter(bits, fb0, np.full(F, 32), base_hdr | (np.asarray(
+        pads, np.int64) << 9))
+
+    # alloc section: static (sb, ch) layout
+    nbal = np.array([(len(table[sb]) - 1).bit_length()
+                     for sb in range(sblimit)], dtype=np.int64)
+    pairs = [(sb, ch) for sb in range(sblimit)
+             for ch in range(C if sb < bound else 1)]
+    aw = np.array([nbal[sb] for sb, _ in pairs], dtype=np.int64)
+    aoff = 32 + np.cumsum(aw) - aw
+    asb = np.array([sb for sb, _ in pairs])
+    ach = np.array([ch for _, ch in pairs])
+    _bit_scatter(bits, (fb0[:, None] + aoff[None, :]).ravel(),
+                 np.broadcast_to(aw, (F, len(pairs))).ravel(),
+                 alloc_idx[:, ach, asb].ravel())
+    scfsi0 = 32 + int(aw.sum())
+
+    # scfsi: 2 bits per active (sb, ch), full C loop (pack_frame reads the
+    # whole alloc matrix here, shared subbands included)
+    act = (alloc_idx > 0).transpose(0, 2, 1).reshape(F, sblimit * C)
+    pre = np.cumsum(act, axis=1) - act
+    soff = fb0[:, None] + scfsi0 + 2 * pre
+    sel = act.ravel()
+    _bit_scatter(bits, soff.ravel()[sel],
+                 np.full(int(sel.sum()), 2),
+                 scfsi.transpose(0, 2, 1).reshape(F, -1).ravel()[sel])
+    sf0 = scfsi0 + 2 * act.sum(axis=1)                   # [F]
+
+    # scalefactors: 1-3 six-bit fields per active (sb, ch) by scfsi
+    s = scfsi.transpose(0, 2, 1).reshape(F, -1).astype(np.int64)
+    nsf = np.where(act, np.choose(s, [3, 2, 1, 2]), 0)
+    sfpre = np.cumsum(nsf, axis=1) - nsf
+    sfoff = fb0[:, None] + sf0[:, None] + 6 * sfpre      # slot0 offset
+    sfv = sfidx.transpose(0, 3, 1, 2).reshape(F, sblimit * C, 3)
+    a_v, b_v, c_v = sfv[..., 0], sfv[..., 1], sfv[..., 2]
+    m0 = act                                             # slot0: always a
+    m1 = act & (nsf >= 2)            # slot1: b (s==0/3) or c (s==1)
+    v1 = np.where(s == 1, c_v, b_v)
+    m2 = act & (nsf == 3)                                # slot2: c (s==0)
+    offs = np.concatenate([sfoff[m0], sfoff[m1] + 6, sfoff[m2] + 12])
+    vals = np.concatenate([a_v[m0], v1[m1], c_v[m2]])
+    _bit_scatter(bits, offs, np.full(len(offs), 6), vals)
+    smp0 = sf0 + 6 * nsf.sum(axis=1)                     # [F]
+
+    # samples: per (sb, ch-slot) pair, grouped (one field) or 3 fields,
+    # layout repeating every granule
+    lv_tbl = np.zeros((sblimit, max(len(t) for t in table)), dtype=np.int64)
+    for sb in range(sblimit):
+        lv_tbl[sb, :len(table[sb])] = table[sb]
+    psb = np.array([sb for sb, _ in pairs])
+    pch = np.array([ch for _, ch in pairs])
+    n = lv_tbl[psb, alloc_idx[:, pch, psb]]              # [F, P] levels
+    grouped = (n == 3) | (n == 5) | (n == 9)
+    gb = np.where(n == 3, 5, np.where(n == 5, 7, 10))
+    nb = np.zeros_like(n)
+    nz = n > 0
+    nb[nz] = np.ceil(np.log2(n[nz] + 1)).astype(np.int64)  # code_bits
+    W = np.where(n == 0, 0, np.where(grouped, gb, 3 * nb))  # [F, P]
+    intra = np.cumsum(W, axis=1) - W
+    gran = W.sum(axis=1)                                 # bits per granule
+    cd = codes[:, pch, :, psb].astype(np.int64)          # [P, F, 36]
+    cd = np.transpose(cd, (1, 0, 2))                     # [F, P, 36]
+    g12 = np.arange(GRANULES, dtype=np.int64)
+    # [F, P, 12] field offsets (granule-major repeats)
+    off_g = (fb0[:, None, None] + smp0[:, None, None]
+             + g12[None, None, :] * gran[:, None, None]
+             + intra[:, :, None])
+    v0 = cd[:, :, 0::3]
+    v1 = cd[:, :, 1::3]
+    v2 = cd[:, :, 2::3]
+    mg = np.broadcast_to(grouped[:, :, None], off_g.shape)
+    mu = np.broadcast_to((nz & ~grouped)[:, :, None], off_g.shape)
+    gw = np.broadcast_to(gb[:, :, None], off_g.shape)
+    uw = np.broadcast_to(nb[:, :, None], off_g.shape)
+    n3 = np.broadcast_to(n[:, :, None], off_g.shape)
+    offs = np.concatenate([
+        off_g[mg], off_g[mu], (off_g + uw)[mu], (off_g + 2 * uw)[mu]])
+    widths = np.concatenate([gw[mg], uw[mu], uw[mu], uw[mu]])
+    vals = np.concatenate([
+        (v0 + n3 * (v1 + n3 * v2))[mg], v0[mu], v1[mu], v2[mu]])
+    _bit_scatter(bits, offs, widths, vals)
+    return np.packbits(bits).tobytes()
+
+
 def _unpack_native(data: bytes, frames, hdr0: Mp2Header,
                    codes: np.ndarray, levels: np.ndarray,
                    sfidx: np.ndarray) -> bool:

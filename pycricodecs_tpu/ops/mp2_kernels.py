@@ -99,6 +99,30 @@ def analyze_np(pcm: np.ndarray) -> np.ndarray:
     return Y @ T.analysis_matrix(np.float64).T
 
 
+def analyze_fast(pcm: np.ndarray) -> np.ndarray:
+    """Same maths as ``analyze_np`` without materialising the [T, 512]
+    sliding window: with q = 32h + m the window fold becomes 16 shifted
+    [T, 32] row accumulations over the 32-sample block grid,
+      Y[t, 32h+m] = sum_r win[32h+m+64r] * x32[t + 15 - h - 2r, 31 - m],
+    then S = Y @ M.T as before.  Differs from analyze_np only in f64
+    association order (~1e-15 relative); the encoder uses this lane, the
+    stacked form stays as the reference/parity oracle."""
+    x = np.asarray(pcm, dtype=np.float64)
+    lead = x.shape[:-1]
+    N = x.shape[-1]
+    Tn = N // 32
+    win = T.analysis_window(np.float64)
+    xp = np.concatenate([np.zeros(lead + (512,)), x], axis=-1)
+    x32r = xp.reshape(lead + (Tn + 16, 32))[..., ::-1]   # block-reversed
+    Y = np.zeros(lead + (Tn, 64))
+    for h in range(2):
+        for r in range(8):
+            w = win[32 * h + np.arange(32) + 64 * r]
+            s0 = 16 - h - 2 * r                # +16: one extra zero block
+            Y[..., :, 32 * h:32 * h + 32] += w * x32r[..., s0:s0 + Tn, :]
+    return Y @ T.analysis_matrix(np.float64).T
+
+
 def pcm16(x: np.ndarray) -> np.ndarray:
     """+-1-scale float -> int16 (round-half-away, clipped)."""
     y = np.asarray(x, dtype=np.float64) * 32768.0
