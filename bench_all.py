@@ -461,7 +461,8 @@ def config12():
         bands_per_hfr_group=int(info.bands_per_hfr_group),
         hfr_band_count=int(cfg.hfr_band_count),
         frame_size=int(info.frame_size),
-        hfr_counts=tuple(counts), hfr_counts2=tuple(counts2))
+        hfr_counts=tuple(counts), hfr_counts2=tuple(counts2),
+        use_pallas=jax.devices()[0].platform == "tpu")
 
     @jax.jit
     def run(pcm):

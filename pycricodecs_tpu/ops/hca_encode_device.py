@@ -339,16 +339,22 @@ def _binary_search_boundary(sf, scaled, header_len, avail, noise_level,
 @partial(jax.jit, static_argnames=("base_band", "total_band", "pairs",
                                    "coded_counts", "channel_types",
                                    "hfr_group_count", "bands_per_hfr_group",
-                                   "hfr_band_count", "frame_size"))
+                                   "hfr_band_count", "frame_size",
+                                   "use_pallas"))
 def hca_encode_transform(pcm, *, base_band, total_band, pairs, coded_counts,
                          channel_types, hfr_group_count, bands_per_hfr_group,
-                         hfr_band_count, frame_size):
+                         hfr_band_count, frame_size, use_pallas=False):
     """PCM16 [B, C, F*1024] -> per-frame encode tensors.
 
     Returns (sf u8, res u8, intensity u8, quantized i16, level i32,
     boundary i32, delta_bits i32, group_avg_sums f32, scaled_group_sums f32).
     Frames whose rate control failed carry level == -1 and must be re-run on
     the host fallback (top-band zeroing, hca.cpp:2816-2828).
+
+    use_pallas runs the MDCT as the VMEM-resident Pallas kernel
+    (pallas_kernels.mdct_enc_pallas, bit-exact with the XLA stage network,
+    which materialises ~1 GB of fp32 temps per stage at 256-stream banks);
+    keep it off under GSPMD meshes (pallas_call has no partitioning rule).
     """
     B, C, total = pcm.shape
     F = total // 1024
@@ -358,8 +364,15 @@ def hca_encode_transform(pcm, *, base_band, total_band, pairs, coded_counts,
         coded[c, :coded_counts[c]] = True
     coded_mask = jnp.asarray(coded)
 
-    wave = (pcm.astype(f32) * f32(1.0 / 32768.0)).reshape(B, C, F * 8, 128)
-    spectra = _mdct(wave, window)                       # [B, C, T, 128]
+    if use_pallas:
+        from . import pallas_kernels
+
+        interp = jax.devices()[0].platform != "tpu"
+        spectra = pallas_kernels.mdct_enc_pallas(pcm, interpret=interp)
+    else:
+        wave = (pcm.astype(f32) * f32(1.0 / 32768.0)).reshape(B, C,
+                                                              F * 8, 128)
+        spectra = _mdct(wave, window)                   # [B, C, T, 128]
     spectra = jnp.moveaxis(spectra.reshape(B, C, F, 8, 128), 1, 2)
 
     spectra, intensity = _encode_intensity(spectra, base_band, total_band,
@@ -504,10 +517,12 @@ def _delta_lengths(sf, coded_counts, channel_types, hfr_group_count):
                                    "coded_counts", "channel_types",
                                    "hfr_group_count", "bands_per_hfr_group",
                                    "hfr_band_count", "frame_size",
-                                   "hfr_counts", "hfr_counts2"))
+                                   "hfr_counts", "hfr_counts2",
+                                   "use_pallas"))
 def hca_encode_frames(pcm, *, base_band, total_band, pairs, coded_counts,
                       channel_types, hfr_group_count, bands_per_hfr_group,
-                      hfr_band_count, frame_size, hfr_counts, hfr_counts2):
+                      hfr_band_count, frame_size, hfr_counts, hfr_counts2,
+                      use_pallas=False):
     """PCM16 [B, C, F*1024] -> (frames u8 [B, F, frame_size], fallback [B,F]).
 
     The full encode pipeline on device: transform -> certified-exact HFR
@@ -529,7 +544,8 @@ def hca_encode_frames(pcm, *, base_band, total_band, pairs, coded_counts,
             coded_counts=coded_counts, channel_types=channel_types,
             hfr_group_count=hfr_group_count,
             bands_per_hfr_group=bands_per_hfr_group,
-            hfr_band_count=hfr_band_count, frame_size=frame_size)
+            hfr_band_count=hfr_band_count, frame_size=frame_size,
+            use_pallas=use_pallas)
     hfr_scales, guard = hfr_scales_device(
         ga, gs, counts=hfr_counts, counts2=hfr_counts2,
         channel_types=channel_types)
@@ -609,15 +625,27 @@ def encode_batch_device(wav_blobs, quality: int = 1,
         hfr_band_count=int(cfgs[0].hfr_band_count),
         frame_size=int(info0.frame_size))
 
+    import os as _os
+
     if pack == "auto":
         import jax as _jax
         pack = "device" if _jax.devices()[0].platform == "tpu" else "host"
+    # Pallas MDCT: on for real-TPU / interpret-forced runs without a mesh
+    # (pallas_call has no GSPMD rule); PYCRICODECS_NO_PALLAS_MDCT=1 forces
+    # the XLA stage network (same escape hatch family as NO_PALLAS_UNPACK)
+    import jax as _jax
+    use_pallas = (mesh is None
+                  and (_jax.devices()[0].platform == "tpu"
+                       or _os.environ.get("PYCRICODECS_PALLAS_INTERPRET")
+                       == "1")
+                  and _os.environ.get("PYCRICODECS_NO_PALLAS_MDCT") != "1")
     if pack == "device":
         from .hca_hfr_device import _group_counts
 
         counts, counts2 = _group_counts(info0, int(cfgs[0].hfr_band_count))
         frames, fb = hca_encode_frames(
-            pcm, hfr_counts=tuple(counts), hfr_counts2=tuple(counts2), **kw)
+            pcm, hfr_counts=tuple(counts), hfr_counts2=tuple(counts2),
+            use_pallas=use_pallas, **kw)
         frames = np.asarray(frames[:B])
         fb = np.asarray(fb[:B])
         results = []
@@ -633,7 +661,7 @@ def encode_batch_device(wav_blobs, quality: int = 1,
                                + frames[b, :F].tobytes())
         return results
 
-    out = hca_encode_transform(pcm, **kw)
+    out = hca_encode_transform(pcm, use_pallas=use_pallas, **kw)
     # slice padded mesh rows off on device BEFORE fetching: on slow
     # device->host links the silence rows are pure wasted transfer
     sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \

@@ -502,6 +502,181 @@ def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src, *,
     return out[:, :Tn]
 
 
+# ---------------------------------------------------------------------------
+# Encode MDCT kernel: window fold + the encoder's exact-order DCT-IV
+# (hca.cpp:2481-2553) in one VMEM pass over int16 PCM blocks.
+#
+# Motivation (measured on the v5e): the XLA _mdct/_dct4 stage network
+# materialises ~1 GB of fp32 temps per stage between the stack/reshape
+# butterflies — 159 ms of the 407 ms encode pipeline at 256x10s streams,
+# where the HBM floor (int16 in + f32 spectra out) is ~2 ms.
+#
+# Lane algebra: pre-permuting the fold output by the XOR-linear map
+# sigma(t) = t XOR (bit0(t) * 126) makes EVERY butterfly stage a uniform
+# single-bit XOR pairing — the initial even/odd cos7/sin7 stage lands at
+# distance 1 and leaves lanes in NATURAL temp order, after which the six
+# reference stages split into an add/sub substage (distance 64,32,..,2) and
+# a twiddle substage (distance 1, back half only).  The window fold itself
+# reads its reversed/shifted operands through 16 single-bit XOR moves, so no
+# jnp.flip-style lane reversal ever lowers (see the _mdct docstring for the
+# TPU-plugin miscompile this also sidesteps).  The final SHUFFLE_TABLE
+# gather is one exact {0,1} fp32 matmul (Precision.HIGHEST).
+#
+# Rounding contract: identical op-for-op to ops/hca_encode_device._mdct —
+# int16->f32 is exact, the 2^-15 scale is exact, every fold/butterfly output
+# is one add of two individually rounded products (operand swaps are IEEE-
+# commutative; sign-of-zero differences cannot arise because front lanes
+# pass through twiddle substages unmodified via select, not +0.0).
+# ---------------------------------------------------------------------------
+
+def _build_enc_mdct_constants():
+    lane = np.arange(LANES)
+    W = np.asarray(T.IMDCT_WINDOW, np.float32)
+    is_odd = (lane & 1) == 1
+    j_of = np.where(is_odd, lane ^ 126, lane)     # lane -> logical scratch
+    is_first = j_of < 64
+    ka = np.zeros(LANES, np.float32)
+    kb = np.zeros(LANES, np.float32)
+    for l in range(LANES):
+        j = int(j_of[l])
+        if is_first[l]:
+            ka[l], kb[l] = -W[63 - j], W[64 + j]
+        else:
+            m = j - 64
+            ka[l], kb[l] = W[m], W[127 - m]
+
+    dists = [1]
+    c1s = []
+    c2s = []
+    masks = [None]
+    sin7, cos7 = T.dct4_stage_tables(7)
+    c1 = np.zeros(LANES, np.float32)
+    c2 = np.zeros(LANES, np.float32)
+    for k in range(64):
+        c1[2 * k], c2[2 * k] = cos7[k], sin7[k]
+        c1[2 * k + 1], c2[2 * k + 1] = -cos7[k], sin7[k]
+    c1s.append(c1)
+    c2s.append(c2)
+    for s in range(6):
+        bhs_bits = 5 - s
+        bhs = 1 << bhs_bits
+        d_a = 1 << (bhs_bits + 1)
+        sin, cos = T.dct4_stage_tables(bhs_bits)
+        dists.append(d_a)
+        c1s.append(np.where((lane & d_a) == 0, 1.0, -1.0)
+                   .astype(np.float32))
+        c2s.append(np.ones(LANES, np.float32))
+        masks.append(None)
+        b1 = np.zeros(LANES, np.float32)
+        b2 = np.zeros(LANES, np.float32)
+        for l in range(LANES):
+            i = (l >> 1) & (bhs - 1)
+            b1[l] = -cos[i] if (l & 1) else cos[i]
+            b2[l] = sin[i]
+        dists.append(1)
+        c1s.append(b1)
+        c2s.append(b2)
+        masks.append(int(d_a))              # twiddle only on back lanes
+    perm = np.zeros((LANES, LANES), np.float32)
+    shuf = np.asarray(T.SHUFFLE_TABLE).astype(int)
+    for j in range(LANES):                  # out[j] = temp[shuf[j]]
+        perm[shuf[j], j] = 1.0
+    return (ka, kb, tuple(dists),
+            np.stack(c1s).astype(np.float32),
+            np.stack(c2s).astype(np.float32), tuple(masks), perm)
+
+
+(_ENC_KA, _ENC_KB, _ENC_DISTS, _ENC_C1, _ENC_C2, _ENC_MASKS,
+ _ENC_PERM) = _build_enc_mdct_constants()
+
+
+def _enc_mdct_kernel(kab_ref, c1_ref, c2_ref, perm_ref, cur_ref, prev_ref,
+                     out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    scale = jnp.float32(1.0 / 32768.0)
+    wc = cur_ref[:, :].astype(jnp.float32) * scale
+    wp = prev_ref[:, :].astype(jnp.float32) * scale
+    tile = wc.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+
+    def xmove(x, d):
+        fwd = pltpu.roll(x, (-d) % LANES, 1)
+        bwd = pltpu.roll(x, d, 1)
+        return jnp.where((lane & d) == 0, fwd, bwd)
+
+    wc64 = xmove(wc, 64)
+    wc65 = xmove(wc64, 1)
+    wc62 = xmove(xmove(xmove(xmove(xmove(wc, 2), 4), 8), 16), 32)
+    wc63 = xmove(wc62, 1)
+    wp64 = xmove(wp, 64)
+    wp65 = xmove(wp64, 1)
+    wp62 = xmove(xmove(xmove(xmove(xmove(wp, 2), 4), 8), 16), 32)
+    wp63 = xmove(wp62, 1)
+    j_of = jnp.where((lane & 1) == 1, lane ^ 126, lane)
+    first = j_of < 64
+    odd = (lane & 1) == 1
+    sa = jnp.where(first, jnp.where(odd, wc62, wc64),
+                   jnp.where(odd, wp62, wp64))
+    sb = jnp.where(first, jnp.where(odd, wc65, wc63),
+                   jnp.where(odd, wp65, wp63))
+    x = kab_ref[0, :] * sa + kab_ref[1, :] * sb
+
+    for t, d in enumerate(_ENC_DISTS):
+        partner = xmove(x, d)
+        y = c1_ref[t, :] * x + c2_ref[t, :] * partner
+        m = _ENC_MASKS[t]
+        x = y if m is None else jnp.where((lane & m) != 0, y, x)
+    out = jax.lax.dot_general(x, perm_ref[:, :], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    out_ref[:, :] = out * jnp.float32(0.125)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mdct_enc_pallas(pcm, interpret=False):
+    """Encoder MDCT: int16 PCM [B, C, T*128] -> spectra f32 [B, C, T, 128],
+    bit-exact with hca_encode_device._mdct on the wave = pcm/32768 input
+    (the previous-block window half is zero for each stream's first block,
+    matching the XLA path's leading zero concat)."""
+    B, C, total = pcm.shape
+    Tn = total // LANES
+    blocks = pcm.reshape(B, C, Tn, LANES)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, C, 1, LANES), pcm.dtype), blocks[:, :, :-1]], axis=2)
+    rows = blocks.reshape(-1, LANES)
+    prows = prev.reshape(-1, LANES)
+    n = rows.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        z = jnp.zeros((n_pad - n, LANES), pcm.dtype)
+        rows = jnp.concatenate([rows, z], axis=0)
+        prows = jnp.concatenate([prows, z], axis=0)
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        mem_kw = dict(memory_space=pltpu.VMEM)
+    except ImportError:  # pragma: no cover
+        mem_kw = {}
+    kab = jnp.stack([jnp.asarray(_ENC_KA), jnp.asarray(_ENC_KB)])
+    out = pl.pallas_call(
+        _enc_mdct_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((2, LANES), lambda i: (0, 0), **mem_kw),
+            pl.BlockSpec((13, LANES), lambda i: (0, 0), **mem_kw),
+            pl.BlockSpec((13, LANES), lambda i: (0, 0), **mem_kw),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0), **mem_kw),
+            pl.BlockSpec((TILE, LANES), lambda i: (i, 0), **mem_kw),
+            pl.BlockSpec((TILE, LANES), lambda i: (i, 0), **mem_kw),
+        ],
+        out_specs=pl.BlockSpec((TILE, LANES), lambda i: (i, 0), **mem_kw),
+        interpret=interpret,
+    )(kab, jnp.asarray(_ENC_C1), jnp.asarray(_ENC_C2),
+      jnp.asarray(_ENC_PERM), rows, prows)
+    return out[:n].reshape(B, C, Tn, LANES)
+
+
 def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu" or \
         os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"

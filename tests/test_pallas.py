@@ -21,6 +21,29 @@ def test_pallas_imdct_nonaligned_rows():
     assert np.array_equal(ref.view(np.uint32), out.view(np.uint32))
 
 
+def test_enc_mdct_pallas_bit_exact():
+    """Encoder MDCT kernel == the XLA _mdct stage network, bit-for-bit,
+    including the leading zero previous-block half and non-tile-aligned
+    row counts (hca.cpp:2481-2553 is the reference order both reproduce)."""
+    import jax
+    import jax.numpy as jnp
+    from pycricodecs_tpu.ops import pallas_kernels as pk
+    from pycricodecs_tpu.ops.hca_encode_device import _mdct
+    from pycricodecs_tpu.ops import _hca_data as T
+
+    rng = np.random.default_rng(5)
+    window = jnp.asarray(T.IMDCT_WINDOW)
+    for B, C, Tn in ((3, 2, 11), (1, 1, 5)):
+        pcm = rng.integers(-32768, 32768, size=(B, C, Tn * 128),
+                           dtype=np.int16)
+        out = np.asarray(pk.mdct_enc_pallas(pcm, interpret=True))
+        wave = (jnp.asarray(pcm).astype(jnp.float32)
+                * jnp.float32(1.0 / 32768.0)).reshape(B, C, Tn, 128)
+        ref = np.asarray(jax.jit(lambda w: _mdct(w, window))(wave))
+        assert np.array_equal(ref.view(np.uint32), out.view(np.uint32)), \
+            (B, C, Tn)
+
+
 def test_imdct_ola_fused_bit_exact():
     """Fused IMDCT+overlap-add kernel == jnp reference path, incl. padding
     and the cross-tile carry (T not a multiple of the tile size)."""

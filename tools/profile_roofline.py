@@ -180,7 +180,8 @@ def main():
         hfr_group_count=int(einfo.hfr_group_count),
         bands_per_hfr_group=int(einfo.bands_per_hfr_group),
         hfr_band_count=int(cfg.hfr_band_count),
-        frame_size=int(einfo.frame_size))
+        frame_size=int(einfo.frame_size),
+        use_pallas=jax.devices()[0].platform == "tpu")
     pdev = jax.device_put(pcm_np)
 
     @jax.jit
