@@ -30,12 +30,22 @@ TPU formulation (no gathers, no scatters, no scans):
   byte-serial state loop.
 
 Semantics locked against ops/hca_frame.py::pack_frame by byte-parity tests
-(tests/test_pack_device.py); one documented divergence: the host BitWriter
-silently drops writes that cross the buffer end WITHOUT advancing the
-cursor (IO.cpp semantics).  Rate control guarantees packed frames fit
-(used_bits <= frame_size*8 counts sync+crc), so the case is unreachable for
-frames this packer receives — encode_batch_device reroutes rate-control
-failures (level < 0) to the host encoder before packing.
+(tests/test_pack_device.py).  End-of-frame contract (subtle, found by a
+differential campaign): the host/reference writer's buffer is fs-2 bytes
+placed at frame offset 2, so its writable range in FRAME bit coordinates is
+[16, fs*8) — the final 16 writable bits overlap the CRC slot.  A symbol may
+legitimately START in the last data byte and END inside the CRC slot: its
+leading bits are real payload (frame bytes [.., fs-2)) and the spill is
+overwritten by the CRC afterwards.  The keep mask therefore bounds symbols
+by fs*8, NOT fs*8-16 (dropping crossing symbols entirely loses their
+leading payload bits — observed at 48 kHz q=0, frame_size 1024, where the
+last scalefactor-delta ends 1 bit past the data region).  Spilled bits are
+harmless downstream: _crc_word_table zeroes contributions for message
+bytes >= fs-2, the payload slice cuts bytes >= fs-2, and a symbol ending
+<= fs*8 never scatters past word W-1 (its end maps inside the last word).
+Writes that cross fs*8 itself ARE dropped whole without advancing the
+cursor (IO.cpp Write semantics) — unreachable after rate control, which
+reroutes failures (level < 0) to the host encoder before packing.
 """
 from __future__ import annotations
 
@@ -286,12 +296,13 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     # recomputing it per consumer
     value, bits = jax.lax.optimization_barrier((value, bits))
 
-    # exclusive prefix sum -> bit offsets; BitWriter drop semantics for any
-    # symbol crossing the writable end (unreachable for rate-controlled
-    # frames; see module docstring)
+    # exclusive prefix sum -> bit offsets; symbols may end inside the CRC
+    # slot (writer buffer spans [16, fs*8) in frame bits — see the module
+    # docstring's end-of-frame contract); only writes crossing fs*8 itself
+    # drop whole (BitWriter semantics, unreachable after rate control)
     csum = jnp.cumsum(bits, axis=-1)
     off = csum - bits
-    keep = (off + bits) <= (fs * 8 - 16)
+    keep = (off + bits) <= (fs * 8)
     bcl = jnp.minimum(bits, 31)
     value = jnp.where(keep, value & ((u32(1) << bcl.astype(u32)) - 1), 0)
 
@@ -311,8 +322,8 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     words = _scatter_words(w_n, hi, lo, W)            # [B, F, W]
 
     # CRC16 over frame[:fs-2]: XOR-fold of the static contribution table
-    # (bytes at fs-2.. are zero in `words`: rate control ends the payload
-    # before the CRC slot)
+    # (bits spilled into bytes fs-2.. by a CRC-slot-crossing symbol carry
+    # zero rows in K, so they cannot perturb the checksum)
     K = jnp.asarray(_crc_word_table(fs, W))           # [W, 32] u32
     bit_idx = jnp.arange(32, dtype=u32)
     msg_bits = (words[..., None] >> bit_idx) & u32(1)  # [B, F, W, 32]

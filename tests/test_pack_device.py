@@ -168,3 +168,79 @@ def test_pack_device_batch_consistency():
             tens[b][3][0, :F], tens[b][4][0, :F], tens[b][5][0, :F],
             tens[b][6][0, :F], tens[b][7][0, :F])
         assert dev[b, :F].tobytes() == host
+
+
+def test_pack_device_crc_slot_crossing_symbol():
+    """End-of-frame contract: the host/reference writer buffer spans frame
+    bits [16, fs*8), so a symbol may START in the last data byte and END
+    inside the CRC slot — its leading bits are payload, the spill is
+    overwritten by the CRC.  A device packer that drops such symbols whole
+    loses the leading bits (regression: found by the round-3 device-encode
+    differential campaign at 48 kHz q=0).  This crafts a frame whose final
+    spectrum symbol crosses frame bit fs*8-16 and pins device == host."""
+    info, F, _ = _encode_tensors(_wav(samples=4096, channels=2,
+                                      rate=48000, seed=3), 0)
+    C = info.channels
+    fs = int(info.frame_size)
+    G = int(info.hfr_group_count)
+
+    # header bits for db=0 frames: sync16 + anl9 + evb7, then per channel
+    # 3 (delta width) + intensity (8*4, secondary) or HFR scales (6*G)
+    B0 = 32
+    for c in range(C):
+        B0 += 3
+        if int(info.channel_type[c]) == T.STEREO_SECONDARY:
+            B0 += 8 * 4
+        elif G > 0:
+            B0 += 6 * G
+    limit = fs * 8 - 16
+
+    # symbol widths (res 15: 11-bit abs + 1 sign bit when q != 0; res 2 and
+    # 4 at q=0: 2 and 3 bits).  The final symbol must carry NONZERO leading
+    # bits (q=2047 -> abs field all ones), else a drop would be invisible.
+    # Its band contributes 7*11 (q=0 subframes) + 12 (subframe 7) = 89 bits;
+    # choose total T with T-12 < limit < T <= fs*8, (T - B0 - 89) % 8 == 0
+    T_total = limit + 1 + (-(limit + 1 - B0 - 89)) % 8
+    assert limit < T_total <= fs * 8 and T_total - 12 < limit
+    fill = (T_total - B0 - 89) // 8
+    n11 = fill // 11          # bulk filler: res-15 bands, 11 bits each
+    r = fill % 11
+    if r == 1:                # 1 not reachable with widths {2, 3}
+        n11 -= 1
+        r = 12
+    n3 = r % 2                # one width-3 band fixes parity
+    n2 = (r - 3 * n3) // 2
+    cc0 = int(info.coded_count[0])
+    assert n11 + n2 + n3 <= cc0, "not enough bands on channel 0"
+
+    B, Fp = 1, 16
+    level = np.zeros((B, Fp), np.int32)
+    boundary = np.zeros((B, Fp), np.int32)
+    sf = np.zeros((B, Fp, C, 128), np.uint8)
+    res = np.zeros((B, Fp, C, 128), np.uint8)
+    intensity = np.zeros((B, Fp, C, 8), np.uint8)
+    hfr_scales = np.zeros((B, Fp, C, max(G, 1)), np.int32)
+    delta_bits = np.zeros((B, Fp, C), np.int32)
+    quant = np.zeros((B, Fp, C, 8, 128), np.int16)
+    res[0, 0, 0, :n11] = 15
+    res[0, 0, 0, n11:n11 + n2] = 2
+    if n3:
+        res[0, 0, 0, n11 + n2] = 4
+    cc_last = int(info.coded_count[C - 1])
+    res[0, 0, C - 1, cc_last - 1] = 15
+    quant[0, 0, C - 1, 7, cc_last - 1] = 2047   # all-ones abs field + sign
+
+    host = D.hca_frame_pack(info, level[0, :1], boundary[0, :1], sf[0, :1],
+                            res[0, :1], intensity[0, :1], hfr_scales[0, :1],
+                            delta_bits[0, :1], quant[0, :1])
+    packer = DevicePacker(info)
+    dev = np.asarray(packer(level, boundary, sf, res, intensity,
+                            hfr_scales, delta_bits, quant))
+    assert dev[0, 0].tobytes() == host
+    # the crossing really happened and is observable: the final data byte
+    # carries the symbol's leading 1-bits (a whole-symbol drop zeroes them)
+    lead = limit - (T_total - 12)
+    assert lead > 0
+    k = min(lead, 8)   # low k bits of the final data byte are the abs-field
+    tail = int(np.frombuffer(host, np.uint8)[fs - 3])
+    assert tail & ((1 << k) - 1) == (1 << k) - 1
