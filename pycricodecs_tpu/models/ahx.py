@@ -31,6 +31,27 @@ CRI_STRING = b"(c)CRI"
 AHX_TYPES = (0x10, 0x11)
 
 
+def ahx_container(stream: bytes, sample_rate: int, n_samples: int,
+                  AhxVersion: int = 0x11) -> bytes:
+    """Wrap a mono MPEG-2 LSF Layer II stream in the AHX (ADX-style)
+    container (header layout mirrored by AHX.parse_header)."""
+    header = bytearray(0x24)
+    header[0:2] = b"\x80\x00"
+    header[2:4] = (0x20).to_bytes(2, "big")     # data at 0x24
+    header[4] = AhxVersion
+    header[5] = 0                               # block size
+    header[6] = 0                               # bit depth
+    header[7] = 1                               # channels
+    header[8:12] = sample_rate.to_bytes(4, "big")
+    header[12:16] = n_samples.to_bytes(4, "big")
+    header[16:18] = b"\x00\x00"                 # highpass
+    header[18] = 0x06                           # AHX header version tag
+    header[19] = 0x00                           # flags
+    header[0x1E:0x24] = CRI_STRING
+    footer = b"\x80\x01\x00\x0c" + b"AHXE(c)CRI\x00\x00"
+    return bytes(header) + stream + footer
+
+
 def decode_mp2(data: bytes, offset: int = 0, device: bool = False,
                max_frames: Optional[int] = None
                ) -> Tuple[np.ndarray, int]:
@@ -82,10 +103,21 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     MPEG-2 LSF for 16/22.05/24 kHz, MPEG-1 for 32/44.1/48 kHz.  Stereo input
     is coded as independent-channel stereo (mode 0).  CBR with the standard
     padding-slot accumulator; greedy max-(SMR - SNR) bit allocation.
+
+    device=False (default) is the float64 numpy reference path.  device=True
+    runs the FULL on-device pipeline (ops/mp2_encode_device: analysis MXU
+    matmul through on-chip bit packing) — an f32 variant whose allocation
+    ranking is exactly order-equivalent to this function's dB formulation
+    and whose post-analysis stages are bit-deterministic across backends;
+    output bytes differ from the f64 path only through analysis rounding.
     """
     pcm = np.asarray(pcm, dtype=np.int16)
     if pcm.ndim == 1:
         pcm = pcm[None, :]
+    if device:
+        from ..ops import mp2_encode_device as MED
+        return MED.encode_mp2_device_batch([pcm], sample_rate,
+                                           bitrate_kbps)[0]
     C, N = pcm.shape
     if C not in (1, 2):
         raise ValueError("Layer II supports 1 or 2 channels.")
@@ -118,10 +150,7 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     F = (N + mp2_frame.SAMPLES_PER_FRAME - 1) // mp2_frame.SAMPLES_PER_FRAME
     x = np.zeros((C, F * mp2_frame.SAMPLES_PER_FRAME), dtype=np.float64)
     x[:, :N] = pcm.astype(np.float64) / 32768.0
-    if device:
-        S = mp2_kernels.analyze_device(x).astype(np.float64)
-    else:
-        S = mp2_kernels.analyze_fast(x)                # [C, F*36, 32]
+    S = mp2_kernels.analyze_fast(x)                    # [C, F*36, 32]
     S = S.reshape(C, F, 12, 3, 32)
 
     # scalefactors per (frame, ch, part, sb)
@@ -268,21 +297,7 @@ class AHX:
             raise ValueError("AhxVersion must be 0x10 or 0x11.")
         pcm = wf.pcm16
         stream = encode_mp2(pcm, wf.sample_rate, bitrate_kbps, device=device)
-        header = bytearray(0x24)
-        header[0:2] = b"\x80\x00"
-        header[2:4] = (0x20).to_bytes(2, "big")     # data at 0x24
-        header[4] = AhxVersion
-        header[5] = 0                               # block size
-        header[6] = 0                               # bit depth
-        header[7] = 1                               # channels
-        header[8:12] = wf.sample_rate.to_bytes(4, "big")
-        header[12:16] = len(pcm).to_bytes(4, "big")
-        header[16:18] = b"\x00\x00"                 # highpass
-        header[18] = 0x06                           # AHX header version tag
-        header[19] = 0x00                           # flags
-        header[0x1E:0x24] = CRI_STRING
-        footer = b"\x80\x01\x00\x0c" + b"AHXE(c)CRI\x00\x00"
-        return bytes(header) + stream + footer
+        return ahx_container(stream, wf.sample_rate, len(pcm), AhxVersion)
 
     @staticmethod
     def info(data: bytes) -> dict:

@@ -1354,3 +1354,80 @@ def hca_encode_batch(wavs: Sequence[bytes], quality: int = 1,
             lambda w: hca_encode_host.encode(
                 w, force_not_looping=force_not_looping, quality=quality),
             wavs))
+
+
+def ahx_encode_batch(wavs: Sequence[bytes],
+                     bitrate_kbps: Optional[int] = None,
+                     device: bool = False, mesh: Optional[Mesh] = None,
+                     container: str = "auto",
+                     max_workers: int = 0) -> List[bytes]:
+    """Encode many WAVs to AHX / raw MPEG Layer II concurrently.
+
+    device=True runs the FULL on-device pipeline (ops/mp2_encode_device:
+    analysis MXU matmul -> lockstep greedy allocation -> on-chip bit
+    packing, frames left in HBM until fetch): streams group by (channels,
+    sample_rate) and each group is one jitted dispatch; with a `mesh` the
+    stream axis shards over the first mesh axis (pure-jnp pipeline, GSPMD).
+    device=False fans the float64 host encoder over a thread pool.
+
+    container: "ahx" wraps each stream in the AHX container (mono MPEG-2
+    LSF only, AHX.encode semantics), "mp2" returns raw Layer II streams,
+    "auto" picks AHX when the input is mono at an LSF rate.
+    """
+    import concurrent.futures as cf
+
+    from ..models import ahx as ahx_model
+    from ..ops import mp2_tables
+    from ..utils import wav as wavmod
+
+    if container not in ("auto", "ahx", "mp2"):
+        raise ValueError("container must be 'auto', 'ahx' or 'mp2'")
+    if mesh is not None and not device:
+        raise ValueError("ahx_encode_batch: mesh sharding requires "
+                         "device=True (the host path is per-stream)")
+
+    parsed = [wavmod.parse_wav(bytes(b)) for b in wavs]
+
+    def wrap(stream: bytes, w) -> bytes:
+        use_ahx = container == "ahx" or (
+            container == "auto" and w.channels == 1
+            and w.sample_rate in mp2_tables.SAMPLE_RATES_V2)
+        if use_ahx:
+            if w.channels != 1 or w.sample_rate not in \
+                    mp2_tables.SAMPLE_RATES_V2:
+                raise ValueError("AHX container requires mono PCM at an "
+                                 "MPEG-2 LSF rate (16000/22050/24000).")
+            return ahx_model.ahx_container(stream, w.sample_rate,
+                                           w.pcm16.size)
+        return stream
+
+    def pcm_of(w):
+        return w.pcm16.reshape(-1, w.channels).T
+
+    if device:
+        from ..ops import mp2_encode_device
+
+        _ensure_compile_cache()
+        groups: dict = {}
+        for i, w in enumerate(parsed):
+            groups.setdefault((w.channels, w.sample_rate), []).append(i)
+        results: List = [None] * len(wavs)
+        for (_, rate), members in groups.items():
+            streams = mp2_encode_device.encode_mp2_device_batch(
+                [pcm_of(parsed[i]) for i in members], rate,
+                bitrate_kbps, mesh=mesh)
+            for i, stream in zip(members, streams):
+                results[i] = wrap(stream, parsed[i])
+        return results
+
+    def one(i: int) -> bytes:
+        w = parsed[i]
+        stream = ahx_model.encode_mp2(pcm_of(w), w.sample_rate, bitrate_kbps)
+        return wrap(stream, w)
+
+    if max_workers <= 0:
+        max_workers = min(len(wavs), os.cpu_count() or 1)
+    if max_workers <= 1 or len(wavs) <= 1:
+        return [one(i) for i in range(len(wavs))]
+    with cf.ThreadPoolExecutor(max_workers) as pool:
+        return list(pool.map(one, range(len(wavs))))
