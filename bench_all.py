@@ -611,6 +611,61 @@ def config14():
             "audio-sec/sec", None, round(ratio, 4))
 
 
+def config15():
+    """On-device AHX/MP2 encode pipeline, link-independent: PCM pre-staged
+    in HBM, analysis matmul + lockstep greedy allocation + on-chip bit
+    packing (ops/mp2_encode_device), finished Layer II frame bytes left in
+    HBM — the AHX mirror of config 12.  Parity guard: one stream fetched
+    and byte-compared to the numpy mirror driven by the device-computed
+    spectra (the module's cross-backend determinism contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.ops import mp2_encode_device as E
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    rate, br = 22050, 96
+    N = int(rate * dur) // 1152 * 1152
+    t = np.arange(N) / rate
+    one = np.clip((0.55 * np.sin(2 * np.pi * 440 * t)
+                   + 0.2 * np.sin(2 * np.pi * 1320 * t)) * 28000,
+                  -32768, 32767).astype(np.int16)[None, None, :]
+    pcm_np = np.broadcast_to(one, (n, 1, N)).copy()
+    cfg = E.make_config(rate, 1, br)
+    F = N // 1152
+    pads = E.frame_padding(cfg, F)
+    kw = dict(version=cfg.version, sr_idx=cfg.sr_idx,
+              bitrate_idx=cfg.bitrate_idx, mode=cfg.mode,
+              table_id=cfg.table_id, sblimit=cfg.sblimit,
+              channels=cfg.channels, frame_base=cfg.frame_base,
+              nbal_bits=cfg.nbal_bits)
+
+    @jax.jit
+    def run(pcm, p):
+        frames = E.mp2_encode_frames(pcm, p, **kw)
+        return frames, frames[0, 0, 0] + frames[-1, -1, -1]
+
+    dev = jax.device_put(pcm_np)
+    pd = jax.device_put(pads)
+    frames, s = run(dev, pd)
+    int(np.asarray(s))
+    # parity guard at bank scale: spectra must come from the SAME dispatch
+    # shape (the analysis reduce order is shape/fusion-dependent), so the
+    # guard drives the return_spectra variant once
+    gframes, S0 = E.mp2_encode_frames(dev, pd, return_spectra=True, **kw)
+    got = E.assemble_stream(np.asarray(gframes[0, :F]), cfg, pads)
+    want = E.encode_from_spectra_np(np.asarray(S0)[0], cfg)
+    assert got == want, "device MP2 encode diverged from the mirror"
+    best = 1e18
+    for _ in range(5):
+        t0 = time.perf_counter()
+        frames, s = run(dev, pd)
+        int(np.asarray(s))               # scalar fetch = completion barrier
+        best = min(best, time.perf_counter() - t0)
+    return ("ahx_device_encode_audio_sec_per_sec_per_chip",
+            n * dur / best, "audio-sec/sec/chip")
+
+
 def main():
     # mirror bench.py: a dead remote-TPU tunnel hangs backend init forever
     import subprocess
@@ -623,11 +678,12 @@ def main():
               file=sys.stderr)
         import jax
         jax.config.update("jax_platforms", "cpu")
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12,13,14")
+    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12,13,14,15")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
                "9": config9, "10": config10, "11": config11,
-               "12": config12, "13": config13, "14": config14}
+               "12": config12, "13": config13, "14": config14,
+               "15": config15}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",

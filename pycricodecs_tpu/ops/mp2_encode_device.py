@@ -242,15 +242,24 @@ def _alloc_loop(keyc, okthr, cost_t, ncls_t, first_cost, budgets):
 
 @partial(jax.jit, static_argnames=("version", "sr_idx", "bitrate_idx",
                                    "mode", "table_id", "sblimit", "channels",
-                                   "frame_base", "nbal_bits"))
+                                   "frame_base", "nbal_bits",
+                                   "return_spectra"))
 def mp2_encode_frames(pcm, pads, *, version, sr_idx, bitrate_idx, mode,
-                      table_id, sblimit, channels, frame_base, nbal_bits):
+                      table_id, sblimit, channels, frame_base, nbal_bits,
+                      return_spectra=False):
     """PCM16 [B, C, F*1152] + pads i32 [F] -> frame bytes u8 [B, F, Wmax*4].
 
     Frames are packed at static width Wmax*4 >= frame_base+1; the caller
     slices frame f to frame_base + pads[f] bytes (the padding byte is
     trailing zeros, so the slice is exact).  Everything from the analysis
     matmul to the packed words runs on device.
+
+    return_spectra=True additionally returns stream 0's spectra
+    f32 [1, C, F, 12, 3, 32] FROM THIS DISPATCH, for parity guards: the
+    analysis reduction's float order is shape/fusion-dependent (a separate
+    B=1 dispatch produced spectra off by 1 ulp at bank scale, failing the
+    mirror byte-compare), so determinism checks must pin the spectra the
+    pipeline itself computed.
     """
     B, C, N = pcm.shape
     F = N // 1152
@@ -260,10 +269,13 @@ def mp2_encode_frames(pcm, pads, *, version, sr_idx, bitrate_idx, mode,
     S = _analyze_batch(x, c_win, m_t)                    # [B, C, 36F, 32]
     S = S.reshape(B, C, F, 12, 3, 32)
 
-    return mp2_pack_pipeline(
+    frames = mp2_pack_pipeline(
         S, pads, version=version, sr_idx=sr_idx, bitrate_idx=bitrate_idx,
         mode=mode, table_id=table_id, sblimit=sblimit, channels=channels,
         frame_base=frame_base, nbal_bits=nbal_bits)
+    if return_spectra:
+        return frames, S[:1]
+    return frames
 
 
 @partial(jax.jit, static_argnames=("version", "sr_idx", "bitrate_idx",

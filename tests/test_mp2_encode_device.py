@@ -34,17 +34,21 @@ def _pcm(C, N, rate, seed, noisy=False):
     return pcm
 
 
-def _device_stream(pcm, rate, br):
+def _device_stream(pcm, rate, br, want_spectra=False):
     cfg = E.make_config(rate, pcm.shape[0], br)
     F = pcm.shape[1] // 1152
     pads = E.frame_padding(cfg, F)
-    out = np.asarray(E.mp2_encode_frames(
+    out = E.mp2_encode_frames(
         jnp.asarray(pcm[None]), jnp.asarray(pads),
         version=cfg.version, sr_idx=cfg.sr_idx, bitrate_idx=cfg.bitrate_idx,
         mode=cfg.mode, table_id=cfg.table_id, sblimit=cfg.sblimit,
         channels=cfg.channels, frame_base=cfg.frame_base,
-        nbal_bits=cfg.nbal_bits))
-    return E.assemble_stream(out[0, :F], cfg, pads), cfg
+        nbal_bits=cfg.nbal_bits, return_spectra=want_spectra)
+    if want_spectra:
+        frames, S0 = out
+        return (E.assemble_stream(np.asarray(frames)[0, :F], cfg, pads),
+                cfg, np.asarray(S0)[0])
+    return E.assemble_stream(np.asarray(out)[0, :F], cfg, pads), cfg
 
 
 CASES = [
@@ -62,17 +66,12 @@ CASES = [
                          ids=[f"c{c}r{r}b{b}" for c, r, b, _ in CASES])
 def test_device_matches_mirror(C, rate, br, seed):
     """Device post-analysis pipeline == numpy mirror, byte for byte, with
-    the device-computed spectra pinned as the common input."""
+    the spectra pinned FROM THE SAME DISPATCH (the analysis reduce order is
+    shape/fusion-dependent — see mp2_encode_frames' return_spectra note)."""
     N = 1152 * 7
     pcm = _pcm(C, N, rate, seed, noisy=True)
-    dev, cfg = _device_stream(pcm, rate, br)
-    x32 = pcm.astype(np.float32) / np.float32(32768.0)
-    c_win = E.T.analysis_window(np.float32)
-    m_t = np.ascontiguousarray(E.T.analysis_matrix(np.float32).T)
-    S = np.asarray(jax.jit(E._analyze_batch)(jnp.asarray(x32[None]),
-                                             c_win, m_t))[0]
-    F = N // 1152
-    mirror = E.encode_from_spectra_np(S.reshape(C, F, 12, 3, 32), cfg)
+    dev, cfg, S = _device_stream(pcm, rate, br, want_spectra=True)
+    mirror = E.encode_from_spectra_np(S, cfg)
     assert dev == mirror
 
 
