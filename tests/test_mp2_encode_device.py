@@ -174,3 +174,26 @@ def test_error_paths():
         E.encode_mp2_device_batch(
             [np.zeros((1, 1152), np.int16),
              np.zeros((2, 1152), np.int16)], 22050)     # mixed channels
+
+
+def test_device_stream_accepted_by_mpg123():
+    """External conformance: libmpg123 decodes the DEVICE-encoded stream
+    and agrees with our decoder within 1 LSB (same bar as the host
+    encoder's test_encode_accepted_by_mpg123)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import mpeg_oracles as mo
+    if not mo.available():
+        pytest.skip("system libtwolame/libmpg123 absent")
+
+    for C, rate, br in ((1, 22050, 80), (2, 44100, 192)):
+        pcm = _pcm(C, 1152 * 8, rate, 17, noisy=True)
+        dev, _ = _device_stream(pcm, rate, br)
+        ref = mo.mpg123_decode(dev, rate, C)
+        mine, _ = ahx_model.decode_mp2(dev, device=False)
+        n = min(ref.shape[1], mine.shape[1])
+        refi = np.clip(np.rint(ref[:, :n].astype(np.float64) * 32768.0),
+                       -32768, 32767).astype(np.int32)
+        d = np.abs(mine[:, :n].astype(np.int32) - refi)
+        assert d.max() <= 1, (C, rate, br, d.max())
