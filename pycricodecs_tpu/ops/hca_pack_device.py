@@ -25,9 +25,9 @@ TPU formulation (no gathers, no scatters, no scans):
   over the static threshold axis.  Bit ranges are disjoint (every output bit
   is written at most once), so modular u32 sums ARE the bitwise OR.
 
-- CRC16 (poly 0x8005) is linear over GF(2): the checksum is an XOR-fold of
-  a static per-(word, bit) constant table masked by the output bits — no
-  byte-serial state loop.
+- CRC16 (poly 0x8005) is linear over GF(2): crc bit j is the parity of
+  sum_w popcount(words[w] & M[w, j]) against a static mask table — one
+  fused reduction, no byte-serial state loop and no per-bit expansion.
 
 Semantics locked against ops/hca_frame.py::pack_frame by byte-parity tests
 (tests/test_pack_device.py).  End-of-frame contract (subtle, found by a
@@ -111,17 +111,24 @@ def _crc_word_table(fs: int, nwords: int) -> np.ndarray:
     return K
 
 
-def _xor_fold(x):
-    """XOR-reduce the last axis (length padded to a power of two)."""
-    n = x.shape[-1]
-    m = 1 << (n - 1).bit_length()
-    if m != n:
-        x = jnp.concatenate(
-            [x, jnp.zeros(x.shape[:-1] + (m - n,), x.dtype)], axis=-1)
-    while x.shape[-1] > 1:
-        h = x.shape[-1] // 2
-        x = x[..., :h] ^ x[..., h:]
-    return x[..., 0]
+def _crc_mask_table(fs: int, nwords: int) -> np.ndarray:
+    """M[w, j] u32: mask of word-w bits whose CRC contribution sets bit j.
+
+    The bit-transpose of _crc_word_table: crc bit j = parity of
+    sum_w popcount(words[w] & M[w, j]).  Folding through popcount+sum keeps
+    the whole checksum a single reduction over [B, F, W, 16] WITHOUT
+    materialising the [B, F, W, 32] per-bit expansion the direct
+    formulation needs (~8 GB of HBM traffic per 256-stream bank).
+    """
+    K = _crc_word_table(fs, nwords)                     # [W, 32]
+    M = np.zeros((nwords, 16), dtype=np.uint32)
+    for w in range(nwords):
+        for t in range(32):
+            v = int(K[w, t])
+            for j in range(16):
+                if (v >> j) & 1:
+                    M[w, j] |= np.uint32(1 << t)
+    return M
 
 
 def _spectrum_symbols(res, quant):
@@ -321,13 +328,16 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     W = -(-fs // 4)
     words = _scatter_words(w_n, hi, lo, W)            # [B, F, W]
 
-    # CRC16 over frame[:fs-2]: XOR-fold of the static contribution table
-    # (bits spilled into bytes fs-2.. by a CRC-slot-crossing symbol carry
-    # zero rows in K, so they cannot perturb the checksum)
-    K = jnp.asarray(_crc_word_table(fs, W))           # [W, 32] u32
-    bit_idx = jnp.arange(32, dtype=u32)
-    msg_bits = (words[..., None] >> bit_idx) & u32(1)  # [B, F, W, 32]
-    crc = _xor_fold((msg_bits * K).reshape(B, F, W * 32))
+    # CRC16 over frame[:fs-2]: GF(2) linearity as parity-of-popcount —
+    # crc bit j = parity(sum_w popcount(words_w & M[w, j])); the sum over
+    # words fuses into one reduction, no per-bit expansion (bits spilled
+    # into bytes fs-2.. by a CRC-slot-crossing symbol carry zero mask rows,
+    # so they cannot perturb the checksum)
+    M = jnp.asarray(_crc_mask_table(fs, W))           # [W, 16] u32
+    cnt = jnp.sum(jax.lax.population_count(words[..., None] & M),
+                  axis=-2, dtype=i32)                 # [B, F, 16]
+    crc = jnp.sum((cnt & 1).astype(u32) << jnp.arange(16, dtype=u32),
+                  axis=-1, dtype=u32)                 # disjoint bits: sum==or
 
     # big-endian byte layout (static 4-slice stack: no jnp.flip on this
     # backend — see CLAUDE.md TPU-plugin miscompilation note)
