@@ -666,6 +666,62 @@ def config15():
             n * dur / best, "audio-sec/sec/chip")
 
 
+def config16():
+    """On-device ADX encode pipeline, link-independent: PCM blocks pre-
+    staged in HBM, block-parallel fixpoint quantisation + reshape/shift
+    packing on-chip, raw ADX block bytes left in HBM — the encode mirror
+    of config 13 (reference hot loop adx.cpp:215-273, 380-414).  Parity
+    guard: one stream's payload byte-compared to the host encoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.models import adx as adx_model
+    from pycricodecs_tpu.ops import adx_kernels
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    wav_bytes = _sine_wav(dur, 2, seed=16)
+    prep = adx_model._encode_prep(
+        wav_bytes, bit_depth=4, block_size=0x12, encoding_mode=3,
+        highpass_frequency=0x1F4, filter_=0, version=4,
+        force_not_looping=False)
+    C, F, spb = prep.blocks.shape
+    L = n * C
+    pcm_np = np.broadcast_to(prep.blocks, (n, C, F, spb)).reshape(
+        L, F, spb).copy()
+    c0 = np.full(L, prep.c0, np.int32)
+    c1 = np.full(L, prep.c1, np.int32)
+    h1 = np.tile(prep.h1, n).astype(np.int32)
+    h2 = np.tile(prep.h2, n).astype(np.int32)
+    kw = dict(spb=spb, encoding_mode=3, bit_depth=4, block_size=0x12)
+
+    @jax.jit
+    def run(pcm, c0, c1, h1, h2):
+        payload, conv = adx_kernels.adx_encode_device_pipeline(
+            pcm, c0, c1, h1, h2, **kw)
+        return payload, conv ^ (payload[0, 0, 0] == 255)  # completion scalar
+
+    dev = jax.device_put(pcm_np)
+    args = tuple(jax.device_put(x) for x in (c0, c1, h1, h2))
+    payload, flag = run(dev, *args)
+    assert bool(np.asarray(flag))                      # converged
+    # parity guard: one stream assembled and byte-compared to host encode
+    blocks = np.ascontiguousarray(
+        np.moveaxis(np.asarray(payload[:C]), 0, 1))    # [F, C, bs]
+    got = adx_model._assemble_stream(
+        prep, blocks, bit_depth=4, block_size=0x12, encoding_mode=3,
+        highpass_frequency=0x1F4, version=4)
+    want = adx_model.encode(wav_bytes)
+    assert got == want, "ADX device encode pipeline diverged"
+    best = 1e18
+    for _ in range(5):
+        t0 = time.perf_counter()
+        payload, flag = run(dev, *args)
+        assert bool(np.asarray(flag))
+        best = min(best, time.perf_counter() - t0)
+    return ("adx_device_encode_audio_sec_per_sec_per_chip",
+            n * dur / best, "audio-sec/sec/chip")
+
+
 def main():
     # mirror bench.py: a dead remote-TPU tunnel hangs backend init forever
     import subprocess
@@ -678,12 +734,13 @@ def main():
               file=sys.stderr)
         import jax
         jax.config.update("jax_platforms", "cpu")
-    want = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,11,12,13,14,15")
+    want = os.environ.get("BENCH_CONFIGS",
+                          "1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
                "9": config9, "10": config10, "11": config11,
                "12": config12, "13": config13, "14": config14,
-               "15": config15}
+               "15": config15, "16": config16}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",

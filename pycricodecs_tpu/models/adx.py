@@ -318,25 +318,20 @@ def _get_next_multiple(value: int, multiple: int) -> int:
     return value + multiple - value % multiple
 
 
-def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
-           encoding_mode: int = 3, highpass_frequency: int = 0x1F4,
-           filter_: int = 0, version: int = 4, force_not_looping: bool = False,
-           use_jax=None, scale_fix: bool = False) -> bytes:
-    """WAV -> ADX, mirroring CriCodecs.AdxEncode (adx.cpp:416-506).
+class _EncodePrep:
+    """Validated/derived encode state shared by the host, JAX-scan and
+    batched device encode paths (see encode / parallel.adx_encode_batch)."""
 
-    use_jax=None (default) auto-selects the native C++ encoder for single
-    files (bit-exact with the device scan); use_jax=True forces the device
-    path. Banks should use parallel.encode_batch.
+    __slots__ = ("wav", "channels", "sample_rate", "spc", "looping",
+                 "frames", "spb", "data_block", "c0", "c1", "h1", "h2",
+                 "blocks", "per_ch")
 
-    scale_fix=True quantises against the decoder's exact arithmetic
-    instead of the reference encoder's mismatched one (it divides by
-    Scale, the decoder multiplies by Scale+1 — the documented popping at
-    high bitdepths, README.md:133). Output is still standard ADX that any
-    decoder (the reference included) plays; default False keeps byte
-    parity with the reference encoder.
-    """
-    if use_jax is None:
-        use_jax = False
+
+def _encode_prep(data: bytes, *, bit_depth: int, block_size: int,
+                 encoding_mode: int, highpass_frequency: int, filter_: int,
+                 version: int, force_not_looping: bool) -> _EncodePrep:
+    """Parse + validate the WAV and derive everything every encode engine
+    needs (adx.cpp:416-478 argument checks + PCM blocking + history init)."""
     wav = wavmod.parse_wav(bytes(data))
     channels = wav.channels
     sample_rate = wav.sample_rate
@@ -398,6 +393,76 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
         h1 = np.zeros(channels, dtype=np.int32)
         h2 = np.zeros(channels, dtype=np.int32)
 
+    prep = _EncodePrep()
+    prep.wav = wav
+    prep.channels = channels
+    prep.sample_rate = sample_rate
+    prep.spc = spc
+    prep.looping = looping
+    prep.frames = frames
+    prep.spb = spb
+    prep.data_block = data_block
+    prep.c0 = c0
+    prep.c1 = c1
+    prep.h1 = h1
+    prep.h2 = h2
+    prep.blocks = blocks
+    prep.per_ch = per_ch
+    return prep
+
+
+def _assemble_payload(codes, scale_raw, zero, *, frames: int,
+                      channels: int, block_size: int, bit_depth: int,
+                      encoding_mode: int, filter_: int) -> np.ndarray:
+    """(codes [C, F, spb], scale_raw [C, F], zero [C, F]) -> raw block
+    stream [frames, channels, block_size] (adx.cpp:380-414 semantics)."""
+    if encoding_mode == 2:
+        scale_field = np.where(zero, 0, (filter_ << 13) | (scale_raw & 0x1FFF))
+    else:
+        scale_field = np.where(zero, 0, scale_raw & 0xFFFF)
+    payload = np.zeros((frames, channels, block_size), dtype=np.uint8)
+    sf = scale_field.astype(np.int64) & 0xFFFF  # [C, F]
+    payload[:, :, 0] = (sf >> 8).T
+    payload[:, :, 1] = (sf & 0xFF).T
+    packed = pack_fixed_codes(np.moveaxis(codes, 0, 1), bit_depth)
+    # spb*bit_depth may not fill data_block (e.g. bd=12, bs=0x12: 10 codes
+    # = 15 of 16 bytes); the reference's BitWriter leaves the tail zero in
+    # its zero-initialized block (adx.cpp:380-414).
+    payload[:, :, 2:2 + packed.shape[-1]] = packed
+    return payload
+
+
+def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
+           encoding_mode: int = 3, highpass_frequency: int = 0x1F4,
+           filter_: int = 0, version: int = 4, force_not_looping: bool = False,
+           use_jax=None, scale_fix: bool = False) -> bytes:
+    """WAV -> ADX, mirroring CriCodecs.AdxEncode (adx.cpp:416-506).
+
+    use_jax=None (default) auto-selects the native C++ encoder for single
+    files (bit-exact with the device scan); use_jax=True forces the device
+    path. Banks should use parallel.adx_encode_batch (batched on-device
+    fixpoint encode).
+
+    scale_fix=True quantises against the decoder's exact arithmetic
+    instead of the reference encoder's mismatched one (it divides by
+    Scale, the decoder multiplies by Scale+1 — the documented popping at
+    high bitdepths, README.md:133). Output is still standard ADX that any
+    decoder (the reference included) plays; default False keeps byte
+    parity with the reference encoder.
+    """
+    if use_jax is None:
+        use_jax = False
+    prep = _encode_prep(data, bit_depth=bit_depth, block_size=block_size,
+                        encoding_mode=encoding_mode,
+                        highpass_frequency=highpass_frequency,
+                        filter_=filter_, version=version,
+                        force_not_looping=force_not_looping)
+    channels = prep.channels
+    frames = prep.frames
+    spb = prep.spb
+    blocks = prep.blocks
+    per_ch = prep.per_ch
+    c0, c1, h1, h2 = prep.c0, prep.c1, prep.h1, prep.h2
     c0a = np.full(channels, c0, dtype=np.int32)
     c1a = np.full(channels, c1, dtype=np.int32)
     lib = None if use_jax else native.load()
@@ -431,20 +496,31 @@ def encode(data: bytes, bit_depth: int = 4, block_size: int = 0x12,
                 spb=spb, encoding_mode=encoding_mode, bit_depth=bit_depth,
                 scale_fix=scale_fix)
 
-        if encoding_mode == 2:
-            scale_field = np.where(zero, 0, (filter_ << 13) | (scale_raw & 0x1FFF))
-        else:
-            scale_field = np.where(zero, 0, scale_raw & 0xFFFF)
+        payload = _assemble_payload(
+            codes, scale_raw, zero, frames=frames, channels=channels,
+            block_size=block_size, bit_depth=bit_depth,
+            encoding_mode=encoding_mode, filter_=filter_)
 
-        # Assemble the block stream: [frames, channels, block_size]
-        payload = np.zeros((frames, channels, block_size), dtype=np.uint8)
-        sf = scale_field.astype(np.int64) & 0xFFFF  # [C, F]
-        payload[:, :, 0] = (sf >> 8).T
-        payload[:, :, 1] = (sf & 0xFF).T
-        packed = pack_fixed_codes(np.moveaxis(codes, 0, 1), bit_depth)  # [F, C, data_block]
-        payload[:, :, 2:] = packed
+    return _assemble_stream(prep, payload, bit_depth=bit_depth,
+                            block_size=block_size,
+                            encoding_mode=encoding_mode,
+                            highpass_frequency=highpass_frequency,
+                            version=version)
 
-    # Header (adx.cpp:359-379, 479-489)
+
+def _assemble_stream(prep: _EncodePrep, payload: np.ndarray, *,
+                     bit_depth: int, block_size: int, encoding_mode: int,
+                     highpass_frequency: int, version: int) -> bytes:
+    """ADX header + raw block stream + EOF block (adx.cpp:359-379, 479-489).
+    payload is [frames, channels, block_size] uint8 from any engine."""
+    wav = prep.wav
+    channels = prep.channels
+    sample_rate = prep.sample_rate
+    spc = prep.spc
+    looping = prep.looping
+    data_block = prep.data_block
+    spb = prep.spb
+    h1, h2 = prep.h1, prep.h2
     header_size = 20 + 6
     if version in (4, 5):
         # The reference sizes the history area from an *uninitialized*

@@ -565,3 +565,204 @@ def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
         h1 = np.where(zero, block[:, -1], q1)
         h2 = np.where(zero, block[:, -2] if spb >= 2 else h1, q2)
     return codes, scale_raws, zeros
+
+
+# ---------------------------------------------------------------------------
+# Block-parallel device encode (fixpoint) + on-device block packer
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth",
+                                   "scale_fix", "max_passes"))
+def adx_encode_fixpoint(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
+                        bit_depth, scale_fix=False, max_passes=None):
+    """Block-parallel EXACT ADX encode by chained-block fixpoint iteration.
+
+    The encode mirror of adx_decode_fixpoint: the only cross-block coupling
+    is the simulated-decoder history pair entering each block (pass-1 uses
+    it for the first residual; pass-2 feeds quantisation through it), so
+    encode EVERY block in parallel from guessed start states, chain each
+    block's end state to its successor, and iterate until no start changes
+    — at that fixpoint every start equals its predecessor's end, which by
+    induction IS the serial adx_encode_scan result, bit for bit.
+
+    Start guesses come from the ORIGINAL signal (the simulated decoder
+    tracks it within the quantisation error), so the discrete outputs
+    (scale, codes) usually match on pass one and convergence is a handful
+    of passes; the same near-resonance caveat as decode applies, hence the
+    scaled max_passes cap and the converged flag (callers MUST fall back
+    to adx_encode_scan / the host encoder when it is False).
+
+    pcm int32 [L, B, spb]; c0/c1/h1/h2 int32 [L].
+    Returns (codes int32 [L, B, spb], scale_raw int32 [L, B],
+             zero bool [L, B], converged bool).
+    """
+    L, B, _ = pcm.shape
+    limit = (1 << (bit_depth - 1)) - 1
+    c0b = c0[:, None]
+    c1b = c1[:, None]
+    if max_passes is None:
+        max_passes = 48 + (B * 64) // (96 * max(spb, 1))
+
+    def block_pass(s1, s2):
+        """Encode all blocks from start states [L, B]; returns
+        (codes, scale_raw, zero, end1, end2) — same op order per block as
+        adx_encode_scan, so exact given exact starts."""
+        prev1 = jnp.concatenate([s1[:, :, None], pcm[:, :, :-1]], axis=2)
+        if spb >= 2:
+            prev2 = jnp.concatenate(
+                [s2[:, :, None], s1[:, :, None], pcm[:, :, :-2]], axis=2)
+        else:
+            prev2 = s2[:, :, None]
+        resid = ((pcm << 12) - c0b[..., None] * prev1
+                 - c1b[..., None] * prev2) >> 12
+        minimum = jnp.minimum(jnp.min(resid, axis=2), 0)
+        maximum = jnp.maximum(jnp.max(resid, axis=2), 0)
+        zero = (minimum == 0) & (maximum == 0)
+
+        scale = _scale_from_minmax(minimum, maximum, limit,
+                                   scale_fix=scale_fix)
+        if encoding_mode == 4:
+            power = jnp.where(scale == 0, 0,
+                              _ilog2(jnp.maximum(scale, 1)) + 1)
+            scale_eff = (1 << power).astype(jnp.int32)
+            scale_raw = 12 - power
+        elif encoding_mode == 2:
+            scale_raw = scale & 0x1FFF
+            scale_eff = scale
+        else:
+            scale_raw = scale
+            scale_eff = scale
+        scale_eff = jnp.maximum(scale_eff, 1)
+        eff = scale_eff if encoding_mode == 4 else scale + 1
+
+        q1, q2 = s1, s2
+        outs = []
+        for t in range(spb):
+            x = pcm[:, :, t]
+            if scale_fix:
+                pred = ((c0b * q1) >> 12) + ((c1b * q2) >> 12)
+                delta = x - pred
+                delta = jnp.where(delta > 0, delta + (eff >> 1),
+                                  delta - (eff >> 1))
+                delta = _tdiv(delta, eff)
+                delta = jnp.clip(delta, -limit - 1, limit)
+                sim = _clamp16(delta * eff + pred)
+            else:
+                delta = ((x << 12) - c0b * q1 - c1b * q2) >> 12
+                delta = jnp.where(delta > 0, delta + (scale_eff >> 1),
+                                  delta - (scale_eff >> 1))
+                delta = _tdiv(delta, scale_eff)
+                delta = jnp.clip(delta, -limit - 1, limit)
+                sim = _clamp16((((delta << 12) * scale_eff)
+                                + c0b * q1 + c1b * q2) >> 12)
+            q2 = q1
+            q1 = sim
+            outs.append(delta)
+        codes = jnp.stack(outs, axis=2)
+        codes = jnp.where(zero[:, :, None], 0, codes)
+        scale_raw = jnp.where(zero, 0, scale_raw)
+        end1 = jnp.where(zero, pcm[:, :, -1], q1)
+        end2 = jnp.where(zero, pcm[:, :, -2] if spb >= 2 else s1, q2)
+        return codes, scale_raw, zero, end1, end2
+
+    def starts_from(end1, end2):
+        n1 = jnp.concatenate([h1[:, None], end1[:, :-1]], axis=1)
+        n2 = jnp.concatenate([h2[:, None], end2[:, :-1]], axis=1)
+        return n1, n2
+
+    def cond(state):
+        npass, _s1, _s2, changed = state
+        return changed & (npass < max_passes)
+
+    def body(state):
+        npass, s1, s2, _changed = state
+        _c, _sr, _z, e1, e2 = block_pass(s1, s2)
+        n1, n2 = starts_from(e1, e2)
+        changed = jnp.any((n1 != s1) | (n2 != s2))
+        return npass + 1, n1, n2, changed
+
+    # start guesses: block 0 exact (header history), others from the
+    # original signal's block tails
+    g1 = jnp.concatenate([h1[:, None], pcm[:, :-1, -1]], axis=1)
+    if spb >= 2:
+        g2 = jnp.concatenate([h2[:, None], pcm[:, :-1, -2]], axis=1)
+    else:
+        g2 = jnp.concatenate([h2[:, None], g1[:, :-1]], axis=1)
+    npass, s1, s2, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), g1.astype(jnp.int32),
+                     g2.astype(jnp.int32), jnp.bool_(True)))
+    codes, scale_raw, zero, _e1, _e2 = block_pass(s1, s2)
+    return codes, scale_raw, zero, ~changed
+
+
+def adx_pack_device(codes, scale_field, *, block_size, bit_depth):
+    """codes int32 [L, nb, spb] + scale_field int32 [L, nb] -> raw block
+    bytes uint8 [L, nb, block_size], on device (inverse of
+    adx_unpack_device: 2-byte BE scale word + MSB-first fixed-width codes;
+    reference adx.cpp:380-414)."""
+    i32 = jnp.int32
+    L, nb, spb = codes.shape
+    db = block_size - 2
+    mask = (1 << bit_depth) - 1
+    u = codes.astype(i32) & mask
+    if bit_depth == 4:
+        pairs = u.reshape(L, nb, db, 2)
+        data = (pairs[..., 0] << 4) | pairs[..., 1]
+    elif bit_depth == 8:
+        data = u
+    elif bit_depth == 2:
+        quads = u.reshape(L, nb, db, 4)
+        data = ((quads[..., 0] << 6) | (quads[..., 1] << 4)
+                | (quads[..., 2] << 2) | quads[..., 3])
+    else:
+        # generic width: byte j collects the (static) overlapping samples
+        cols = []
+        for j in range(db):
+            acc = jnp.zeros((L, nb), i32)
+            for t in range(spb):
+                bit0 = t * bit_depth
+                b0 = bit0 // 8
+                # sample t's bits land in bytes b0..b0+2 at static shifts
+                if not (b0 <= j <= b0 + 2):
+                    continue
+                sh = 24 - (bit0 - 8 * b0) - bit_depth  # within 24-bit window
+                # window byte (j - b0) holds bits [8*(b0+2-j), 8*(b0+3-j))
+                word_sh = sh - 8 * (b0 + 2 - j)        # sample -> byte j
+                if word_sh >= 0:
+                    part = (u[:, :, t] << word_sh) & 0xFF
+                else:
+                    part = (u[:, :, t] >> (-word_sh)) & 0xFF
+                acc = acc | part
+            cols.append(acc)
+        data = jnp.stack(cols, axis=-1)
+    sf = scale_field.astype(i32) & 0xFFFF
+    out = jnp.concatenate([
+        (sf >> 8)[..., None], (sf & 0xFF)[..., None], data], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth",
+                                   "block_size", "filter_", "scale_fix",
+                                   "max_passes"))
+def adx_encode_device_pipeline(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
+                               bit_depth, block_size, filter_=0,
+                               scale_fix=False, max_passes=None):
+    """Full on-chip ADX encode: PCM blocks in HBM -> raw block bytes in HBM.
+
+    pcm int32 [L, nb, spb] (one lane per (stream, channel)); returns
+    (payload uint8 [L, nb, block_size], converged bool).  The encode
+    mirror of adx_decode_device_pipeline — fixpoint quantisation followed
+    by reshape/shift packing (no VLC).  converged=False results must be
+    discarded for the host encoder (reference hot loop: adx.cpp:215-273,
+    380-414)."""
+    codes, scale_raw, zero, conv = adx_encode_fixpoint(
+        pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
+        bit_depth=bit_depth, scale_fix=scale_fix, max_passes=max_passes)
+    if encoding_mode == 2:
+        scale_field = jnp.where(zero, 0,
+                                (filter_ << 13) | (scale_raw & 0x1FFF))
+    else:
+        scale_field = jnp.where(zero, 0, scale_raw & 0xFFFF)
+    payload = adx_pack_device(codes, scale_field, block_size=block_size,
+                              bit_depth=bit_depth)
+    return payload, conv

@@ -898,6 +898,98 @@ def adx_decode_batch(blobs: Sequence[bytes],
     return results
 
 
+def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
+                     block_size: int = 0x12, encoding_mode: int = 3,
+                     highpass_frequency: int = 0x1F4, filter_: int = 0,
+                     version: int = 4, force_not_looping: bool = False,
+                     scale_fix: bool = False,
+                     device: bool = False) -> List[bytes]:
+    """Encode many WAVs to ADX.
+
+    Default engine is the threaded native C++ encoder (adx.cpp:416-506
+    semantics per stream). device=True runs the chained-block fixpoint
+    encoder + on-device packer (adx_kernels.adx_encode_device_pipeline):
+    every block of every stream quantises in parallel from guessed decoder
+    states and iterates to the provably-exact serial fixpoint; raw block
+    bytes leave the chip, headers are host-assembled. Per-lane AR(2)
+    coefficients are runtime inputs, so mixed sample rates share one
+    compiled program (unlike decode, whose unpack bakes them in).
+    Non-converged groups fall back to the host encoder.
+    """
+    import math
+
+    from ..models import adx as adx_model
+    from ..ops import adx_kernels
+
+    kw = dict(bit_depth=bit_depth, block_size=block_size,
+              encoding_mode=encoding_mode,
+              highpass_frequency=highpass_frequency, filter_=filter_,
+              version=version, force_not_looping=force_not_looping,
+              scale_fix=scale_fix)
+    if not device:
+        from .. import native
+        if native.load() is not None:
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor() as pool:
+                return list(pool.map(
+                    lambda b: adx_model.encode(b, **kw), wav_blobs))
+        return [adx_model.encode(b, **kw) for b in wav_blobs]
+
+    _ensure_compile_cache()
+    preps = [adx_model._encode_prep(
+        bytes(b), bit_depth=bit_depth, block_size=block_size,
+        encoding_mode=encoding_mode, highpass_frequency=highpass_frequency,
+        filter_=filter_, version=version,
+        force_not_looping=force_not_looping) for b in wav_blobs]
+
+    results: List = [None] * len(wav_blobs)
+    groups: dict = {}
+    for idx, prep in enumerate(preps):
+        if prep.frames == 0:
+            results[idx] = adx_model.encode(bytes(wav_blobs[idx]), **kw)
+            continue
+        groups.setdefault(_round_up(prep.frames, 64), []).append(idx)
+
+    spb = (block_size - 2) * 8 // bit_depth
+    for bucket, members in groups.items():
+        nlanes = sum(preps[i].channels for i in members)
+        pcm = np.zeros((nlanes, bucket, spb), dtype=np.int32)
+        h1 = np.zeros(nlanes, dtype=np.int32)
+        h2 = np.zeros(nlanes, dtype=np.int32)
+        c0 = np.zeros(nlanes, dtype=np.int32)
+        c1 = np.zeros(nlanes, dtype=np.int32)
+        lane = 0
+        lane_spans = []
+        for idx in members:
+            prep = preps[idx]
+            ch = prep.channels
+            pcm[lane:lane + ch, :prep.frames] = prep.blocks
+            h1[lane:lane + ch] = prep.h1
+            h2[lane:lane + ch] = prep.h2
+            c0[lane:lane + ch] = prep.c0
+            c1[lane:lane + ch] = prep.c1
+            lane_spans.append((idx, lane, ch))
+            lane += ch
+        payload_dev, conv = adx_kernels.adx_encode_device_pipeline(
+            pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
+            bit_depth=bit_depth, block_size=block_size, filter_=filter_,
+            scale_fix=scale_fix)
+        if not bool(np.asarray(conv)):
+            for idx in members:
+                results[idx] = adx_model.encode(bytes(wav_blobs[idx]), **kw)
+            continue
+        payload = np.asarray(payload_dev)
+        for idx, lane0, ch in lane_spans:
+            prep = preps[idx]
+            blocks = np.moveaxis(
+                payload[lane0:lane0 + ch, :prep.frames], 0, 1)
+            results[idx] = adx_model._assemble_stream(
+                prep, np.ascontiguousarray(blocks), bit_depth=bit_depth,
+                block_size=block_size, encoding_mode=encoding_mode,
+                highpass_frequency=highpass_frequency, version=version)
+    return results
+
+
 def find_key(data: bytes, candidates, subkey: int = 0,
              max_frames: int = 16) -> np.ndarray:
     """Score many candidate keycodes against one encrypted HCA stream.

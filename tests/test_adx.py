@@ -405,3 +405,91 @@ def test_adx_device_pipeline_unpack_exact(oracle, mode, bd, bs):
     ref = adxmod._decode_arrays(blob, h, use_jax=False)
     got = np.asarray(pcm_dev).reshape(h.channels, -1)[:, :ref.shape[1]]
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("mode,bd,bs,sfix", [
+    (3, 4, 0x12, False), (4, 4, 0x12, False), (2, 4, 0x12, False),
+    (3, 8, 0x12, False), (3, 2, 0x12, False),        # byte / 2-bit packs
+    (3, 5, 12, False), (3, 11, 13, False),           # generic 3-byte spans
+    (3, 4, 0x12, True), (4, 12, 0x12, True),         # scale_fix quantiser
+])
+def test_adx_encode_fixpoint_matches_scan(mode, bd, bs, sfix):
+    """Block-parallel fixpoint encode + on-device packer reproduce the
+    serial encode scan bit-for-bit on convergence (codes, scales, zero
+    mask AND packed block bytes; reference adx.cpp:215-273, 380-414)."""
+    from pycricodecs_tpu.ops import adx_kernels as K
+    from pycricodecs_tpu.utils.bitio import pack_fixed_codes
+
+    spb = (bs - 2) * 8 // bd
+    nb = 40
+    rng = np.random.default_rng(bd * 100 + mode)
+    pcm = make_sine_pcm16(nb * spb, 2, 32000, seed=bd + mode).reshape(-1, 2)
+    pcm = pcm.T.reshape(2, nb, spb).astype(np.int32)
+    pcm[0, 5:8] = 0                                  # zero-residual blocks
+    pcm[1, 20:22] = rng.integers(-30000, 30000, (2, spb))
+    if mode == 2:
+        c0 = np.full(2, int(adxmod.STATIC_COEFFICIENTS[2]), np.int32)
+        c1 = np.full(2, int(adxmod.STATIC_COEFFICIENTS[3]), np.int32)
+    else:
+        a, b = adxmod.calculate_coefficients(0x1F4, 32000)
+        c0 = np.full(2, a, np.int32)
+        c1 = np.full(2, b, np.int32)
+    h1 = pcm[:, 0, 0].copy()
+    h2 = h1.copy()
+    want = K.adx_encode_numpy(pcm, c0, c1, h1, h2, spb=spb,
+                              encoding_mode=mode, bit_depth=bd,
+                              scale_fix=sfix)
+    codes, sraw, zero, conv = K.adx_encode_fixpoint(
+        pcm, c0, c1, h1, h2, spb=spb, encoding_mode=mode, bit_depth=bd,
+        scale_fix=sfix)
+    assert bool(np.asarray(conv))
+    assert np.array_equal(np.asarray(codes), want[0])
+    assert np.array_equal(np.asarray(sraw), want[1])
+    assert np.array_equal(np.asarray(zero), want[2])
+
+    # packer vs the host bit packer + scale-word assembly
+    payload_dev, conv2 = K.adx_encode_device_pipeline(
+        pcm, c0, c1, h1, h2, spb=spb, encoding_mode=mode, bit_depth=bd,
+        block_size=bs, filter_=1 if mode == 2 else 0, scale_fix=sfix)
+    assert bool(np.asarray(conv2))
+    host_payload = adxmod._assemble_payload(
+        want[0], want[1], want[2], frames=nb, channels=2, block_size=bs,
+        bit_depth=bd, encoding_mode=mode, filter_=1 if mode == 2 else 0)
+    got = np.moveaxis(np.asarray(payload_dev), 0, 1)  # [nb, C, bs]
+    assert np.array_equal(got, host_payload)
+
+
+@pytest.mark.parametrize("mode,looping", [(3, False), (4, True), (2, False)])
+def test_adx_encode_batch_device_byte_parity(mode, looping):
+    """parallel.adx_encode_batch(device=True) produces byte-identical ADX
+    files to the single-stream host encoder across mixed rates/channels/
+    lengths (per-lane coefficients are runtime inputs to one program)."""
+    from pycricodecs_tpu import parallel
+
+    blobs = [
+        _wav_bytes(samples=6000, channels=1, sr=22050, looping=looping,
+                   seed=mode),
+        _wav_bytes(samples=9001, channels=2, sr=48000, looping=looping,
+                   seed=mode + 1),
+        _wav_bytes(samples=2048, channels=4, sr=32000, seed=mode + 2),
+    ]
+    got = parallel.adx_encode_batch(blobs, encoding_mode=mode, device=True)
+    for blob, g in zip(blobs, got):
+        assert g == adxmod.encode(blob, encoding_mode=mode)
+
+
+def test_adx_encode_batch_device_nonconverged_falls_back(monkeypatch):
+    """A non-converged fixpoint group reroutes to the host encoder."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    real = K.adx_encode_device_pipeline
+
+    def never_converges(*args, **kwargs):
+        payload, _conv = real(*args, **kwargs)
+        return payload, np.bool_(False)
+
+    monkeypatch.setattr(K, "adx_encode_device_pipeline", never_converges)
+    blob = _wav_bytes(samples=4096, channels=2, seed=5)
+    got = parallel.adx_encode_batch([blob], device=True)
+    assert got[0] == adxmod.encode(blob)
