@@ -1150,6 +1150,24 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
                 scale_eff = scale;
             }
             if (scale_eff < 1) scale_eff = 1;
+            // Exact truncating division by the per-block scale via a
+            // round-up magic reciprocal (Granlund-Montgomery): with
+            // mul = floor(2^42/s)+1 we have mul*s = 2^42 + e, 1 <= e <= s,
+            // so floor(n*mul/2^42) = floor(n/s + n*e/(s*2^42)) = floor(n/s)
+            // whenever n*e < 2^42. Operands here are bounded n < 2^18
+            // (residual + rounding half) and s <= 0x1001+1, so
+            // n*e < 2^31 — exact with huge margin. This removes the ~22
+            // cycle idiv from the quantiser's serial decoder-feedback
+            // chain (the reference keeps it: adx.cpp:260 `Delta /= Scale`).
+            const int64_t div_fix = scale_fix
+                ? (mode == 4 ? scale_eff : scale + 1) : scale_eff;
+            const uint64_t magic =
+                (((uint64_t)1 << 42) / (uint64_t)div_fix) + 1;
+            auto mdiv = [&](int64_t n) -> int64_t {
+                const uint64_t a = (uint64_t)(n < 0 ? -n : n);
+                const int64_t q = (int64_t)((a * magic) >> 42);
+                return n < 0 ? -q : q;
+            };
             int64_t q1 = h1, q2 = h2;
             if (scale_fix) {
                 // quantise against the DECODER's exact arithmetic. The
@@ -1160,13 +1178,13 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
                 // (README.md:133). Same bitstream format; any ADX decoder
                 // (the reference included) plays these files, just closer
                 // to the source.
-                const int64_t eff = mode == 4 ? scale_eff : scale + 1;
+                const int64_t eff = div_fix;
                 for (int32_t t = 0; t < spb; ++t) {
                     const int64_t pred =
                         ((a0 * q1) >> 12) + ((a1 * q2) >> 12);
                     int64_t d = (int64_t)blk[t] - pred;
                     d = d > 0 ? d + (eff >> 1) : d - (eff >> 1);
-                    d = adx_tdiv(d, eff);
+                    d = mdiv(d);
                     if (d < -limit - 1) d = -limit - 1;
                     if (d > limit) d = limit;
                     const int64_t sim = adx_clamp16(d * eff + pred);
@@ -1175,15 +1193,15 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
                     cod[t] = (int32_t)d;
                 }
             } else {
+            const int64_t se4096 = scale_eff * 4096;
             for (int32_t t = 0; t < spb; ++t) {
-                int64_t d =
-                    (((int64_t)blk[t] * 4096) - a0 * q1 - a1 * q2) >> 12;
+                const int64_t pr = a0 * q1 + a1 * q2;
+                int64_t d = (((int64_t)blk[t] * 4096) - pr) >> 12;
                 d = d > 0 ? d + (scale_eff >> 1) : d - (scale_eff >> 1);
-                d = adx_tdiv(d, scale_eff);
+                d = mdiv(d);
                 if (d < -limit - 1) d = -limit - 1;
                 if (d > limit) d = limit;
-                int64_t sim =
-                    (((d * 4096) * scale_eff) + a0 * q1 + a1 * q2) >> 12;
+                int64_t sim = (d * se4096 + pr) >> 12;
                 sim = adx_clamp16(sim);
                 q2 = q1;
                 q1 = sim;
