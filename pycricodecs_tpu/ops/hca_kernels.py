@@ -274,10 +274,13 @@ def _reconstruct_spectra(qc, sf, res, intensity, noise_src, noise_sci,
 def fused_transform_supported(channels, stereo_pairs, apply_noise,
                               apply_hfr, hfr_static) -> bool:
     """True when the megakernel path (transform_fused_pallas) covers this
-    config: no PNS noise (its band routing is data-dependent) and a static
-    HFR map when HFR is on. Any channel count: channels group into lane
-    pairs (real stereo pairs first, leftovers intensity-disabled)."""
-    if apply_noise or (apply_hfr and hfr_static is None):
+    config: a static HFR map when HFR is on. Any channel count: channels
+    group into lane pairs (real stereo pairs first, leftovers
+    intensity-disabled). v3 PNS noise is covered too: noise bands carry
+    res=0 (qc=0), so the fill is a pure ADD of a tensor the XLA side
+    precomputes with the same one-hot reduce as _reconstruct_spectra —
+    the kernel consumes it as one extra per-row input."""
+    if apply_hfr and hfr_static is None:
         return False
     return all(s == p + 1 for (p, s) in stereo_pairs)
 
@@ -303,7 +306,8 @@ def _channel_groups(C, stereo_pairs):
 
 def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
                      stereo_pairs, apply_hfr, hfr_group_count, hfr_static,
-                     interpret):
+                     interpret, apply_noise=False, noise_src=None,
+                     noise_sci=None, noise_mask=None):
     """Megakernel transform path: per-frame gain / HFR-scale / intensity
     ratio factors computed here with the same single-rounded table muxes as
     _reconstruct_spectra, everything else inside transform_fused_pallas.
@@ -314,6 +318,24 @@ def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
     Tn = F * 8
     gain = _onehot_take(T.SCALING_TABLE, sf, 64) \
         * _onehot_take(T.RANGE_TABLE, res, 16)             # [B, F, C, 128]
+
+    noise_add = None
+    if apply_noise:
+        # PNS fill as a pure additive term (noise bands have res=0 so their
+        # dequant output is exactly +0): same one-hot source-band reduce as
+        # _reconstruct_spectra, computed here on gain*qc so the Pallas
+        # kernel only adds one per-row tensor. Bit-identical: gain>=0 means
+        # no -0.0 can enter the gathered sum, so add==select everywhere.
+        spec = gain[..., None, :] * qc.astype(jnp.float32)  # [B,F,C,8,128]
+        iota = jnp.arange(128, dtype=jnp.int32)
+        gathered = jnp.sum(
+            jnp.where(noise_src.astype(jnp.int32)[..., None] == iota,
+                      spec[..., None, :], jnp.float32(0.0)), axis=-1)
+        noise_add = jnp.where(
+            noise_mask,
+            _onehot_take(T.SCALE_CONVERSION_TABLE,
+                         noise_sci, 128) * gathered,
+            jnp.float32(0.0))                               # [B,F,C,8,128]
     if apply_hfr:
         is_hfr_t, src_t, grp_t, zero = hfr_static
         src_np = np.asarray(src_t, np.int64)
@@ -343,13 +365,17 @@ def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
         hfr_is_t = None
     common = dict(apply_hfr=apply_hfr, base_band=base_band,
                   total_band=total_band, zero_band=zero_band,
-                  hfr_is=hfr_is_t, interpret=interpret)
+                  hfr_is=hfr_is_t, apply_noise=apply_noise,
+                  interpret=interpret)
     if C == 1:
         qc2 = qc.transpose(0, 1, 3, 2, 4).reshape(B, Tn, 128)
+        na2 = noise_add.transpose(0, 1, 3, 2, 4).reshape(B, Tn, 128) \
+            if apply_noise else None
         pcm = pallas_kernels.transform_fused_pallas(
             qc2, gain.reshape(B, F, 128), None, None,
             hgain2.reshape(B, F, 128) if apply_hfr else None,
-            m_src_dev, halves=1, apply_intensity=False, **common)
+            m_src_dev, noise_add2=na2, halves=1, apply_intensity=False,
+            **common)
         return pcm.reshape(B, F, 8, 128, 1)
 
     # group channels 2-per-block: real pairs intensity-enabled, leftovers
@@ -367,6 +393,7 @@ def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
 
     qc2 = to_groups(qc, False)
     gain2 = to_groups(gain, True)
+    na2 = to_groups(noise_add, False) if apply_noise else None
     hg2 = to_groups(hgain2.reshape(B, F, C, 128), True) if apply_hfr \
         else None
     apply_intensity = bool(stereo_pairs)
@@ -386,8 +413,8 @@ def _fused_transform(qc, sf, res, intensity, *, base_band, total_band,
     else:
         ratio2, flags2 = None, None
     pcm = pallas_kernels.transform_fused_pallas(
-        qc2, gain2, flags2, ratio2, hg2, m_src_dev, halves=2,
-        apply_intensity=apply_intensity, **common)
+        qc2, gain2, flags2, ratio2, hg2, m_src_dev, noise_add2=na2,
+        halves=2, apply_intensity=apply_intensity, **common)
     # [B*NG, T, 256] (lanes 2*band + in-group ch) -> [B, F, 8, 128, C]
     pcm = pcm.reshape(B, NG, F, 8, 128, 2) \
         .transpose(0, 2, 3, 4, 1, 5).reshape(B, F, 8, 128, NG * 2)
@@ -427,7 +454,9 @@ def hca_decode_transform_batched(qc, sf, res, intensity, noise_src, noise_sci,
             qc, sf, res, intensity, base_band=base_band,
             total_band=total_band, stereo_pairs=stereo_pairs,
             apply_hfr=apply_hfr, hfr_group_count=hfr_group_count,
-            hfr_static=hfr_static, interpret=interp)
+            hfr_static=hfr_static, interpret=interp,
+            apply_noise=apply_noise, noise_src=noise_src,
+            noise_sci=noise_sci, noise_mask=noise_mask)
     spectra = _reconstruct_spectra(
         qc, sf, res, intensity, noise_src, noise_sci, noise_mask, hfr_is,
         hfr_src, hfr_group, hfr_zero, base_band=base_band,

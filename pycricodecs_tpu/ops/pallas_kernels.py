@@ -323,7 +323,8 @@ _IOLA = {h: _build_interleaved_ola(h) for h in (1, 2)}
 
 
 def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
-                           total_band, zero_band, hfr_is):
+                           total_band, zero_band, hfr_is,
+                           apply_noise=False):
     """Kernel body closure; all branch structure is trace-time static."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -342,13 +343,16 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
         refs = list(refs)
         c1_ref, c2_ref, ma_ref, mb_ref, wa_ref, wb_ref = refs[:6]
         refs = refs[6:]
-        msrc_ref = hgain_ref = ratio_ref = flag_ref = None
+        msrc_ref = hgain_ref = ratio_ref = flag_ref = noise_ref = None
         if apply_hfr:
             msrc_ref, hgain_ref = refs[0], refs[1]
             refs = refs[2:]
         if apply_intensity:
             flag_ref, ratio_ref = refs[0], refs[1]
             refs = refs[2:]
+        if apply_noise:
+            noise_ref = refs[0]
+            refs = refs[1:]
         qc_ref, gain_ref, out_ref, carry_ref = refs
         j = pl.program_id(1)
 
@@ -370,6 +374,10 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
 
         g8 = per_frame_rows(gain_ref[0])
         spec = g8 * qc.astype(jnp.float32)                # dequantise
+        if apply_noise:
+            # PNS fill: noise bands dequantise to exactly +0 (res=0), so
+            # the precomputed fill is additive and add==select bit-for-bit
+            spec = spec + noise_ref[0]
         xs = [spec[:, h * LANES:(h + 1) * LANES] for h in range(halves)]
 
         band = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
@@ -435,15 +443,18 @@ def _make_transform_kernel(halves, apply_hfr, apply_intensity, base_band,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "halves", "apply_hfr", "apply_intensity", "base_band", "total_band",
-    "zero_band", "hfr_is", "interpret"))
-def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src, *,
+    "halves", "apply_hfr", "apply_intensity", "apply_noise", "base_band",
+    "total_band", "zero_band", "hfr_is", "interpret"))
+def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src,
+                           noise_add2=None, *,
                            halves, apply_hfr, apply_intensity, base_band,
-                           total_band, zero_band, hfr_is, interpret=False):
+                           total_band, zero_band, hfr_is, apply_noise=False,
+                           interpret=False):
     """qc2 i16 [G, T, halves*128] ([ch0 bands | ch1 bands] lanes),
     gain2/hgain2 f32 [G, F, halves*128] per-frame factors, ratio2 f32
     [G, T, 1] intensity L-ratios, flags2 i32 [G, 1, 1] per-group
-    intensity-pair flags. Returns PCM i16 [G, T, halves*128] with lanes
+    intensity-pair flags, noise_add2 f32 [G, T, halves*128] additive PNS
+    fill (apply_noise only). Returns PCM i16 [G, T, halves*128] with lanes
     interleaved as halves*band + ch."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -453,6 +464,10 @@ def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src, *,
     if t_pad != Tn:
         qc2 = jnp.concatenate(
             [qc2, jnp.zeros((G, t_pad - Tn, L), qc2.dtype)], axis=1)
+        if apply_noise:
+            noise_add2 = jnp.concatenate(
+                [noise_add2, jnp.zeros((G, t_pad - Tn, L),
+                                       noise_add2.dtype)], axis=1)
         if apply_intensity:
             ratio2 = jnp.concatenate(
                 [ratio2, jnp.zeros((G, t_pad - Tn, 1), ratio2.dtype)],
@@ -467,7 +482,8 @@ def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src, *,
                                    hgain2.dtype)], axis=1)
     ma_full, mb_full, wa_i, wb_i = _IOLA[halves]
     kernel = _make_transform_kernel(halves, apply_hfr, apply_intensity,
-                                    base_band, total_band, zero_band, hfr_is)
+                                    base_band, total_band, zero_band, hfr_is,
+                                    apply_noise=apply_noise)
     mem_kw = dict(memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda g, j: (0,) * len(shape),
                                        **mem_kw)
@@ -487,6 +503,9 @@ def transform_fused_pallas(qc2, gain2, flags2, ratio2, hgain2, m_src, *,
                                   memory_space=pltpu.SMEM),
                      row_spec(1)]
         args += [flags2, ratio2]
+    if apply_noise:
+        in_specs += [row_spec(L)]
+        args += [noise_add2]
     in_specs += [row_spec(L), frame_spec]
     args += [qc2, gain2]
     out = pl.pallas_call(
