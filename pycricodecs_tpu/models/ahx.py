@@ -97,11 +97,18 @@ def _class_meta(table_id: int):
 
 def encode_mp2(pcm: np.ndarray, sample_rate: int,
                bitrate_kbps: Optional[int] = None,
-               device: bool = False) -> bytes:
+               device: bool = False,
+               joint_bound: Optional[int] = None) -> bytes:
     """Encode int16 PCM ([N] mono or [C, N]) to MPEG Layer II.
 
     MPEG-2 LSF for 16/22.05/24 kHz, MPEG-1 for 32/44.1/48 kHz.  Stereo input
-    is coded as independent-channel stereo (mode 0).  CBR with the standard
+    is coded as independent-channel stereo (mode 0), or as joint (intensity)
+    stereo with ``joint_bound`` in {4, 8, 12, 16}: subbands >= joint_bound
+    carry ONE shared allocation + code set quantised from the mid signal
+    (l+r)/2 against its own scalefactor, while both channels transmit their
+    original scalefactors — the decoder's per-channel scaling restores each
+    side's envelope (ISO 11172-3 intensity semantics; our decoder and
+    libmpg123 both handle it).  CBR with the standard
     padding-slot accumulator; greedy max-(SMR - SNR) bit allocation.
 
     device=False (default) is the float64 numpy reference path.  device=True
@@ -117,10 +124,14 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     if device:
         from ..ops import mp2_encode_device as MED
         return MED.encode_mp2_device_batch([pcm], sample_rate,
-                                           bitrate_kbps)[0]
+                                           bitrate_kbps,
+                                           joint_bound=joint_bound)[0]
     C, N = pcm.shape
     if C not in (1, 2):
         raise ValueError("Layer II supports 1 or 2 channels.")
+    if joint_bound is not None and joint_bound not in (4, 8, 12, 16):
+        raise ValueError("joint_bound must be one of 4/8/12/16.")
+    joint = joint_bound is not None and C == 2
     if sample_rate in mp2_tables.SAMPLE_RATES_V2:
         version, rates = 2, mp2_tables.BITRATES_V2_L2
         sr_idx = mp2_tables.SAMPLE_RATES_V2.index(sample_rate)
@@ -137,15 +148,19 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
         raise ValueError(f"Unsupported Layer II bitrate {bitrate_kbps} "
                          f"(valid: {sorted(rates[1:])}).")
     bitrate_idx = rates.index(bitrate_kbps)
-    mode = 3 if C == 1 else 0
+    mode = 3 if C == 1 else (1 if joint else 0)
+    mode_ext = (joint_bound // 4 - 1) if joint else 0
 
     # probe header for table id / sblimit (padding doesn't affect them)
     hdr = mp2_frame.parse_header(
-        mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode)
-        .to_bytes(4, "big"))
+        mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode,
+                              mode_ext).to_bytes(4, "big"))
     sblimit = hdr.sblimit
+    bound = hdr.bound                                 # == sblimit if no joint
     metas = _class_meta(hdr.table_id)
-    nbal_bits = sum((len(m[0]) - 1).bit_length() for m in metas) * C
+    nbal_bits = sum(
+        (len(m[0]) - 1).bit_length() * (C if sb < bound else 1)
+        for sb, m in enumerate(metas))
 
     F = (N + mp2_frame.SAMPLES_PER_FRAME - 1) // mp2_frame.SAMPLES_PER_FRAME
     x = np.zeros((C, F * mp2_frame.SAMPLES_PER_FRAME), dtype=np.float64)
@@ -157,6 +172,14 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     peaks = np.abs(S).reshape(C, F, 3, 4 * 3, 32).max(axis=3)  # [C,F,3,32]
     sfidx = _sf_indices(peaks)
     sf_val = mp2_tables.scalefactors()[sfidx]                  # [C,F,3,32]
+
+    if joint:
+        # mid signal for the shared (intensity) subbands; quantised against
+        # its own scalefactor so each channel's transmitted sf restores its
+        # envelope on decode
+        Sj = (S[0] + S[1]) * 0.5                               # [F,12,3,32]
+        peaks_j = np.abs(Sj).reshape(F, 3, 4 * 3, 32).max(axis=2)
+        sf_val_j = mp2_tables.scalefactors()[_sf_indices(peaks_j)]
 
     # scfsi per (frame, ch, sb): merge equal neighbours
     eq01 = sfidx[:, :, 0, :] == sfidx[:, :, 1, :]
@@ -197,12 +220,24 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
     sb_ix = np.arange(sblimit)
     first_cost = 2 + sf_bits.transpose(1, 0, 2)[:, :, :sblimit]  # [F,C,SB]
     need = need_db.transpose(1, 0, 2)[:, :, :sblimit]
+    eligible = np.ones((1, C, sblimit), dtype=bool)
+    if joint:
+        # shared subbands allocate once through the ch0 slot: its first
+        # activation pays BOTH channels' scfsi (2+2) and scalefactor bits;
+        # its need covers the louder channel
+        sfb = sf_bits.transpose(1, 0, 2)[:, :, :sblimit]
+        first_cost = first_cost.copy()
+        first_cost[:, 0, bound:] = 4 + sfb[:, 0, bound:] + sfb[:, 1, bound:]
+        need = need.copy()
+        need[:, 0, bound:] = np.maximum(need[:, 0, bound:],
+                                        need[:, 1, bound:])
+        eligible[0, 1, bound:] = False
     active = np.ones(F, dtype=bool)
     while active.any():
         cost = (bits_tbl[sb_ix, alloc + 1] - bits_tbl[sb_ix, alloc]
                 + np.where(alloc == 0, first_cost, 0))
         gain = need - snr_tbl[sb_ix, np.minimum(alloc, ncls - 1)]
-        ok = ((alloc + 1 < ncls) & (gain > -60.0)
+        ok = ((alloc + 1 < ncls) & (gain > -60.0) & eligible
               & (spent[:, None, None] + cost <= budgets[:, None, None]))
         flat = np.where(ok, gain, -np.inf).reshape(F, -1)
         best = flat.argmax(axis=1)
@@ -220,15 +255,31 @@ def encode_mp2(pcm: np.ndarray, sample_rate: int,
         levels_tbl[sb, :len(classes)] = classes
     n_lv = levels_tbl[sb_ix, alloc].transpose(1, 0, 2)     # [C,F,SB]
     nf = n_lv[:, :, None, None, :].astype(np.float64)      # [C,F,1,1,SB]
+    S_q, sf_src = S, sf_val
+    if joint:
+        # shared subbands quantise the mid signal against its scalefactor
+        # (only the ch0 slot's codes are transmitted there)
+        S_q = S.copy()
+        S_q[0, :, :, :, bound:] = Sj[:, :, :, bound:]
+        sf_src = sf_val.copy()
+        sf_src[0, :, :, bound:] = sf_val_j[:, :, bound:]
     # scalefactor part = granule // 4 (granule axis, not the 3-sample axis)
-    sfq = sf_val[:, :, np.arange(12) // 4, :][:, :, :, None, :sblimit]
+    sfq = sf_src[:, :, np.arange(12) // 4, :][:, :, :, None, :sblimit]
     with np.errstate(divide="ignore", invalid="ignore"):
-        q = np.floor(((S[:, :, :, :, :sblimit] / sfq) * nf + nf - 1) / 2 + 0.5)
+        q = np.floor(((S_q[:, :, :, :, :sblimit] / sfq) * nf + nf - 1) / 2
+                     + 0.5)
     codes_all = np.where(nf > 0, np.clip(q, 0, nf - 1), 0)
     codes_all = codes_all.reshape(C, F, 36, sblimit).astype(np.uint16)
 
+    alloc_tx = alloc
+    if joint:
+        # transmitted matrix: both channels "active" at shared subbands so
+        # pack_frames emits scfsi + scalefactors for each (the alloc and
+        # sample sections read only the ch0 slot there)
+        alloc_tx = alloc.copy()
+        alloc_tx[:, 1, bound:] = alloc[:, 0, bound:]
     return mp2_frame.pack_frames(
-        hdr, bitrate_idx, sr_idx, alloc,
+        hdr, bitrate_idx, sr_idx, alloc_tx,
         scfsi.transpose(1, 0, 2)[:, :, :sblimit],
         sfidx.transpose(1, 0, 2, 3)[:, :, :, :sblimit],
         codes_all.transpose(1, 0, 2, 3), pads, frame_sizes)

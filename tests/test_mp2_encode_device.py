@@ -34,8 +34,8 @@ def _pcm(C, N, rate, seed, noisy=False):
     return pcm
 
 
-def _device_stream(pcm, rate, br, want_spectra=False):
-    cfg = E.make_config(rate, pcm.shape[0], br)
+def _device_stream(pcm, rate, br, want_spectra=False, joint_bound=None):
+    cfg = E.make_config(rate, pcm.shape[0], br, joint_bound=joint_bound)
     F = pcm.shape[1] // 1152
     pads = E.frame_padding(cfg, F)
     out = E.mp2_encode_frames(
@@ -43,7 +43,8 @@ def _device_stream(pcm, rate, br, want_spectra=False):
         version=cfg.version, sr_idx=cfg.sr_idx, bitrate_idx=cfg.bitrate_idx,
         mode=cfg.mode, table_id=cfg.table_id, sblimit=cfg.sblimit,
         channels=cfg.channels, frame_base=cfg.frame_base,
-        nbal_bits=cfg.nbal_bits, return_spectra=want_spectra)
+        nbal_bits=cfg.nbal_bits, bound=cfg.bound, mode_ext=cfg.mode_ext,
+        return_spectra=want_spectra)
     if want_spectra:
         frames, S0 = out
         return (E.assemble_stream(np.asarray(frames)[0, :F], cfg, pads),
@@ -93,6 +94,31 @@ def test_device_quality_matches_host(C, rate, br):
     s_host, s_dev = snr_of(host), snr_of(dev)
     assert s_dev > s_host - 0.5, (s_host, s_dev)
     assert s_host > 30  # the gate is meaningful, not vacuous
+
+
+@pytest.mark.parametrize("rate,br,jb", [(22050, 160, 8), (44100, 192, 12)])
+def test_device_joint_stereo_matches_mirror(rate, br, jb):
+    """Joint (intensity) stereo on device: mode-1 header, shared-subband
+    single allocation, device bytes == mirror bytes, and the stream decodes
+    identically under our decoder and libmpg123."""
+    import sys
+    sys.path.insert(0, "tests")
+    import mpeg_oracles as mo
+
+    N = 1152 * 7
+    pcm = _pcm(2, N, rate, 31, noisy=True)
+    dev, cfg, S = _device_stream(pcm, rate, br, want_spectra=True,
+                                 joint_bound=jb)
+    h = mp2_frame.parse_header(dev)
+    assert h.mode == 1 and h.bound == min(jb, h.sblimit)
+    mirror = E.encode_from_spectra_np(S, cfg)
+    assert dev == mirror
+    if mo.available():
+        mine, _ = ahx_model.decode_mp2(dev)
+        ref = mo.mpg123_decode(dev, rate, 2)
+        n = min(mine.shape[1], ref.shape[1])
+        refq = np.clip(np.round(ref * 32768.0), -32768, 32767).astype(int)
+        assert np.abs(mine[:, :n].astype(int) - refq[:, :n]).max() <= 1
 
 
 def test_stream_structure_valid():
