@@ -801,7 +801,8 @@ def decode_acb(acb_obj_or_bytes, key: int = 0,
 
 
 def adx_decode_batch(blobs: Sequence[bytes],
-                     device: bool = False) -> List[bytes]:
+                     device: bool = False,
+                     mesh: Optional[Mesh] = None) -> List[bytes]:
     """Decode many ADX streams.
 
     Default engine is the threaded native C++ lane scan. device=True uses
@@ -811,12 +812,20 @@ def adx_decode_batch(blobs: Sequence[bytes],
     wins where the unpacked code/scale lanes already live in HBM or the
     host link is local PCIe; on a slow tunnel the host lanes dominate
     (DESIGN.md section 2).
+
+    With a `mesh` the device engine is forced and the lane axis
+    (streams x channels) shards over the first mesh axis; a 2-D mesh also
+    shards the block axis over the second (GSPMD turns the fixpoint's
+    block-shift into a collective-permute; the convergence flag reduces
+    across shards).
     """
     import math
 
     from ..models import adx as adx_model
     from ..ops import adx_kernels
 
+    if mesh is not None:
+        device = True
     if not device:
         from .. import native
         if native.load() is not None:
@@ -847,6 +856,12 @@ def adx_decode_batch(blobs: Sequence[bytes],
          bucket), members in groups.items():
         spb = (block_size - 2) * 8 // bit_depth
         nlanes = sum(parsed[i][0].channels for i in members)
+        lanes_p, bucket_p = nlanes, bucket
+        if mesh is not None:
+            lanes_p = _round_up(nlanes, mesh.devices.shape[0])
+            if len(mesh.devices.shape) > 1 and mesh.devices.shape[1] > 1:
+                bucket_p = _round_up(bucket, mesh.devices.shape[1])
+        nlanes, bucket = lanes_p, bucket_p
         N = bucket * spb
         # raw block bytes straight to the device: the fixed-width unpack is
         # reshape/mask work (ops/adx_kernels.adx_unpack_device), and raw u8
@@ -870,6 +885,15 @@ def adx_decode_batch(blobs: Sequence[bytes],
             lane += ch
         coef = (0, 0) if mode == 2 else adx_model.calculate_coefficients(
             hfreq, srate)
+        if mesh is not None:
+            spec = [mesh.axis_names[0], None, None]
+            if len(mesh.axis_names) > 1 and mesh.devices.shape[1] > 1:
+                spec[1] = mesh.axis_names[1]
+            payload = jax.device_put(
+                payload, NamedSharding(mesh, P(*spec)))
+            lane_s = NamedSharding(mesh, P(mesh.axis_names[0]))
+            h1 = jax.device_put(h1, lane_s)
+            h2 = jax.device_put(h2, lane_s)
         # block-parallel fixpoint decode (lanes = streams x channels x
         # blocks); provably exact when converged — the rare non-converged
         # case (1-LSB limit cycles) falls back to the serial native decode
@@ -903,7 +927,8 @@ def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
                      highpass_frequency: int = 0x1F4, filter_: int = 0,
                      version: int = 4, force_not_looping: bool = False,
                      scale_fix: bool = False,
-                     device: bool = False) -> List[bytes]:
+                     device: bool = False,
+                     mesh: Optional[Mesh] = None) -> List[bytes]:
     """Encode many WAVs to ADX.
 
     Default engine is the threaded native C++ encoder (adx.cpp:416-506
@@ -915,12 +940,18 @@ def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
     coefficients are runtime inputs, so mixed sample rates share one
     compiled program (unlike decode, whose unpack bakes them in).
     Non-converged groups fall back to the host encoder.
+
+    With a `mesh` the device engine is forced and the lane axis
+    (streams x channels) shards over the first mesh axis; a 2-D mesh also
+    shards the block axis over the second.
     """
     import math
 
     from ..models import adx as adx_model
     from ..ops import adx_kernels
 
+    if mesh is not None:
+        device = True
     kw = dict(bit_depth=bit_depth, block_size=block_size,
               encoding_mode=encoding_mode,
               highpass_frequency=highpass_frequency, filter_=filter_,
@@ -953,6 +984,10 @@ def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
     spb = (block_size - 2) * 8 // bit_depth
     for bucket, members in groups.items():
         nlanes = sum(preps[i].channels for i in members)
+        if mesh is not None:
+            nlanes = _round_up(nlanes, mesh.devices.shape[0])
+            if len(mesh.devices.shape) > 1 and mesh.devices.shape[1] > 1:
+                bucket = _round_up(bucket, mesh.devices.shape[1])
         pcm = np.zeros((nlanes, bucket, spb), dtype=np.int32)
         h1 = np.zeros(nlanes, dtype=np.int32)
         h2 = np.zeros(nlanes, dtype=np.int32)
@@ -970,6 +1005,14 @@ def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
             c1[lane:lane + ch] = prep.c1
             lane_spans.append((idx, lane, ch))
             lane += ch
+        if mesh is not None:
+            spec = [mesh.axis_names[0], None, None]
+            if len(mesh.axis_names) > 1 and mesh.devices.shape[1] > 1:
+                spec[1] = mesh.axis_names[1]
+            pcm = jax.device_put(pcm, NamedSharding(mesh, P(*spec)))
+            lane_s = NamedSharding(mesh, P(mesh.axis_names[0]))
+            h1, h2, c0, c1 = (jax.device_put(a, lane_s)
+                              for a in (h1, h2, c0, c1))
         payload_dev, conv = adx_kernels.adx_encode_device_pipeline(
             pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
             bit_depth=bit_depth, block_size=block_size, filter_=filter_,
@@ -1452,7 +1495,8 @@ def ahx_encode_batch(wavs: Sequence[bytes],
                      bitrate_kbps: Optional[int] = None,
                      device: bool = False, mesh: Optional[Mesh] = None,
                      container: str = "auto",
-                     max_workers: int = 0) -> List[bytes]:
+                     max_workers: int = 0,
+                     joint_bound: Optional[int] = None) -> List[bytes]:
     """Encode many WAVs to AHX / raw MPEG Layer II concurrently.
 
     device=True runs the FULL on-device pipeline (ops/mp2_encode_device:
@@ -1507,14 +1551,15 @@ def ahx_encode_batch(wavs: Sequence[bytes],
         for (_, rate), members in groups.items():
             streams = mp2_encode_device.encode_mp2_device_batch(
                 [pcm_of(parsed[i]) for i in members], rate,
-                bitrate_kbps, mesh=mesh)
+                bitrate_kbps, mesh=mesh, joint_bound=joint_bound)
             for i, stream in zip(members, streams):
                 results[i] = wrap(stream, parsed[i])
         return results
 
     def one(i: int) -> bytes:
         w = parsed[i]
-        stream = ahx_model.encode_mp2(pcm_of(w), w.sample_rate, bitrate_kbps)
+        stream = ahx_model.encode_mp2(pcm_of(w), w.sample_rate, bitrate_kbps,
+                                      joint_bound=joint_bound)
         return wrap(stream, w)
 
     if max_workers <= 0:

@@ -198,6 +198,34 @@ def test_adx_decode_batch_device_fixpoint(oracle):
         assert wav_bytes == adxmod.decode(blob)
 
 
+def test_adx_batch_sharded_mesh():
+    """ADX decode+encode sharded under a 2-D mesh (lanes over dp, blocks
+    over sp): byte-identical to the single-stream host path. Covers the
+    lane padding to the mesh size and the block-axis halo the fixpoint's
+    start-state shift becomes under GSPMD."""
+    from pycricodecs_tpu.models import adx as adxmod
+    mesh = parallel.make_mesh((4, 2))
+    blobs = []
+    for i, (ch, samples, mode) in enumerate(
+            [(2, 12000, 3), (1, 9000, 2), (2, 7000, 4)]):
+        pcm = make_sine_pcm16(samples, ch, 32000, seed=1300 + i)
+        pcm[:64 * ch] = 0
+        blobs.append(adxmod.encode(write_wav(pcm, ch, 32000),
+                                   encoding_mode=mode))
+    dev = parallel.adx_decode_batch(blobs, mesh=mesh)
+    for blob, wav_bytes in zip(blobs, dev):
+        assert wav_bytes == adxmod.decode(blob)
+
+    wavs = []
+    for i, (ch, samples) in enumerate([(1, 6000), (2, 9001), (2, 2048)]):
+        pcm = make_sine_pcm16(samples, ch, 44100, seed=1400 + i)
+        pcm[:64 * ch] = 0
+        wavs.append(write_wav(pcm, ch, 44100))
+    enc = parallel.adx_encode_batch(wavs, mesh=mesh)
+    for wav, blob in zip(wavs, enc):
+        assert blob == adxmod.encode(wav)
+
+
 def test_adx_fixpoint_kernel_exact_vs_scan():
     """Direct kernel check incl. hostile max-scale clamp-heavy content and
     per-block mode-2 filter switches."""
