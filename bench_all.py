@@ -722,6 +722,320 @@ def config16():
             n * dur / best, "audio-sec/sec/chip")
 
 
+def config17():
+    """On-device v3 PNS-noise bank, link-independent: quality-0 mono v3
+    streams (min_resolution 0 -> resolution-0 bands noise-fill on decode,
+    hca.cpp:1602-1635 analogue) through config 10's harness — the unpacker
+    computes the LCG noise tensors on-chip and the Pallas megakernel
+    consumes the precomputed additive fill (round-4 extension; noise banks
+    previously fell back to the XLA transform).  Parity guard: one stream
+    byte-compared to the host decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.ops import hca_encode_host, hca_frame, hca_kernels
+    from pycricodecs_tpu.parallel import pipeline
+    from pycricodecs_tpu.utils.crc import crc16
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    # quality-1 mono full-band, no HFR groups: the v2/v3 frame bitstreams
+    # coincide, so relabeling v3.0 + min_resolution=0 yields a valid PNS
+    # stream (q0 produces no resolution-0 bands; q2+ adds HFR groups which
+    # break the relabel). The megakernel's noise cost is mask-density-
+    # independent (dense masked ops), so the rate generalises.
+    sr_n = 48000
+    nsamp = int(sr_n * dur)
+    tt = np.arange(nsamp) / sr_n
+    rng = np.random.default_rng(17)
+    sig = np.clip((0.5 * np.sin(2 * np.pi * 440 * tt)
+                   + 0.02 * rng.standard_normal(nsamp)) * 32767,
+                  -32768, 32767).astype(np.int16)
+    from pycricodecs_tpu.utils.wav import write_wav
+    blob = bytearray(hca_encode_host.encode(write_wav(sig, 1, sr_n),
+                                            quality=1))
+    hs = int.from_bytes(blob[6:8], "big")
+    info_pre = hca_frame.parse_header(bytes(blob[:hs]))
+    assert info_pre.hfr_group_count == 0 \
+        and info_pre.total_band_count == 128, "v3 relabel needs no-HFR"
+    assert blob[4:6] == b"\x02\x00" and blob[24:28] == b"comp"
+    blob[4:6] = b"\x03\x00"
+    blob[30] = 0                                 # min_resolution = 0
+    blob[hs - 2:hs] = crc16(bytes(blob[:hs - 2])).to_bytes(2, "big")
+    blob = bytes(blob)
+    info = hca_frame.parse_header(blob[:hs])
+    fs, F = info.frame_size, info.frame_count
+    # the noise fill must actually trigger for this bench to mean anything
+    unp = hca_frame.unpack_frames(info, blob[hs:hs + F * fs])
+    assert unp.noise_mask.any(), "expected PNS noise bands in the bank"
+    arr = np.frombuffer(blob[hs:hs + F * fs], np.uint8).reshape(F, fs)
+    frames_np = np.broadcast_to(arr, (n, F, fs)).copy()
+
+    pairs = hca_kernels.stereo_pairs_of(info.channel_type) \
+        if info.stereo_band_count > 0 else ()
+    use_pallas = jax.devices()[0].platform == "tpu"
+    apply_hfr = bool(info.bands_per_hfr_group > 0
+                     and info.hfr_group_count > 0)
+    hstat = hca_kernels.hfr_static_of(hca_kernels.build_hfr_map(
+        info.total_band_count, info.base_band_count,
+        info.stereo_band_count, info.bands_per_hfr_group,
+        info.hfr_group_count, info.version)) if apply_hfr else None
+    assert hca_kernels.fused_transform_supported(
+        info.channels, pairs, True, apply_hfr, hstat), \
+        "noise config must ride the megakernel"
+    fused = pipeline._get_fused_device_decode(info, pairs, use_pallas)
+    assert fused is not None
+    hfr = hca_kernels.build_hfr_map(
+        info.total_band_count, info.base_band_count, info.stereo_band_count,
+        info.bands_per_hfr_group, info.hfr_group_count, info.version)
+    hfr_args = (np.asarray(hfr.band_is_hfr), np.asarray(hfr.src_band),
+                np.asarray(hfr.group_of), np.int32(hfr.zero_band))
+
+    @jax.jit
+    def run(frames, cipher, ath, hi, hsrc, hg, hz):
+        pcm, err = fused(frames, cipher, ath, hi, hsrc, hg, hz)
+        return pcm, jnp.any(err)
+
+    dev = jax.device_put(frames_np)
+    cipher_dev = jax.device_put(np.asarray(info.cipher, np.uint8))
+    ath_dev = jax.device_put(np.asarray(info.ath, np.int32))
+    extra = (cipher_dev, ath_dev) + tuple(jax.device_put(a)
+                                          for a in hfr_args)
+    pcm, e = run(dev, *extra)
+    assert not bool(np.asarray(e))
+    from pycricodecs_tpu.models import hca as hcamod
+    one = np.asarray(pcm[0]).reshape(-1, info.channels)
+    samples = (F * 1024 - info.encoder_delay - info.encoder_padding)
+    one = one[info.encoder_delay:info.encoder_delay + samples]
+    ref = hcamod.decode(blob)
+    ref_pcm = np.frombuffer(ref[44:], "<i2").reshape(-1, info.channels)
+    assert np.array_equal(one, ref_pcm), "noise device pipeline diverged"
+    best = 1e18
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pcm, e = run(dev, *extra)
+        assert not bool(np.asarray(e))   # scalar fetch = completion barrier
+        best = min(best, time.perf_counter() - t0)
+    return ("hca_noise_device_pipeline_audio_sec_per_sec_per_chip",
+            n * dur / best, "audio-sec/sec/chip")
+
+
+def config18():
+    """Link-free heterogeneous bank: config 14's mixed cases (qualities,
+    rates, channel counts, lengths, subkeys) decoded fully on-chip — frames
+    pre-staged in HBM per (config, rate, cipher) group exactly as
+    decode_batch groups them, PCM left on device, scalar completion fetch —
+    against a homogeneous bank of the same total PCM through the same
+    harness.  vs_homogeneous here measures grouping/bucketing/padding waste
+    at chip speed; config 14 measures it through the host link."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.models import hca as hcamod
+    from pycricodecs_tpu.ops import hca_encode_host, hca_frame, hca_kernels
+    from pycricodecs_tpu.parallel import pipeline
+    from pycricodecs_tpu.utils import hca_crypt
+
+    n = int(os.environ.get("BENCH_STREAMS", "96"))
+    key = 0xCF222F1FE0748978
+    cases = [  # (quality, channels, rate, seconds, subkey or 0)
+        (0, 2, 48000, 10.0, 0), (1, 2, 44100, 8.0, 0),
+        (2, 1, 32000, 6.0, 0), (2, 2, 48000, 12.0, 0x55AA),
+        (3, 2, 24000, 10.0, 0), (4, 1, 48000, 4.0, 0),
+        (1, 4, 48000, 6.0, 0), (2, 6, 44100, 5.0, 0x0102),
+    ]
+    blobs, subkeys, durs = [], [], []
+    for i in range(n):
+        q, ch, sr, dur, sk = cases[i % len(cases)]
+        blob = hca_encode_host.encode(
+            _sine_wav(dur, ch, sr=sr, seed=180 + i), quality=q)
+        if sk:
+            hs = hca_frame.parse_header(blob).header_size
+            blob = hcamod.crypt(blob, True, hs, 56, key, subkey=sk)
+        blobs.append(blob)
+        subkeys.append(sk)
+        durs.append(dur)
+    total_audio = sum(durs)
+
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    def stage(blob_list, sk_list):
+        """Group + stage like decode_batch's device path; returns a list of
+        per-group (fused, device args, pcm_bytes, guard info)."""
+        infos = []
+        for blob, sk in zip(blob_list, sk_list):
+            hs = int.from_bytes(blob[6:8], "big")
+            info = hca_frame.parse_header(blob[:hs])
+            info.set_key(hca_crypt.scramble_subkey(key, sk))
+            infos.append((info, blob, hs))
+        groups: dict = {}
+        for idx, (info, _b, _h) in enumerate(infos):
+            groups.setdefault(
+                pipeline._config_key(info)
+                + (int(info.sample_rate),
+                   bytes(np.asarray(info.cipher, np.uint8))),
+                []).append(idx)
+        staged = []
+        pcm_bytes = 0
+        for members in groups.values():
+            info0 = infos[members[0]][0]
+            fs = info0.frame_size
+            fmax = pipeline._round_up(
+                max(infos[i][0].frame_count for i in members), 32)
+            csize = len(members)
+            Bp = (1 << (csize - 1).bit_length()) if csize > 2 else csize
+            frames_np = np.zeros((Bp, fmax, fs), np.uint8)
+            for b, idx in enumerate(members):
+                info, blob, hs = infos[idx]
+                data = blob[hs:hs + info.frame_count * fs]
+                arr = np.frombuffer(data, np.uint8).reshape(-1, fs)
+                frames_np[b, :arr.shape[0]] = arr
+            pairs = hca_kernels.stereo_pairs_of(info0.channel_type) \
+                if info0.stereo_band_count > 0 else ()
+            fused = pipeline._get_fused_device_decode(info0, pairs,
+                                                      use_pallas)
+            assert fused is not None, "mixed group fell off the device path"
+
+            @jax.jit
+            def run(frames, cipher, ath, hi, hsrc, hg, hz, _f=fused):
+                pcm, err = _f(frames, cipher, ath, hi, hsrc, hg, hz)
+                flag = jnp.any(err) | (pcm[(0,) * pcm.ndim]
+                                       == jnp.int16(12345))
+                return pcm, flag
+
+            hfr = hca_kernels.build_hfr_map(
+                info0.total_band_count, info0.base_band_count,
+                info0.stereo_band_count, info0.bands_per_hfr_group,
+                info0.hfr_group_count, info0.version)
+            args = (jax.device_put(frames_np),
+                    jax.device_put(np.asarray(info0.cipher, np.uint8)),
+                    jax.device_put(np.asarray(info0.ath, np.int32)),
+                    jax.device_put(np.asarray(hfr.band_is_hfr)),
+                    jax.device_put(np.asarray(hfr.src_band)),
+                    jax.device_put(np.asarray(hfr.group_of)),
+                    jax.device_put(np.int32(hfr.zero_band)))
+            # real PCM bytes produced for the members (padding excluded)
+            for idx in members:
+                info = infos[idx][0]
+                samples = (info.frame_count * 1024 - info.encoder_delay
+                           - info.encoder_padding)
+                pcm_bytes += samples * info.channels * 2
+            staged.append((run, args, members, infos))
+        return staged, pcm_bytes
+
+    def measure(staged):
+        best = 1e18
+        for _ in range(5):
+            t0 = time.perf_counter()
+            flags = [run(*args)[1] for run, args, _m, _i in staged]
+            for fl in flags:
+                assert not bool(np.asarray(fl))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    staged, mixed_bytes = stage(blobs, subkeys)
+    # parity guard: first stream of every group vs the host decode
+    for run, args, members, infos in staged:
+        pcm, fl = run(*args)
+        assert not bool(np.asarray(fl))
+        info, blob, hs = infos[members[0]]
+        one = np.asarray(pcm[0]).reshape(-1, info.channels)
+        samples = (info.frame_count * 1024 - info.encoder_delay
+                   - info.encoder_padding)
+        one = one[info.encoder_delay:info.encoder_delay + samples]
+        sk = subkeys[members[0]]
+        want = hcamod.decode(blob, key=key, subkey=sk) if sk \
+            else hcamod.decode(blob)
+        ref = np.frombuffer(want[44:], "<i2").reshape(-1, info.channels)
+        assert np.array_equal(one, ref), "mixed on-chip group diverged"
+    best = measure(staged)
+    mixed_rate = total_audio / best
+
+    # homogeneous control: same total PCM bytes, one config, same harness
+    dur0 = 10.0
+    blob0 = hca_encode_host.encode(_sine_wav(dur0, 2, seed=180), quality=2)
+    info0 = hca_frame.parse_header(
+        blob0[:int.from_bytes(blob0[6:8], "big")])
+    one_bytes = (info0.frame_count * 1024 - info0.encoder_delay
+                 - info0.encoder_padding) * info0.channels * 2
+    n0 = max(1, int(round(mixed_bytes / one_bytes)))
+    staged0, uniform_bytes = stage([blob0] * n0, [0] * n0)
+    best0 = measure(staged0)
+    ratio = (mixed_bytes / best) / (uniform_bytes / best0)
+    print(f"-- config 18: mixed on-chip {mixed_bytes/best/1e6:.0f} MB/s vs "
+          f"homogeneous {uniform_bytes/best0/1e6:.0f} MB/s (x{ratio:.3f})",
+          file=sys.stderr)
+    return ("hca_heterogeneous_onchip_audio_sec_per_sec_per_chip",
+            mixed_rate, "audio-sec/sec/chip", None, round(ratio, 4))
+
+
+def config19():
+    """On-device STEREO MP2 encode, link-independent, in joint (intensity)
+    stereo mode — the encoder-side counterpart of config 11's joint-stereo
+    decode headline.  Same harness as config 15 (PCM pre-staged in HBM,
+    frames left there); reports the joint-stereo rate with the
+    independent-stereo rate of the same bank as `vs_homogeneous`-style
+    extra (joint/independent; > 1 means the shared-subband coding is also
+    cheaper to compute).  Parity guard: device bytes == numpy mirror."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.ops import mp2_encode_device as E
+
+    n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
+    rate, br, jb = 44100, 192, 8
+    N = int(rate * dur) // 1152 * 1152
+    t = np.arange(N) / rate
+    l = np.clip((0.5 * np.sin(2 * np.pi * 440 * t)
+                 + 0.2 * np.sin(2 * np.pi * 1320 * t)) * 26000,
+                -32768, 32767).astype(np.int16)
+    r = np.clip((0.45 * np.sin(2 * np.pi * 660 * t)
+                 + 0.15 * np.sin(2 * np.pi * 2217 * t)) * 26000,
+                -32768, 32767).astype(np.int16)
+    one = np.stack([l, r])[None]
+    pcm_np = np.broadcast_to(one, (n, 2, N)).copy()
+    F = N // 1152
+
+    def harness(joint_bound):
+        cfg = E.make_config(rate, 2, br, joint_bound=joint_bound)
+        pads = E.frame_padding(cfg, F)
+        kw = dict(version=cfg.version, sr_idx=cfg.sr_idx,
+                  bitrate_idx=cfg.bitrate_idx, mode=cfg.mode,
+                  table_id=cfg.table_id, sblimit=cfg.sblimit,
+                  channels=cfg.channels, frame_base=cfg.frame_base,
+                  nbal_bits=cfg.nbal_bits, bound=cfg.bound,
+                  mode_ext=cfg.mode_ext)
+
+        @jax.jit
+        def run(pcm, p):
+            frames = E.mp2_encode_frames(pcm, p, **kw)
+            return frames, frames[0, 0, 0] + frames[-1, -1, -1]
+
+        dev = jax.device_put(pcm_np)
+        pd = jax.device_put(pads)
+        frames, s = run(dev, pd)
+        int(np.asarray(s))
+        gframes, S0 = E.mp2_encode_frames(dev, pd, return_spectra=True,
+                                          **kw)
+        got = E.assemble_stream(np.asarray(gframes[0, :F]), cfg, pads)
+        want = E.encode_from_spectra_np(np.asarray(S0)[0], cfg)
+        assert got == want, "stereo device MP2 encode diverged from mirror"
+        best = 1e18
+        for _ in range(5):
+            t0 = time.perf_counter()
+            frames, s = run(dev, pd)
+            int(np.asarray(s))           # scalar fetch = completion barrier
+            best = min(best, time.perf_counter() - t0)
+        return n * dur / best
+
+    joint_rate = harness(jb)
+    indep_rate = harness(None)
+    print(f"-- config 19: joint {joint_rate:.0f} vs independent "
+          f"{indep_rate:.0f} audio-sec/s/chip", file=sys.stderr)
+    return ("ahx_device_encode_joint_stereo_audio_sec_per_sec_per_chip",
+            joint_rate, "audio-sec/sec/chip", None,
+            round(joint_rate / indep_rate, 4))
+
+
 def main():
     # mirror bench.py: a dead remote-TPU tunnel hangs backend init forever
     import subprocess
@@ -732,15 +1046,26 @@ def main():
     except Exception as exc:  # noqa: BLE001
         print(f"TPU backend probe failed ({exc!r}); forcing CPU",
               file=sys.stderr)
+        # XLA:CPU contracts fp32 mul+add into FMAs, which breaks the
+        # configs' bit-exact parity guards; a pre-FMA ISA pin needs to land
+        # BEFORE backend init, so re-exec once with it (dryrun_multichip's
+        # trick). The real TPU does not contract — no flag needed there.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_max_isa" not in flags:
+            os.environ["XLA_FLAGS"] = \
+                (flags + " --xla_cpu_max_isa=SSE4_2").strip()
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         import jax
         jax.config.update("jax_platforms", "cpu")
     want = os.environ.get("BENCH_CONFIGS",
-                          "1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16")
+                          "1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19")
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
                "5": config5, "6": config6, "7": config7, "8": config8,
                "9": config9, "10": config10, "11": config11,
                "12": config12, "13": config13, "14": config14,
-               "15": config15, "16": config16}
+               "15": config15, "16": config16, "17": config17,
+               "18": config18, "19": config19}
     for k in want.split(","):
         k = k.strip()
         print(f"-- config {k}: {configs[k].__doc__.splitlines()[0]}",
