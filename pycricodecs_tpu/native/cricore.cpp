@@ -1111,16 +1111,82 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
         const int16_t* ch = pcm + (size_t)c * nblocks * spb;
         std::vector<int32_t> codbuf(spb);
         int32_t* cod = codbuf.data();
+#if defined(__AVX2__)
+        // Scale-search residuals for t >= 2 use only IN-BLOCK original
+        // samples (t = 0,1 use the carried decoder state), so they
+        // precompute channel-wide in one 8-lane pass:
+        //   r[i] = (x[i]*4096 - a0*x[i-1] - a1*x[i-2]) >> 12.
+        // int32 is exact: |x*4096| < 2^27, |a0*x| < 2^29 (|coef| <= 8192).
+        std::vector<int32_t> resbuf((size_t)nblocks * spb);
+        if (spb >= 2) {
+            const int32_t n = nblocks * spb;
+            const __m256i va0 = _mm256_set1_epi32((int32_t)a0);
+            const __m256i va1 = _mm256_set1_epi32((int32_t)a1);
+            int32_t i = 2;
+            for (; i + 8 <= n; i += 8) {
+                __m256i x = _mm256_cvtepi16_epi32(
+                    _mm_loadu_si128((const __m128i*)(ch + i)));
+                __m256i x1 = _mm256_cvtepi16_epi32(
+                    _mm_loadu_si128((const __m128i*)(ch + i - 1)));
+                __m256i x2 = _mm256_cvtepi16_epi32(
+                    _mm_loadu_si128((const __m128i*)(ch + i - 2)));
+                __m256i r = _mm256_sub_epi32(
+                    _mm256_slli_epi32(x, 12),
+                    _mm256_add_epi32(_mm256_mullo_epi32(va0, x1),
+                                     _mm256_mullo_epi32(va1, x2)));
+                _mm256_storeu_si256((__m256i*)(resbuf.data() + i),
+                                    _mm256_srai_epi32(r, 12));
+            }
+            for (; i < n; ++i)
+                resbuf[i] = (int32_t)((((int64_t)ch[i] * 4096)
+                    - a0 * ch[i - 1] - a1 * ch[i - 2]) >> 12);
+        }
+#endif
         for (int32_t b = 0; b < nblocks; ++b) {
             const int16_t* blk = ch + (size_t)b * spb;
-            int64_t mn = 0, mx = 0, p1 = h1, p2 = h2;
-            for (int32_t t = 0; t < spb; ++t) {
-                int64_t r =
-                    (((int64_t)blk[t] * 4096) - a0 * p1 - a1 * p2) >> 12;
-                if (r < mn) mn = r;
-                if (r > mx) mx = r;
-                p2 = p1;
-                p1 = blk[t];
+            int64_t mn = 0, mx = 0;
+#if defined(__AVX2__)
+            if (spb >= 2) {
+                int64_t p1 = h1, p2 = h2;
+                for (int32_t t = 0; t < 2; ++t) {
+                    int64_t r = (((int64_t)blk[t] * 4096)
+                                 - a0 * p1 - a1 * p2) >> 12;
+                    if (r < mn) mn = r;
+                    if (r > mx) mx = r;
+                    p2 = p1;
+                    p1 = blk[t];
+                }
+                const int32_t* rb = resbuf.data() + (size_t)b * spb;
+                int32_t t = 2;
+                __m256i vmn = _mm256_setzero_si256();
+                __m256i vmx = _mm256_setzero_si256();
+                for (; t + 8 <= spb; t += 8) {
+                    __m256i r = _mm256_loadu_si256((const __m256i*)(rb + t));
+                    vmn = _mm256_min_epi32(vmn, r);
+                    vmx = _mm256_max_epi32(vmx, r);
+                }
+                alignas(32) int32_t tmp[8];
+                _mm256_store_si256((__m256i*)tmp, vmn);
+                for (int k = 0; k < 8; ++k) if (tmp[k] < mn) mn = tmp[k];
+                _mm256_store_si256((__m256i*)tmp, vmx);
+                for (int k = 0; k < 8; ++k) if (tmp[k] > mx) mx = tmp[k];
+                for (; t < spb; ++t) {
+                    const int32_t r = rb[t];
+                    if (r < mn) mn = r;
+                    if (r > mx) mx = r;
+                }
+            } else
+#endif
+            {
+                int64_t p1 = h1, p2 = h2;
+                for (int32_t t = 0; t < spb; ++t) {
+                    int64_t r =
+                        (((int64_t)blk[t] * 4096) - a0 * p1 - a1 * p2) >> 12;
+                    if (r < mn) mn = r;
+                    if (r > mx) mx = r;
+                    p2 = p1;
+                    p1 = blk[t];
+                }
             }
             const bool zero = (mn == 0 && mx == 0);
             int64_t scale =
