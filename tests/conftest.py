@@ -30,6 +30,44 @@ import pytest
 
 
 # ---------------------------------------------------------------------------
+# Two-tier suite: the device-kernel tests are jit-compile-dominated (each
+# costs 10-400 s on the 1-core host) and auto-mark as `slow`.  The core tier
+# (`pytest -m "not slow"`, ~6 min) covers every codec/container/host path;
+# the FULL suite stays the CI default and must be green before a round ends.
+# Durations source: full-suite --durations=60 run, round 4.
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = frozenset({
+    "test_mp2_unpack_pallas", "test_hca_unpack_device", "test_unpack_pallas",
+    "test_pallas", "test_pallas_fused", "test_pack_device", "test_hfr_device",
+    "test_native_sanitize",
+})
+_SLOW_TESTS = (
+    "test_adx_encode_fixpoint_matches_scan",
+    "test_adx_encode_batch_device_byte_parity",
+    "test_adx_device_pipeline_unpack_exact",
+    "test_adx_batch_sharded_mesh",
+    "test_graft_entry_roundtrip",
+    "test_decode_batch_sharded_pallas_engines",
+    "test_decode_batch_single_stream_sp_mesh",
+    "test_decode_batch_host_engine_matches_device",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: jit-compile-heavy device-kernel test; core tier "
+        "deselects these with -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        name = item.name.split("[", 1)[0]
+        if mod.removesuffix(".py") in _SLOW_MODULES or name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
+# ---------------------------------------------------------------------------
 # Reference oracle: the compiled PyCriCodecs C++ extension (built out-of-tree
 # in /tmp/refbuild). Tests that need bit-exact ground truth use this fixture
 # and skip gracefully when it is unavailable.
