@@ -178,15 +178,46 @@ def _scalefactor_symbols(sf_c, db):
     return value.astype(u32), bits.astype(i32)
 
 
-def _scatter_words(w_n, hi, lo, W):
+def _exclusive_prefix(bits):
+    """Exclusive prefix sum over the last axis of i32 [B, F, N].
+
+    jnp.cumsum lowers to ~log2(N) full-tensor passes (12 x 1.1 GB of HBM
+    traffic per 256-stream bank — measured as the packer's second-largest
+    wall).  Hierarchical instead: 32-symbol chunks get their local prefix
+    from ONE exact 0/1 triangular matmul on the MXU (widths <= 16, frame
+    totals <= fs*8 < 2^24, so f32 at precision=HIGHEST is exact), and only
+    the tiny [B, F, K] chunk-total tensor rides a cumsum.
+    """
+    B, F, N = bits.shape
+    S = 32
+    K = -(-N // S)
+    pad = K * S - N
+    b = bits if not pad else jnp.concatenate(
+        [bits, jnp.zeros((B, F, pad), bits.dtype)], axis=-1)
+    b3 = b.reshape(B, F, K, S).astype(jnp.float32)
+    tri = np.tril(np.ones((S, S), np.float32), k=-1).T  # [s, i] = s < i
+    local = jnp.einsum("bfks,si->bfki", b3, jnp.asarray(tri),
+                       precision=jax.lax.Precision.HIGHEST)
+    tot = jnp.sum(b3, axis=-1)                          # [B, F, K]
+    base = jnp.cumsum(tot, axis=-1) - tot
+    off = (base[..., None] + local).astype(i32).reshape(B, F, K * S)
+    return off[..., :N]
+
+
+def _scatter_words(w_n, hi, lo, W, max_sym_bits=16):
     """Monotone symbol->word scatter, two-level: [B,F,N] -> [B,F,W] u32.
 
     Level 1 (VPU): symbols in chunks of S=32; within a chunk, word indices
-    span <= S*16/32 + 2 = 18 words from the chunk's first word, so local
-    threshold sums (A[t] = sum hi*[rel < t], adjacent-differenced) cost
-    N x 19 instead of N x (W+1).  The lo halves land at rel+1 and fold into
-    the same pass.  Modular u32 sums equal the bitwise OR because written
-    bit ranges are disjoint.
+    span J words from the chunk's first word, so local threshold sums
+    (A[t] = sum hi*[rel < t], adjacent-differenced) cost N x (J+1) instead
+    of N x (W+1).  The lo halves land at rel+1 and fold into the same pass.
+    Modular u32 sums equal the bitwise OR because written bit ranges are
+    disjoint.  J is sized from `max_sym_bits`, the widest NON-HEADER symbol
+    the caller can emit (the two 16-bit header symbols at the start of
+    chunk 0 are accounted separately): HCA's widest is the 13-bit
+    scalefactor escape (delta_bits 7 + raw 6; spectrum codes <= 12), so it
+    passes 13 and shaves the threshold axis 19 -> 17.  A symbol wider than
+    the bound would silently DROP from the scatter — callers own the bound.
 
     Level 2 (MXU): each chunk contributes one contiguous 18-word segment at
     its (monotone) base word.  Placement = byte-planes of the segments
@@ -214,9 +245,14 @@ def _scatter_words(w_n, hi, lo, W):
     hi_c = hi.reshape(B, F, K, S)
     lo_c = lo.reshape(B, F, K, S)
     base = w_c[..., 0]                                  # [B, F, K]
-    rel = w_c - base[..., None]                         # in [0, 17]
-    J = S * 16 // 32 + 2                                # 18 local words
+    rel = w_c - base[..., None]
+    # worst chunk payload: 32 symbols of max_sym_bits, except chunk 0 whose
+    # first two symbols are the 16-bit sync/header words; +31 start skew
+    worst_bits = max(S * max_sym_bits, 2 * 16 + (S - 2) * max_sym_bits)
+    J = ((31 + worst_bits - 1) >> 5) + 2                # local word span
     thr = jnp.arange(J + 1, dtype=i32)                  # [J+1]
+    # (measured on-chip: a K-on-lanes transpose of this reduce is ~8%
+    # SLOWER than the natural layout — XLA's own layout assignment wins)
     m_hi = rel[..., None] < thr                         # [B,F,K,S,J+1]
     m_lo = (rel + 1)[..., None] < thr
     A = jnp.sum(jnp.where(m_hi, hi_c[..., None], u32(0)), axis=-2) \
@@ -307,8 +343,7 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     # slot (writer buffer spans [16, fs*8) in frame bits — see the module
     # docstring's end-of-frame contract); only writes crossing fs*8 itself
     # drop whole (BitWriter semantics, unreachable after rate control)
-    csum = jnp.cumsum(bits, axis=-1)
-    off = csum - bits
+    off = _exclusive_prefix(bits)
     keep = (off + bits) <= (fs * 8)
     bcl = jnp.minimum(bits, 31)
     value = jnp.where(keep, value & ((u32(1) << bcl.astype(u32)) - 1), 0)
@@ -326,16 +361,21 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     w_n, hi, lo = jax.lax.optimization_barrier((w_n, hi, lo))
 
     W = -(-fs // 4)
-    words = _scatter_words(w_n, hi, lo, W)            # [B, F, W]
+    # widest non-header symbol: 13-bit scalefactor escape (delta_bits 7 +
+    # raw 6); spectrum <= 12, hfr 6, intensity 4 (see _scatter_words)
+    words = _scatter_words(w_n, hi, lo, W, max_sym_bits=13)  # [B, F, W]
 
     # CRC16 over frame[:fs-2]: GF(2) linearity as parity-of-popcount —
     # crc bit j = parity(sum_w popcount(words_w & M[w, j])); the sum over
     # words fuses into one reduction, no per-bit expansion (bits spilled
     # into bytes fs-2.. by a CRC-slot-crossing symbol carry zero mask rows,
     # so they cannot perturb the checksum)
-    M = jnp.asarray(_crc_mask_table(fs, W))           # [W, 16] u32
-    cnt = jnp.sum(jax.lax.population_count(words[..., None] & M),
-                  axis=-2, dtype=i32)                 # [B, F, 16]
+    # mask laid out [16, W]: the word axis (W = 128/256) rides the lanes
+    # and the popcount reduce runs along it at full width ([W, 16] put the
+    # 16 CRC bits on the lane axis — 12.5% utilisation)
+    MT = jnp.asarray(_crc_mask_table(fs, W).T)        # [16, W] u32
+    cnt = jnp.sum(jax.lax.population_count(words[..., None, :] & MT),
+                  axis=-1, dtype=i32)                 # [B, F, 16]
     crc = jnp.sum((cnt & 1).astype(u32) << jnp.arange(16, dtype=u32),
                   axis=-1, dtype=u32)                 # disjoint bits: sum==or
 

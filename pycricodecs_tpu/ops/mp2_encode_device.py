@@ -457,8 +457,10 @@ def mp2_pack_pipeline(S, pads, *, version, sr_idx, bitrate_idx, mode,
     value, bits = jax.lax.optimization_barrier((value, bits))
 
     W = -(-(frame_base + 1) // 4)
-    csum = jnp.cumsum(bits, axis=-1)
-    off = csum - bits
+    from .hca_pack_device import _exclusive_prefix
+    # hierarchical MXU prefix instead of cumsum (exact: widths <= 16 and
+    # frame totals < 2^24 — see hca_pack_device._exclusive_prefix)
+    off = _exclusive_prefix(bits)
     keep = (off + bits) <= (W * 32)       # memory-safety; never hit (CBR
     value = jnp.where(keep, value & ((u32(1) << jnp.minimum(
         bits, 31).astype(u32)) - 1), 0)   # budget bounds the layout)

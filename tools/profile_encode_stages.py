@@ -57,10 +57,7 @@ def _sine_wav(dur, ch, seed=5, sr=48000):
 
 def timeit(fn, *args, reps=5):
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") and x.size == 1
-        else None, out[-1])
-    np.asarray(out[-1])
+    np.asarray(out[-1])          # completion barrier: tiny scalar fetch
     best = 1e18
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -71,6 +68,8 @@ def timeit(fn, *args, reps=5):
 
 
 def main():
+    from pycricodecs_tpu.parallel.pipeline import _ensure_compile_cache
+    _ensure_compile_cache()
     n, dur = int(os.environ.get("BENCH_STREAMS", "256")), 10.0
     w = wavmod.parse_wav(_sine_wav(dur, 2))
     cfg = hca_encode_host.init_encode(w, 2, w.looping)
@@ -108,8 +107,9 @@ def main():
     t = timeit(run_transform, pdev, reps=3)
     rec["transform_ms"] = round(t * 1e3, 2)
     outs, _ = run_transform(pdev)
-    sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \
-        (jax.device_put(np.asarray(x)) for x in outs)
+    # keep intermediates as DEVICE arrays: fetching them over the tunnel
+    # costs minutes per GB and round-tripping doubles HBM footprint
+    sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = outs
 
     @jax.jit
     def run_hfr(ga, gs):
@@ -119,8 +119,7 @@ def main():
         return scales, jnp.any(guard) ^ (scales[0, 0, 0, 0] == -5)
 
     rec["hfr_ms"] = round(timeit(run_hfr, ga, gs) * 1e3, 2)
-    hfr_scales = np.asarray(run_hfr(ga, gs)[0])
-    hfr_scales = jax.device_put(hfr_scales)
+    hfr_scales = run_hfr(ga, gs)[0]
 
     pkw = dict(channels=C, coded_counts=ekw["coded_counts"],
                channel_types=ekw["channel_types"],
@@ -179,9 +178,7 @@ def main():
         return (value, bits), value[0, 0, 0] + bits[-1, -1, -1].astype(u32)
 
     rec["pack_symbols_ms"] = round(timeit(run_symbols, *pack_args) * 1e3, 2)
-    (value_np, bits_np), _ = run_symbols(*pack_args)
-    value_d = jax.device_put(np.asarray(value_np))
-    bits_d = jax.device_put(np.asarray(bits_np))
+    (value_d, bits_d), _ = run_symbols(*pack_args)
 
     @jax.jit
     def run_offsets(value, bits):
@@ -203,7 +200,6 @@ def main():
     rec["pack_offsets_ms"] = round(timeit(run_offsets, value_d, bits_d)
                                    * 1e3, 2)
     (w_n, hi, lo), _ = run_offsets(value_d, bits_d)
-    w_n, hi, lo = (jax.device_put(np.asarray(x)) for x in (w_n, hi, lo))
     W = -(-fs // 4)
 
     @jax.jit
@@ -214,7 +210,7 @@ def main():
     rec["pack_scatter_ms"] = round(timeit(run_scatter, w_n, hi, lo)
                                    * 1e3, 2)
     words, _ = run_scatter(w_n, hi, lo)
-    words = jax.device_put(np.asarray(words))
+    del value_d, bits_d    # release HBM before the full-pipeline reruns
 
     @jax.jit
     def run_crc(words):
@@ -230,6 +226,8 @@ def main():
         return (payload, crc), crc[0, 0] ^ crc[-1, -1]
 
     rec["pack_crc_ms"] = round(timeit(run_crc, words) * 1e3, 2)
+    del w_n, hi, lo, words, outs, sf, res, intensity, quant, level, \
+        boundary, delta_bits, ga, gs, hfr_scales, pack_args
 
     @jax.jit
     def run_full(pcm):
