@@ -572,9 +572,11 @@ def adx_encode_numpy(pcm, c0, c1, h1_init, h2_init, *, spb, encoding_mode,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth",
-                                   "scale_fix", "max_passes"))
+                                   "scale_fix", "max_passes",
+                                   "segment_blocks"))
 def adx_encode_fixpoint(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
-                        bit_depth, scale_fix=False, max_passes=None):
+                        bit_depth, scale_fix=False, max_passes=None,
+                        segment_blocks=512):
     """Block-parallel EXACT ADX encode by chained-block fixpoint iteration.
 
     The encode mirror of adx_decode_fixpoint: the only cross-block coupling
@@ -588,20 +590,62 @@ def adx_encode_fixpoint(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
     Start guesses come from the ORIGINAL signal (the simulated decoder
     tracks it within the quantisation error), so the discrete outputs
     (scale, codes) usually match on pass one and convergence is a handful
-    of passes; the same near-resonance caveat as decode applies, hence the
-    scaled max_passes cap and the converged flag (callers MUST fall back
-    to adx_encode_scan / the host encoder when it is False).
+    of passes.  Unlike DECODE (whose AR(2) filter contracts start-state
+    errors), a wrong encode start can flip a quantisation decision and
+    re-perturb the chain, so on near-resonant content exactness provably
+    propagates only ~1 block per pass — a 10 s tone bank (15k blocks)
+    never converges under any practical global pass budget.  Streams
+    longer than `segment_blocks` therefore run as a lax.scan of per-
+    segment fixpoints chained through their exact end states: within a
+    G-block segment, pass k makes blocks 0..k-1 exact by induction, so
+    max_passes = G+1 GUARANTEES convergence (the while_loop exits as soon
+    as nothing changes, so benign content still takes its usual handful
+    of passes per segment).
 
     pcm int32 [L, B, spb]; c0/c1/h1/h2 int32 [L].
     Returns (codes int32 [L, B, spb], scale_raw int32 [L, B],
              zero bool [L, B], converged bool).
     """
     L, B, _ = pcm.shape
+    if max_passes is None and B > segment_blocks:
+        G = segment_blocks
+        nseg = -(-B // G)
+        Bp = nseg * G
+        if Bp != B:
+            pcm = jnp.concatenate(
+                [pcm, jnp.zeros((L, Bp - B, spb), pcm.dtype)], axis=1)
+        segs = jnp.moveaxis(pcm.reshape(L, nseg, G, spb), 1, 0)
+
+        def seg_body(carry, seg):
+            ch1, ch2 = carry
+            codes, sr, zero, conv, e1, e2 = _adx_encode_fixpoint_core(
+                seg, c0, c1, ch1, ch2, spb=spb,
+                encoding_mode=encoding_mode, bit_depth=bit_depth,
+                scale_fix=scale_fix, max_passes=G + 1)
+            return (e1, e2), (codes, sr, zero, conv)
+
+        (_, _), (codes, sr, zero, conv) = jax.lax.scan(
+            seg_body, (h1.astype(jnp.int32), h2.astype(jnp.int32)), segs)
+        codes = jnp.moveaxis(codes, 0, 1).reshape(L, Bp, spb)[:, :B]
+        sr = jnp.moveaxis(sr, 0, 1).reshape(L, Bp)[:, :B]
+        zero = jnp.moveaxis(zero, 0, 1).reshape(L, Bp)[:, :B]
+        return codes, sr, zero, jnp.all(conv)
+    if max_passes is None:
+        max_passes = 48 + (B * 64) // (96 * max(spb, 1))
+    out = _adx_encode_fixpoint_core(
+        pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
+        bit_depth=bit_depth, scale_fix=scale_fix, max_passes=max_passes)
+    return out[:4]
+
+
+def _adx_encode_fixpoint_core(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
+                              bit_depth, scale_fix, max_passes):
+    """One fixpoint over [L, B, spb]; additionally returns the exact end
+    state pair of the LAST block (the chain carry for segmented runs)."""
+    L, B, _ = pcm.shape
     limit = (1 << (bit_depth - 1)) - 1
     c0b = c0[:, None]
     c1b = c1[:, None]
-    if max_passes is None:
-        max_passes = 48 + (B * 64) // (96 * max(spb, 1))
 
     def block_pass(s1, s2):
         """Encode all blocks from start states [L, B]; returns
@@ -691,8 +735,8 @@ def adx_encode_fixpoint(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
     npass, s1, s2, changed = jax.lax.while_loop(
         cond, body, (jnp.int32(0), g1.astype(jnp.int32),
                      g2.astype(jnp.int32), jnp.bool_(True)))
-    codes, scale_raw, zero, _e1, _e2 = block_pass(s1, s2)
-    return codes, scale_raw, zero, ~changed
+    codes, scale_raw, zero, e1, e2 = block_pass(s1, s2)
+    return codes, scale_raw, zero, ~changed, e1[:, -1], e2[:, -1]
 
 
 def adx_pack_device(codes, scale_field, *, block_size, bit_depth):

@@ -43,6 +43,7 @@ _SLOW_MODULES = frozenset({
 })
 _SLOW_TESTS = (
     "test_adx_encode_fixpoint_matches_scan",
+    "test_adx_encode_fixpoint_segmented_long_tone",
     "test_adx_encode_batch_device_byte_parity",
     "test_adx_device_pipeline_unpack_exact",
     "test_adx_batch_sharded_mesh",

@@ -407,6 +407,38 @@ def test_adx_device_pipeline_unpack_exact(oracle, mode, bd, bs):
     assert np.array_equal(got, ref)
 
 
+def test_adx_encode_fixpoint_segmented_long_tone():
+    """Long near-resonant tone banks: the GLOBAL fixpoint provably cannot
+    converge (exactness propagates ~1 block/pass when quantisation
+    decisions keep flipping), so streams past segment_blocks run as a scan
+    of per-segment fixpoints with guaranteed convergence. This bank (2000
+    blocks of a clean 440 Hz tone) never converged before round 4; it must
+    now converge AND match the serial scan bit-for-bit, including across
+    segment boundaries and a non-multiple tail."""
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    spb = 32
+    nb = 2000                       # > segment_blocks, non-multiple tail
+    sr = 48000
+    t = np.arange(nb * spb) / sr
+    tone = np.clip(np.sin(2 * np.pi * 440 * t) * 26000,
+                   -32768, 32767).astype(np.int32)
+    pcm = np.stack([tone, np.roll(tone, 7)]).reshape(2, nb, spb)
+    a, b = adxmod.calculate_coefficients(0x1F4, sr)
+    c0 = np.full(2, a, np.int32)
+    c1 = np.full(2, b, np.int32)
+    h1 = pcm[:, 0, 0].copy()
+    h2 = h1.copy()
+    want = K.adx_encode_numpy(pcm, c0, c1, h1, h2, spb=spb,
+                              encoding_mode=3, bit_depth=4)
+    codes, sraw, zero, conv = K.adx_encode_fixpoint(
+        pcm, c0, c1, h1, h2, spb=spb, encoding_mode=3, bit_depth=4)
+    assert bool(np.asarray(conv)), "segmented fixpoint must converge"
+    assert np.array_equal(np.asarray(codes), want[0])
+    assert np.array_equal(np.asarray(sraw), want[1])
+    assert np.array_equal(np.asarray(zero), want[2])
+
+
 @pytest.mark.parametrize("mode,bd,bs,sfix", [
     (3, 4, 0x12, False), (4, 4, 0x12, False), (2, 4, 0x12, False),
     (3, 8, 0x12, False), (3, 2, 0x12, False),        # byte / 2-bit packs
