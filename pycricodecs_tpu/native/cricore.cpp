@@ -1105,213 +1105,269 @@ void cri_adx_encode_blocks(const int16_t* pcm, int32_t nblocks, int32_t C,
                            int32_t nthreads, int32_t scale_fix) {
     const int32_t spb = (block_size - 2) * 8 / bit_depth;
     const int64_t limit = ((int64_t)1 << (bit_depth - 1)) - 1;
-    auto run = [&](int32_t c) {
-        const int64_t a0 = c0f, a1 = c1f;
-        int64_t h1 = h1v[c], h2 = h2v[c];
-        const int16_t* ch = pcm + (size_t)c * nblocks * spb;
-        std::vector<int32_t> codbuf(spb);
+    const int64_t a0 = c0f, a1 = c1f;
+    // Channels are independent serial chains (decoder feedback through
+    // q1/q2).  A RANGE of channels is encoded by one thread with the chains
+    // INTERLEAVED in the sample loop: the OoO window overlaps their ~20-
+    // cycle dependency chains for ~NCx single-core throughput.  On the
+    // 1-core bench host this beats the old channel-per-thread split (which
+    // only context-switched there); nthreads > 1 still splits channel
+    // ranges across threads for multi-core hosts.
+    auto run_group = [&](int32_t c_lo, int32_t c_hi) {
+        // 8 interleaved chains already saturate the issue ports; wider
+        // ranges run in slices
+        constexpr int32_t MAXG = 8;
+        std::vector<int32_t> codbuf((size_t)MAXG * spb);
         int32_t* cod = codbuf.data();
-#if defined(__AVX2__)
-        // Scale-search residuals for t >= 2 use only IN-BLOCK original
-        // samples (t = 0,1 use the carried decoder state), so they
-        // precompute channel-wide in one 8-lane pass:
-        //   r[i] = (x[i]*4096 - a0*x[i-1] - a1*x[i-2]) >> 12.
-        // int32 is exact: |x*4096| < 2^27, |a0*x| < 2^29 (|coef| <= 8192).
-        std::vector<int32_t> resbuf((size_t)nblocks * spb);
-        if (spb >= 2) {
-            const int32_t n = nblocks * spb;
-            const __m256i va0 = _mm256_set1_epi32((int32_t)a0);
-            const __m256i va1 = _mm256_set1_epi32((int32_t)a1);
-            int32_t i = 2;
-            for (; i + 8 <= n; i += 8) {
-                __m256i x = _mm256_cvtepi16_epi32(
-                    _mm_loadu_si128((const __m128i*)(ch + i)));
-                __m256i x1 = _mm256_cvtepi16_epi32(
-                    _mm_loadu_si128((const __m128i*)(ch + i - 1)));
-                __m256i x2 = _mm256_cvtepi16_epi32(
-                    _mm_loadu_si128((const __m128i*)(ch + i - 2)));
-                __m256i r = _mm256_sub_epi32(
-                    _mm256_slli_epi32(x, 12),
-                    _mm256_add_epi32(_mm256_mullo_epi32(va0, x1),
-                                     _mm256_mullo_epi32(va1, x2)));
-                _mm256_storeu_si256((__m256i*)(resbuf.data() + i),
-                                    _mm256_srai_epi32(r, 12));
+        for (int32_t g0 = c_lo; g0 < c_hi; g0 += MAXG) {
+            const int32_t NC = std::min<int32_t>(MAXG, c_hi - g0);
+            int64_t h1[MAXG], h2[MAXG];
+            const int16_t* ch[MAXG];
+            for (int32_t g = 0; g < NC; ++g) {
+                h1[g] = h1v[g0 + g];
+                h2[g] = h2v[g0 + g];
+                ch[g] = pcm + (size_t)(g0 + g) * nblocks * spb;
             }
-            for (; i < n; ++i)
-                resbuf[i] = (int32_t)((((int64_t)ch[i] * 4096)
-                    - a0 * ch[i - 1] - a1 * ch[i - 2]) >> 12);
-        }
-#endif
-        for (int32_t b = 0; b < nblocks; ++b) {
-            const int16_t* blk = ch + (size_t)b * spb;
-            int64_t mn = 0, mx = 0;
 #if defined(__AVX2__)
+            // Scale-search residuals for t >= 2 use only IN-BLOCK original
+            // samples (t = 0,1 use the carried decoder state), so they
+            // precompute channel-wide in one 8-lane pass:
+            //   r[i] = (x[i]*4096 - a0*x[i-1] - a1*x[i-2]) >> 12.
+            // int32 is exact: |x*4096| < 2^27, |a0*x| < 2^29 (|coef| <= 8192).
+            std::vector<int32_t> resbuf;
             if (spb >= 2) {
-                int64_t p1 = h1, p2 = h2;
-                for (int32_t t = 0; t < 2; ++t) {
-                    int64_t r = (((int64_t)blk[t] * 4096)
-                                 - a0 * p1 - a1 * p2) >> 12;
-                    if (r < mn) mn = r;
-                    if (r > mx) mx = r;
-                    p2 = p1;
-                    p1 = blk[t];
+                const int32_t n = nblocks * spb;
+                resbuf.resize((size_t)NC * n);
+                const __m256i va0 = _mm256_set1_epi32((int32_t)a0);
+                const __m256i va1 = _mm256_set1_epi32((int32_t)a1);
+                for (int32_t g = 0; g < NC; ++g) {
+                    const int16_t* x = ch[g];
+                    int32_t* rb = resbuf.data() + (size_t)g * n;
+                    int32_t i = 2;
+                    for (; i + 8 <= n; i += 8) {
+                        __m256i xv = _mm256_cvtepi16_epi32(
+                            _mm_loadu_si128((const __m128i*)(x + i)));
+                        __m256i x1 = _mm256_cvtepi16_epi32(
+                            _mm_loadu_si128((const __m128i*)(x + i - 1)));
+                        __m256i x2 = _mm256_cvtepi16_epi32(
+                            _mm_loadu_si128((const __m128i*)(x + i - 2)));
+                        __m256i r = _mm256_sub_epi32(
+                            _mm256_slli_epi32(xv, 12),
+                            _mm256_add_epi32(_mm256_mullo_epi32(va0, x1),
+                                             _mm256_mullo_epi32(va1, x2)));
+                        _mm256_storeu_si256((__m256i*)(rb + i),
+                                            _mm256_srai_epi32(r, 12));
+                    }
+                    for (; i < n; ++i)
+                        rb[i] = (int32_t)((((int64_t)x[i] * 4096)
+                            - a0 * x[i - 1] - a1 * x[i - 2]) >> 12);
                 }
-                const int32_t* rb = resbuf.data() + (size_t)b * spb;
-                int32_t t = 2;
-                __m256i vmn = _mm256_setzero_si256();
-                __m256i vmx = _mm256_setzero_si256();
-                for (; t + 8 <= spb; t += 8) {
-                    __m256i r = _mm256_loadu_si256((const __m256i*)(rb + t));
-                    vmn = _mm256_min_epi32(vmn, r);
-                    vmx = _mm256_max_epi32(vmx, r);
-                }
-                alignas(32) int32_t tmp[8];
-                _mm256_store_si256((__m256i*)tmp, vmn);
-                for (int k = 0; k < 8; ++k) if (tmp[k] < mn) mn = tmp[k];
-                _mm256_store_si256((__m256i*)tmp, vmx);
-                for (int k = 0; k < 8; ++k) if (tmp[k] > mx) mx = tmp[k];
-                for (; t < spb; ++t) {
-                    const int32_t r = rb[t];
-                    if (r < mn) mn = r;
-                    if (r > mx) mx = r;
-                }
-            } else
+            }
 #endif
-            {
-                int64_t p1 = h1, p2 = h2;
-                for (int32_t t = 0; t < spb; ++t) {
-                    int64_t r =
-                        (((int64_t)blk[t] * 4096) - a0 * p1 - a1 * p2) >> 12;
-                    if (r < mn) mn = r;
-                    if (r > mx) mx = r;
-                    p2 = p1;
-                    p1 = blk[t];
+            for (int32_t b = 0; b < nblocks; ++b) {
+                int64_t qdiv[MAXG], se4096[MAXG], scale_raw[MAXG];
+                uint64_t magic[MAXG];
+                bool zero[MAXG];
+                for (int32_t g = 0; g < NC; ++g) {
+                    const int16_t* blk = ch[g] + (size_t)b * spb;
+                    int64_t mn = 0, mx = 0;
+#if defined(__AVX2__)
+                    if (spb >= 2) {
+                        int64_t p1 = h1[g], p2 = h2[g];
+                        for (int32_t t = 0; t < 2; ++t) {
+                            int64_t r = (((int64_t)blk[t] * 4096)
+                                         - a0 * p1 - a1 * p2) >> 12;
+                            if (r < mn) mn = r;
+                            if (r > mx) mx = r;
+                            p2 = p1;
+                            p1 = blk[t];
+                        }
+                        const int32_t* rb = resbuf.data()
+                            + ((size_t)g * nblocks + b) * spb;
+                        int32_t t = 2;
+                        __m256i vmn = _mm256_setzero_si256();
+                        __m256i vmx = _mm256_setzero_si256();
+                        for (; t + 8 <= spb; t += 8) {
+                            __m256i r =
+                                _mm256_loadu_si256((const __m256i*)(rb + t));
+                            vmn = _mm256_min_epi32(vmn, r);
+                            vmx = _mm256_max_epi32(vmx, r);
+                        }
+                        alignas(32) int32_t tmp[8];
+                        _mm256_store_si256((__m256i*)tmp, vmn);
+                        for (int k = 0; k < 8; ++k) if (tmp[k] < mn) mn = tmp[k];
+                        _mm256_store_si256((__m256i*)tmp, vmx);
+                        for (int k = 0; k < 8; ++k) if (tmp[k] > mx) mx = tmp[k];
+                        for (; t < spb; ++t) {
+                            const int32_t r = rb[t];
+                            if (r < mn) mn = r;
+                            if (r > mx) mx = r;
+                        }
+                    } else
+#endif
+                    {
+                        int64_t p1 = h1[g], p2 = h2[g];
+                        for (int32_t t = 0; t < spb; ++t) {
+                            int64_t r = (((int64_t)blk[t] * 4096)
+                                         - a0 * p1 - a1 * p2) >> 12;
+                            if (r < mn) mn = r;
+                            if (r > mx) mx = r;
+                            p2 = p1;
+                            p1 = blk[t];
+                        }
+                    }
+                    zero[g] = (mn == 0 && mx == 0);
+                    int64_t scale = std::max(adx_tdiv(mx, limit),
+                                             adx_tdiv(mn, -(limit + 1)));
+                    // the reference assigns to unsigned short BEFORE the
+                    // 0x1000 cap (adx.cpp:236): residuals >= 65536*limit
+                    // wrap mod 65536.  Found by the randomized differential
+                    // campaign (96kHz clip content at bitdepth 2).
+                    // scale_fix mode does NOT reproduce the wrap — a
+                    // wrapped near-zero scale quantises the block into
+                    // garbage.
+                    if (!scale_fix) scale &= 0xFFFF;
+                    if (scale > 0x1000) scale = 0x1000;
+                    int64_t scale_eff;
+                    if (mode == 4) {
+                        int64_t power = 0;
+                        if (scale >= 1) {
+                            int64_t v = scale;
+                            while (v > 1) { v >>= 1; ++power; }
+                            ++power;
+                        }
+                        scale_eff = (int64_t)1 << power;
+                        scale_raw[g] = 12 - power;
+                    } else if (mode == 2) {
+                        scale_raw[g] = scale & 0x1FFF;
+                        scale_eff = scale;
+                    } else {
+                        scale_raw[g] = scale;
+                        scale_eff = scale;
+                    }
+                    if (scale_eff < 1) scale_eff = 1;
+                    // Exact truncating division by the per-block scale via
+                    // a round-up magic reciprocal (Granlund-Montgomery):
+                    // with mul = floor(2^42/s)+1 we have mul*s = 2^42 + e,
+                    // 1 <= e <= s, so floor(n*mul/2^42) = floor(n/s +
+                    // n*e/(s*2^42)) = floor(n/s) whenever n*e < 2^42.
+                    // Operands here are bounded n < 2^18 (residual +
+                    // rounding half) and s <= 0x1001+1, so n*e < 2^31 —
+                    // exact with huge margin.  This removes the ~22 cycle
+                    // idiv from the quantiser's serial decoder-feedback
+                    // chain (the reference keeps it: adx.cpp:260
+                    // `Delta /= Scale`).
+                    qdiv[g] = scale_fix
+                        ? (mode == 4 ? scale_eff : scale + 1) : scale_eff;
+                    magic[g] = (((uint64_t)1 << 42) / (uint64_t)qdiv[g]) + 1;
+                    se4096[g] = scale_eff * 4096;
+                }
+                // interleaved quantise: NC independent decoder-feedback
+                // chains advance together, one sample per chain per pass
+                int64_t q1[MAXG], q2[MAXG];
+                for (int32_t g = 0; g < NC; ++g) {
+                    q1[g] = h1[g];
+                    q2[g] = h2[g];
+                }
+                if (scale_fix) {
+                    // quantise against the DECODER's exact arithmetic.  The
+                    // reference encoder divides by Scale while the decoder
+                    // multiplies by Scale+1 (modes 2/3, adx.cpp:193-206 vs
+                    // 254-266) and rounds the prediction terms differently
+                    // — the source of its documented high-bitdepth popping
+                    // (README.md:133).  Same bitstream format; any ADX
+                    // decoder (the reference included) plays these files,
+                    // just closer to the source.
+                    for (int32_t t = 0; t < spb; ++t) {
+                        for (int32_t g = 0; g < NC; ++g) {
+                            const int64_t eff = qdiv[g];
+                            const int64_t pred = ((a0 * q1[g]) >> 12)
+                                + ((a1 * q2[g]) >> 12);
+                            int64_t d = (int64_t)ch[g][(size_t)b * spb + t]
+                                - pred;
+                            d = d > 0 ? d + (eff >> 1) : d - (eff >> 1);
+                            const uint64_t ad = (uint64_t)(d < 0 ? -d : d);
+                            int64_t q = (int64_t)((ad * magic[g]) >> 42);
+                            if (d < 0) q = -q;
+                            if (q < -limit - 1) q = -limit - 1;
+                            if (q > limit) q = limit;
+                            const int64_t sim = adx_clamp16(q * eff + pred);
+                            q2[g] = q1[g];
+                            q1[g] = sim;
+                            cod[g * spb + t] = (int32_t)q;
+                        }
+                    }
+                } else {
+                    for (int32_t t = 0; t < spb; ++t) {
+                        for (int32_t g = 0; g < NC; ++g) {
+                            const int64_t pr = a0 * q1[g] + a1 * q2[g];
+                            int64_t d = (((int64_t)ch[g][(size_t)b * spb + t]
+                                          * 4096) - pr) >> 12;
+                            const int64_t half = qdiv[g] >> 1;
+                            d = d > 0 ? d + half : d - half;
+                            const uint64_t ad = (uint64_t)(d < 0 ? -d : d);
+                            int64_t q = (int64_t)((ad * magic[g]) >> 42);
+                            if (d < 0) q = -q;
+                            if (q < -limit - 1) q = -limit - 1;
+                            if (q > limit) q = limit;
+                            int64_t sim = (q * se4096[g] + pr) >> 12;
+                            sim = adx_clamp16(sim);
+                            q2[g] = q1[g];
+                            q1[g] = sim;
+                            cod[g * spb + t] = (int32_t)q;
+                        }
+                    }
+                }
+                for (int32_t g = 0; g < NC; ++g) {
+                    const int16_t* blk = ch[g] + (size_t)b * spb;
+                    int32_t* cg = cod + g * spb;
+                    int64_t field;
+                    if (zero[g]) {
+                        for (int32_t t = 0; t < spb; ++t) cg[t] = 0;
+                        field = 0;
+                        h1[g] = blk[spb - 1];
+                        h2[g] = spb >= 2 ? blk[spb - 2] : h1[g];
+                    } else {
+                        field = mode == 2
+                            ? ((int64_t)filter << 13) | (scale_raw[g] & 0x1FFF)
+                            : (scale_raw[g] & 0xFFFF);
+                        h1[g] = q1[g];
+                        h2[g] = q2[g];
+                    }
+                    uint8_t* pb = payload
+                        + ((size_t)b * C + (g0 + g)) * block_size;
+                    pb[0] = (uint8_t)((field >> 8) & 0xFF);
+                    pb[1] = (uint8_t)(field & 0xFF);
+                    // MSB-first fixed-width packing into pb[2..block_size)
+                    uint64_t acc = 0;
+                    int nbits = 0;
+                    uint8_t* w = pb + 2;
+                    const uint32_t mask = (1u << bit_depth) - 1;
+                    for (int32_t t = 0; t < spb; ++t) {
+                        acc = (acc << bit_depth) | ((uint32_t)cg[t] & mask);
+                        nbits += bit_depth;
+                        while (nbits >= 8) {
+                            *w++ = (uint8_t)((acc >> (nbits - 8)) & 0xFF);
+                            nbits -= 8;
+                        }
+                    }
+                    if (nbits > 0)
+                        *w++ = (uint8_t)((acc << (8 - nbits)) & 0xFF);
                 }
             }
-            const bool zero = (mn == 0 && mx == 0);
-            int64_t scale =
-                std::max(adx_tdiv(mx, limit), adx_tdiv(mn, -(limit + 1)));
-            // the reference assigns to unsigned short BEFORE the 0x1000 cap
-            // (adx.cpp:236): residuals >= 65536*limit wrap mod 65536. Found
-            // by the randomized differential campaign (96kHz clip content
-            // at bitdepth 2). scale_fix mode does NOT reproduce the wrap —
-            // a wrapped near-zero scale quantises the block into garbage.
-            if (!scale_fix) scale &= 0xFFFF;
-            if (scale > 0x1000) scale = 0x1000;
-            int64_t scale_raw, scale_eff;
-            if (mode == 4) {
-                int64_t power = 0;
-                if (scale >= 1) {
-                    int64_t v = scale;
-                    while (v > 1) { v >>= 1; ++power; }
-                    ++power;
-                }
-                scale_eff = (int64_t)1 << power;
-                scale_raw = 12 - power;
-            } else if (mode == 2) {
-                scale_raw = scale & 0x1FFF;
-                scale_eff = scale;
-            } else {
-                scale_raw = scale;
-                scale_eff = scale;
-            }
-            if (scale_eff < 1) scale_eff = 1;
-            // Exact truncating division by the per-block scale via a
-            // round-up magic reciprocal (Granlund-Montgomery): with
-            // mul = floor(2^42/s)+1 we have mul*s = 2^42 + e, 1 <= e <= s,
-            // so floor(n*mul/2^42) = floor(n/s + n*e/(s*2^42)) = floor(n/s)
-            // whenever n*e < 2^42. Operands here are bounded n < 2^18
-            // (residual + rounding half) and s <= 0x1001+1, so
-            // n*e < 2^31 — exact with huge margin. This removes the ~22
-            // cycle idiv from the quantiser's serial decoder-feedback
-            // chain (the reference keeps it: adx.cpp:260 `Delta /= Scale`).
-            const int64_t div_fix = scale_fix
-                ? (mode == 4 ? scale_eff : scale + 1) : scale_eff;
-            const uint64_t magic =
-                (((uint64_t)1 << 42) / (uint64_t)div_fix) + 1;
-            auto mdiv = [&](int64_t n) -> int64_t {
-                const uint64_t a = (uint64_t)(n < 0 ? -n : n);
-                const int64_t q = (int64_t)((a * magic) >> 42);
-                return n < 0 ? -q : q;
-            };
-            int64_t q1 = h1, q2 = h2;
-            if (scale_fix) {
-                // quantise against the DECODER's exact arithmetic. The
-                // reference encoder divides by Scale while the decoder
-                // multiplies by Scale+1 (modes 2/3, adx.cpp:193-206 vs
-                // 254-266) and rounds the prediction terms differently —
-                // the source of its documented high-bitdepth popping
-                // (README.md:133). Same bitstream format; any ADX decoder
-                // (the reference included) plays these files, just closer
-                // to the source.
-                const int64_t eff = div_fix;
-                for (int32_t t = 0; t < spb; ++t) {
-                    const int64_t pred =
-                        ((a0 * q1) >> 12) + ((a1 * q2) >> 12);
-                    int64_t d = (int64_t)blk[t] - pred;
-                    d = d > 0 ? d + (eff >> 1) : d - (eff >> 1);
-                    d = mdiv(d);
-                    if (d < -limit - 1) d = -limit - 1;
-                    if (d > limit) d = limit;
-                    const int64_t sim = adx_clamp16(d * eff + pred);
-                    q2 = q1;
-                    q1 = sim;
-                    cod[t] = (int32_t)d;
-                }
-            } else {
-            const int64_t se4096 = scale_eff * 4096;
-            for (int32_t t = 0; t < spb; ++t) {
-                const int64_t pr = a0 * q1 + a1 * q2;
-                int64_t d = (((int64_t)blk[t] * 4096) - pr) >> 12;
-                d = d > 0 ? d + (scale_eff >> 1) : d - (scale_eff >> 1);
-                d = mdiv(d);
-                if (d < -limit - 1) d = -limit - 1;
-                if (d > limit) d = limit;
-                int64_t sim = (d * se4096 + pr) >> 12;
-                sim = adx_clamp16(sim);
-                q2 = q1;
-                q1 = sim;
-                cod[t] = (int32_t)d;
-            }
-            }
-            int64_t field;
-            if (zero) {
-                for (int32_t t = 0; t < spb; ++t) cod[t] = 0;
-                field = 0;
-                h1 = blk[spb - 1];
-                h2 = spb >= 2 ? blk[spb - 2] : h1;
-            } else {
-                field = mode == 2
-                            ? ((int64_t)filter << 13) | (scale_raw & 0x1FFF)
-                            : (scale_raw & 0xFFFF);
-                h1 = q1;
-                h2 = q2;
-            }
-            uint8_t* pb = payload + ((size_t)b * C + c) * block_size;
-            pb[0] = (uint8_t)((field >> 8) & 0xFF);
-            pb[1] = (uint8_t)(field & 0xFF);
-            // MSB-first fixed-width packing into pb[2..block_size)
-            uint64_t acc = 0;
-            int nbits = 0;
-            uint8_t* w = pb + 2;
-            const uint32_t mask = (1u << bit_depth) - 1;
-            for (int32_t t = 0; t < spb; ++t) {
-                acc = (acc << bit_depth) | ((uint32_t)cod[t] & mask);
-                nbits += bit_depth;
-                while (nbits >= 8) {
-                    *w++ = (uint8_t)((acc >> (nbits - 8)) & 0xFF);
-                    nbits -= 8;
-                }
-            }
-            if (nbits > 0) *w++ = (uint8_t)((acc << (8 - nbits)) & 0xFF);
         }
     };
-    if (C <= 1 || nthreads == 1) {
-        for (int32_t c = 0; c < C; ++c) run(c);
+    int32_t nt = nthreads;
+    if (nt <= 0) nt = 1;   // default: one thread, chains interleaved
+    if (nt > C) nt = C;
+    if (nt == 1) {
+        run_group(0, C);
         return;
     }
     std::vector<std::thread> pool;
-    for (int32_t c = 0; c < C; ++c) pool.emplace_back(run, c);
+    const int32_t per = (C + nt - 1) / nt;
+    for (int32_t c = 0; c < C; c += per)
+        pool.emplace_back(run_group, c, std::min(C, c + per));
     for (auto& th : pool) th.join();
 }
 

@@ -277,10 +277,9 @@ def _used_bits_fast(cost_words, sf, header_sum, noise_level, eval_boundary):
             + jnp.sum(byte.astype(i32), axis=(-2, -1))).astype(i32)
 
 
-def _binary_search_level(sf, scaled, header_len, avail, coded_mask):
+def _binary_search_level(sf, cost_words, header_len, avail):
     B, F = sf.shape[0], sf.shape[1]
     zeros = jnp.zeros((B, F), jnp.int32)
-    cost_words = _band_cost_table(scaled, coded_mask)
     sf_i = sf.astype(i32) if sf.dtype != jnp.int32 else sf
     header_sum = 48 + jnp.sum(header_len, axis=-1)
 
@@ -305,10 +304,8 @@ def _binary_search_level(sf, scaled, header_len, avail, coded_mask):
     return jnp.where(fail, -1, low)
 
 
-def _binary_search_boundary(sf, scaled, header_len, avail, noise_level,
-                            coded_mask):
+def _binary_search_boundary(sf, cost_words, header_len, avail, noise_level):
     B, F = sf.shape[0], sf.shape[1]
-    cost_words = _band_cost_table(scaled, coded_mask)
     sf_i = sf.astype(i32) if sf.dtype != jnp.int32 else sf
     header_sum = 48 + jnp.sum(header_len, axis=-1)
 
@@ -401,11 +398,15 @@ def hca_encode_transform(pcm, *, base_band, total_band, pairs, coded_counts,
                                             hfr_group_count)
 
     avail = jnp.int32(frame_size * 8)
-    level = _binary_search_level(sf, scaled, header_len, avail, coded_mask)
+    # the [band, resolution] cost table is a full pass over the [B,F,C,8,128]
+    # spectra (~16 fused reads per bank) — build it ONCE and share it between
+    # the level and boundary searches (it depends only on `scaled`)
+    cost_words = _band_cost_table(scaled, coded_mask)
+    level = _binary_search_level(sf, cost_words, header_len, avail)
     boundary = jnp.where(
         level > 0,
-        _binary_search_boundary(sf, scaled, header_len, avail,
-                                jnp.maximum(level, 0), coded_mask),
+        _binary_search_boundary(sf, cost_words, header_len, avail,
+                                jnp.maximum(level, 0)),
         0)
 
     band = jnp.arange(128)
