@@ -94,15 +94,96 @@ def _time_oracle(stmt, reps=7, **blobs):
             return None
 
 
+def _time_vs_oracle(fn, stmt, pairs=5, inner=3, **blobs):
+    """(best_ours_seconds, interleaved_ratio) against the compiled oracle.
+
+    The 1-core bench VM throttles wildly (identical runs vary 2x across
+    minutes — CLAUDE.md), so a ratio of two separately-timed windows is
+    noise.  This interleaves the two sides A/B within the same window: a
+    persistent oracle subprocess times `stmt` (best-of-`inner`) on request,
+    alternating with our own best-of-`inner`, and the ratio is the MEDIAN
+    of the per-pair ratios.  Within one config the repeated stmt is safe;
+    the fresh-per-config process still isolates the reference extension's
+    self-corrupting call sequences.
+    """
+    import statistics
+    import subprocess
+    import tempfile
+    fn()  # warmup/compile
+
+    def ours_once():
+        best = 1e18
+        for _ in range(inner):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    if not os.path.isdir(_ORACLE):
+        return min(ours_once() for _ in range(pairs)), None
+    td = tempfile.mkdtemp()
+    try:
+        loads = []
+        for k, v in blobs.items():
+            p = os.path.join(td, k)
+            with open(p, "wb") as f:
+                f.write(v)
+            loads.append(f"{k} = open({p!r}, 'rb').read()")
+        prog = "\n".join([
+            "import sys, time",
+            f"sys.path.insert(0, {_ORACLE!r})",
+            "import CriCodecs as C",
+            *loads,
+            f"{stmt}",                      # warmup
+            "print('READY', flush=True)",
+            "for line in sys.stdin:",
+            "    if line.strip() != 'go':",
+            "        break",
+            "    best = 1e18",
+            f"    for _ in range({inner}):",
+            "        t0 = time.perf_counter()",
+            f"        {stmt}",
+            "        best = min(best, time.perf_counter() - t0)",
+            "    print(best, flush=True)",
+        ])
+        proc = subprocess.Popen([sys.executable, "-c", prog],
+                                stdin=subprocess.PIPE,
+                                stdout=subprocess.PIPE, text=True)
+        try:
+            if proc.stdout.readline().strip() != "READY":
+                raise RuntimeError("oracle process failed to start")
+            ratios, best_ours = [], 1e18
+            for _ in range(pairs):
+                dt = ours_once()
+                best_ours = min(best_ours, dt)
+                proc.stdin.write("go\n")
+                proc.stdin.flush()
+                ref = float(proc.stdout.readline().strip())
+                ratios.append(ref / dt)
+            return best_ours, statistics.median(ratios)
+        finally:
+            try:
+                proc.stdin.close()
+                proc.wait(timeout=30)
+            except Exception:  # noqa: BLE001
+                proc.kill()
+    except Exception as exc:  # noqa: BLE001
+        print(f"-- interleaved oracle timing failed: {exc!r}",
+              file=sys.stderr)
+        return min(ours_once() for _ in range(pairs)), None
+    finally:
+        import shutil
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def config1():
     """ADX decode: single mono 48kHz 4-bit file -> WAV."""
     from pycricodecs_tpu.models import adx
     dur = 10.0
     blob = adx.encode(_sine_wav(dur, 1, seed=1))
-    dt = _time(lambda: adx.decode(blob))
-    ref = _time_oracle("C.AdxDecode(blob)", blob=blob)
-    return "adx_decode_single_mono", dur / dt, "audio-sec/sec", \
-        (ref / dt if ref else None)
+    dt, ratio = _time_vs_oracle(lambda: adx.decode(blob),
+                                "C.AdxDecode(blob)", blob=blob)
+    return "adx_decode_single_mono", dur / dt, "audio-sec/sec", ratio
 
 
 def config2():
@@ -111,11 +192,10 @@ def config2():
     from pycricodecs_tpu.ops import hca_encode_host
     dur = 10.0
     blob = hca_encode_host.encode(_sine_wav(dur, 2, seed=2), quality=2)
-    dt = _time(lambda: hca.decode(blob))
     hs = int.from_bytes(blob[6:8], "big")
-    ref = _time_oracle(f"C.HcaDecode(blob, {hs}, 0, 0)", blob=blob)
-    return "hca_decode_single_stereo", dur / dt, "audio-sec/sec", \
-        (ref / dt if ref else None)
+    dt, ratio = _time_vs_oracle(lambda: hca.decode(blob),
+                                f"C.HcaDecode(blob, {hs}, 0, 0)", blob=blob)
+    return "hca_decode_single_stereo", dur / dt, "audio-sec/sec", ratio
 
 
 def config3():
@@ -125,11 +205,10 @@ def config3():
     wav = _sine_wav(dur, 2, seed=3, loop=True)
     blob = adx.encode(wav)
     assert b"smpl" in adx.decode(blob)  # loop chunk survives the roundtrip
-    dt = _time(lambda: adx.encode(wav))
-    ref = _time_oracle("C.AdxEncode(wav, 4, 0x12, 3, 0x1F4, 0, 4, 0)",
-                       wav=wav)
-    return "adx_encode_single_stereo_loop", dur / dt, "audio-sec/sec", \
-        (ref / dt if ref else None)
+    dt, ratio = _time_vs_oracle(
+        lambda: adx.encode(wav),
+        "C.AdxEncode(wav, 4, 0x12, 3, 0x1F4, 0, 4, 0)", wav=wav)
+    return "adx_encode_single_stereo_loop", dur / dt, "audio-sec/sec", ratio
 
 
 def config4():
@@ -148,7 +227,6 @@ def config4():
     def run():
         e = hca_encode_host.encode(wav, quality=2)
         hca.crypt(e, True, hs, 56, key)
-    dt = _time(run, reps=3)
 
     # real-chip parity guard for the DEVICE encoder (the TPU's default
     # bf16 matmul precision silently corrupted the MP2 synthesis before;
@@ -159,11 +237,12 @@ def config4():
         dev = parallel.hca_encode_batch([wav], quality=2, device=True)
         assert dev[0] == blob, "device encoder diverged from host on TPU"
         print("-- config 4: device-encoder parity guard OK", file=sys.stderr)
-    ref = _time_oracle(
+    dt, ratio = _time_vs_oracle(
+        run,
         f"C.HcaCrypt(bytearray(C.HcaEncode(wav, 0, 2)), 1, {hs}, 56, "
-        f"{key}, 0)", reps=3, wav=wav)
+        f"{key}, 0)", pairs=3, inner=2, wav=wav)
     return "hca_encode_encrypt_single_stereo", dur / dt, "audio-sec/sec", \
-        (ref / dt if ref else None)
+        ratio
 
 
 def config5():
@@ -252,10 +331,11 @@ def config9():
     data = (chunk * 64)[:256 * 1024] + bytes(256)
     blob = crilayla.compress(data)
     assert crilayla.decompress(blob) == data
-    dt = _time(lambda: crilayla.compress(data), reps=10)
-    ref = _time_oracle("C.CriLaylaCompress(data)", reps=3, data=data)
+    dt, ratio = _time_vs_oracle(lambda: crilayla.compress(data),
+                                "C.CriLaylaCompress(data)", pairs=3,
+                                inner=2, data=data)
     return ("crilayla_compress_mb_per_sec", len(data) / 1e6 / dt, "MB/sec",
-            (ref / dt if ref else None))
+            ratio)
 
 
 def config10():

@@ -109,11 +109,17 @@ def _dct4(x):
 
 
 def _scan_band_sum(values):
-    """Exact sequential f32 sum over the last axis via scan. [..., N] -> [...]."""
-    def body(carry, v):
-        return carry + v, None
+    """Exact sequential f32 sum over the last axis. [..., N] -> [...].
+
+    Fully unrolled left fold: identical additions in identical order to a
+    lax.scan (bit-exact), but one fused XLA kernel instead of an N-step
+    device loop — the per-step loop overhead at N≈288 dominated the
+    intensity/HFR stages (measured ~50 ms standalone at 256-stream banks).
+    """
     moved = jnp.moveaxis(values, -1, 0)
-    out, _ = jax.lax.scan(body, jnp.zeros(moved.shape[1:], f32), moved)
+    out = jnp.zeros(moved.shape[1:], f32)
+    for i in range(moved.shape[0]):
+        out = out + moved[i]
     return out
 
 
@@ -283,12 +289,12 @@ def _binary_search_level(sf, cost_words, header_len, avail):
     sf_i = sf.astype(i32) if sf.dtype != jnp.int32 else sf
     header_sum = 48 + jnp.sum(header_len, axis=-1)
 
-    def cond(state):
-        low, high, _ = state
-        return jnp.any(low != high)
-
-    def body(state):
-        low, high, mid_value = state
+    # unrolled fixed-trip search: the interval [0,255] provably collapses
+    # in 8 halvings (255->127->63->31->15->7->3->1->0), and the unrolled
+    # form drops the while_loop's per-step any() reduce + loop overhead
+    # while keeping the exact same masked updates (bit-exact)
+    low, high, mid_value = (zeros, jnp.full((B, F), 255, jnp.int32), zeros)
+    for _ in range(8):
         active = low != high
         mid = (low + high) // 2
         mv = _used_bits_fast(cost_words, sf_i, header_sum, mid, zeros)
@@ -296,10 +302,6 @@ def _binary_search_level(sf, cost_words, header_len, avail):
         go_up = active & (mv > avail)
         low = jnp.where(go_up, mid + 1, low)
         high = jnp.where(active & ~go_up, mid, high)
-        return low, high, mid_value
-
-    low, high, mid_value = jax.lax.while_loop(
-        cond, body, (zeros, jnp.full((B, F), 255, jnp.int32), zeros))
     fail = (low == 255) & (mid_value > avail)
     return jnp.where(fail, -1, low)
 
@@ -309,23 +311,18 @@ def _binary_search_boundary(sf, cost_words, header_len, avail, noise_level):
     sf_i = sf.astype(i32) if sf.dtype != jnp.int32 else sf
     header_sum = 48 + jnp.sum(header_len, axis=-1)
 
-    def cond(state):
-        low, high = state
-        return jnp.any(jnp.abs(high - low) > 1)
-
-    def body(state):
-        low, high = state
+    # unrolled fixed-trip search: |high-low| starts at 127 and provably
+    # reaches <= 1 in 7 halvings (127->64->32->16->8->4->2->1); same masked
+    # updates as the while_loop form (bit-exact), no per-step any() reduce
+    low = jnp.zeros((B, F), jnp.int32)
+    high = jnp.full((B, F), 127, jnp.int32)
+    for _ in range(7):
         active = jnp.abs(high - low) > 1
         mid = (low + high) // 2
         mv = _used_bits_fast(cost_words, sf_i, header_sum, noise_level, mid)
         over = active & (avail < mv)
         high = jnp.where(over, mid - 1, high)
         low = jnp.where(active & ~over, mid, low)
-        return low, high
-
-    low, high = jax.lax.while_loop(
-        cond, body, (jnp.zeros((B, F), jnp.int32),
-                     jnp.full((B, F), 127, jnp.int32)))
     eq = low == high
     hi_val = _used_bits_fast(cost_words, sf_i, header_sum, noise_level, high)
     res_eq = jnp.where(low < 127, low, -1)

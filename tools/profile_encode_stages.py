@@ -182,8 +182,7 @@ def main():
 
     @jax.jit
     def run_offsets(value, bits):
-        csum = jnp.cumsum(bits, axis=-1)
-        off = csum - bits
+        off = PK._exclusive_prefix(bits)   # the shipped hierarchical prefix
         keep = (off + bits) <= (fs * 8)
         bcl = jnp.minimum(bits, 31)
         value = jnp.where(keep, value & ((u32(1) << bcl.astype(u32)) - 1), 0)
@@ -204,7 +203,7 @@ def main():
 
     @jax.jit
     def run_scatter(w_n, hi, lo):
-        words = PK._scatter_words(w_n, hi, lo, W)
+        words = PK._scatter_words(w_n, hi, lo, W, max_sym_bits=13)
         return words, words[0, 0, 0] ^ words[-1, -1, -1]
 
     rec["pack_scatter_ms"] = round(timeit(run_scatter, w_n, hi, lo)
