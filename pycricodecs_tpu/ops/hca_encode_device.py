@@ -544,9 +544,17 @@ def hca_encode_frames(pcm, *, base_band, total_band, pairs, coded_counts,
             bands_per_hfr_group=bands_per_hfr_group,
             hfr_band_count=hfr_band_count, frame_size=frame_size,
             use_pallas=use_pallas)
+    # materialisation fence: without it XLA rematerialises transform
+    # intermediates inside the packer's consumers and the fused program
+    # costs ~2x the sum of its stages (636 vs 324 ms measured on-chip at
+    # 256-stream banks; same disease _band_cost_table documents)
+    sf, res, intensity, quant, level, boundary, delta_bits, ga, gs = \
+        jax.lax.optimization_barrier(
+            (sf, res, intensity, quant, level, boundary, delta_bits, ga, gs))
     hfr_scales, guard = hfr_scales_device(
         ga, gs, counts=hfr_counts, counts2=hfr_counts2,
         channel_types=channel_types)
+    hfr_scales, guard = jax.lax.optimization_barrier((hfr_scales, guard))
     frames = pack_frames_device(
         level, boundary, sf, res, intensity, hfr_scales, delta_bits, quant,
         channels=pcm.shape[1], coded_counts=coded_counts,
