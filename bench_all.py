@@ -106,10 +106,23 @@ def _time_vs_oracle(fn, stmt, pairs=5, inner=3, **blobs):
     the fresh-per-config process still isolates the reference extension's
     self-corrupting call sequences.
     """
+    import queue
     import statistics
     import subprocess
     import tempfile
+    import threading
     fn()  # warmup/compile
+
+    def readline_timeout(stream, timeout):
+        # The reference extension wedges/crashes nondeterministically; a
+        # bare readline() would hang the whole bench run (ADVICE r4).
+        q = queue.Queue()
+        threading.Thread(target=lambda: q.put(stream.readline()),
+                         daemon=True).start()
+        try:
+            return q.get(timeout=timeout)
+        except queue.Empty:
+            raise TimeoutError("oracle pipe read timed out")
 
     def ours_once():
         best = 1e18
@@ -150,7 +163,7 @@ def _time_vs_oracle(fn, stmt, pairs=5, inner=3, **blobs):
                                 stdin=subprocess.PIPE,
                                 stdout=subprocess.PIPE, text=True)
         try:
-            if proc.stdout.readline().strip() != "READY":
+            if readline_timeout(proc.stdout, 900).strip() != "READY":
                 raise RuntimeError("oracle process failed to start")
             ratios, best_ours = [], 1e18
             for _ in range(pairs):
@@ -158,7 +171,7 @@ def _time_vs_oracle(fn, stmt, pairs=5, inner=3, **blobs):
                 best_ours = min(best_ours, dt)
                 proc.stdin.write("go\n")
                 proc.stdin.flush()
-                ref = float(proc.stdout.readline().strip())
+                ref = float(readline_timeout(proc.stdout, 600).strip())
                 ratios.append(ref / dt)
             return best_ours, statistics.median(ratios)
         finally:
@@ -167,6 +180,10 @@ def _time_vs_oracle(fn, stmt, pairs=5, inner=3, **blobs):
                 proc.wait(timeout=30)
             except Exception:  # noqa: BLE001
                 proc.kill()
+                try:
+                    proc.wait(timeout=10)  # reap: no zombie
+                except Exception:  # noqa: BLE001
+                    pass
     except Exception as exc:  # noqa: BLE001
         print(f"-- interleaved oracle timing failed: {exc!r}",
               file=sys.stderr)
@@ -1003,6 +1020,10 @@ def config18():
         return staged, pcm_bytes
 
     def measure(staged):
+        # warm combine() at THIS arity (and the group programs) outside the
+        # timed loop — a tunnel compile is 20-300s and the homogeneous
+        # control re-pays it at a different arity otherwise (ADVICE r4)
+        np.asarray(combine(*[run(*args)[1] for run, args, _m, _i in staged]))
         best = 1e18
         for _ in range(5):
             t0 = time.perf_counter()

@@ -24,16 +24,21 @@ def main():
         "import sys; sys.path.insert(0, %r)\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(%d)\n" % (ROOT, n))
-    r = subprocess.run([sys.executable, "-c", prog], env=env,
-                       capture_output=True, text=True, timeout=3600)
-    tail = "\n".join((r.stdout + r.stderr).strip().splitlines()[-3:])
-    rec = {
-        "n_devices": n,
-        "rc": r.returncode,
-        "ok": r.returncode == 0 and "dryrun_multichip OK" in r.stdout,
-        "skipped": False,
-        "tail": tail + "\n",
-    }
+    try:
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=3600)
+        tail = "\n".join((r.stdout + r.stderr).strip().splitlines()[-3:])
+        rec = {
+            "n_devices": n,
+            "rc": r.returncode,
+            "ok": r.returncode == 0 and "dryrun_multichip OK" in r.stdout,
+            "skipped": False,
+            "tail": tail + "\n",
+        }
+    except subprocess.TimeoutExpired:
+        # keep the artifact pipeline uniform on a hung dryrun (ADVICE r4)
+        rec = {"n_devices": n, "rc": -1, "ok": False, "skipped": False,
+               "tail": "timeout\n"}
     with open(out, "w") as f:
         json.dump(rec, f, indent=2)
         f.write("\n")
