@@ -1016,7 +1016,10 @@ def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
         payload_dev, conv = adx_kernels.adx_encode_device_pipeline(
             pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
             bit_depth=bit_depth, block_size=block_size, filter_=filter_,
-            scale_fix=scale_fix)
+            scale_fix=scale_fix,
+            # pallas_call has no GSPMD partitioning rule: sharded runs must
+            # take the XLA fixpoint engine (same rule as the HCA kernels)
+            engine="fixpoint" if mesh is not None else "auto")
         if not bool(np.asarray(conv)):
             for idx in members:
                 results[idx] = adx_model.encode(bytes(wav_blobs[idx]), **kw)

@@ -491,6 +491,72 @@ def test_adx_encode_fixpoint_matches_scan(mode, bd, bs, sfix):
     assert np.array_equal(got, host_payload)
 
 
+@pytest.mark.parametrize("mode,bd,bs,sfix", [
+    (3, 4, 0x12, False), (4, 4, 0x12, False), (2, 4, 0x12, False),
+    (3, 8, 0x12, False), (3, 2, 0x12, False),
+    (3, 5, 12, False), (3, 11, 13, False),
+    (3, 4, 0x12, True), (4, 12, 0x12, True),
+])
+def test_adx_encode_serial_pallas_matches_scan(mode, bd, bs, sfix):
+    """The VMEM-resident serial encode kernel (interpret mode on CPU) is
+    bit-identical to the serial encode scan for every mode/bit-depth,
+    including zero-residual blocks, lane padding (odd lane count) and
+    block-chunk padding (odd block count). The serial kernel replaced the
+    fixpoint as the single-chip device engine because parallel-in-time
+    exact encode is information-limited to ~1 block/pass (measured; see
+    adx_kernels._adx_encode_reseed_core)."""
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    spb = (bs - 2) * 8 // bd
+    nb = 37                                          # odd: chunk padding
+    rng = np.random.default_rng(bd * 10 + mode)
+    L = 3                                            # odd: lane padding
+    pcm = np.stack([
+        make_sine_pcm16(nb * spb, 1, 32000, seed=bd + mode + c)
+        for c in range(L)]).reshape(L, nb, spb).astype(np.int32)
+    pcm[0, 5:8] = 0                                  # zero-residual blocks
+    pcm[1, 20:22] = rng.integers(-30000, 30000, (2, spb))
+    if mode == 2:
+        c0 = np.full(L, int(adxmod.STATIC_COEFFICIENTS[2]), np.int32)
+        c1 = np.full(L, int(adxmod.STATIC_COEFFICIENTS[3]), np.int32)
+    else:
+        a, b = adxmod.calculate_coefficients(0x1F4, 32000)
+        c0 = np.full(L, a, np.int32)
+        c1 = np.full(L, b, np.int32)
+    h1 = pcm[:, 0, 0].copy()
+    h2 = np.asarray([0, 3, -9], np.int32)
+    kw = dict(spb=spb, encoding_mode=mode, bit_depth=bd, scale_fix=sfix)
+    want = K.adx_encode_numpy(pcm, c0, c1, h1, h2, **kw)
+    codes, sraw, zero, conv = K.adx_encode_serial_pallas(
+        pcm, c0, c1, h1, h2, interpret=True, **kw)
+    assert bool(np.asarray(conv))
+    assert np.array_equal(np.asarray(codes), want[0])
+    assert np.array_equal(np.asarray(sraw), want[1])
+    assert np.array_equal(np.asarray(zero), want[2])
+
+
+def test_tdiv_dyn_exact_matches_tdiv():
+    """The f32-reciprocal + correction division used inside the serial
+    Pallas kernel is exactly C-truncating over the full residual/scale
+    range (|a| <= 2^18+2^12, 1 <= b <= 0x1001)."""
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(-(1 << 18) - 4096, (1 << 18) + 4097, 100000)
+    b = rng.integers(1, 0x1002, 100000)
+    edges_a = np.array([0, 1, -1, 4095, -4095, 4096, -4096, 266240,
+                        -266240, 8191, -8191])
+    edges_b = np.array([1, 1, 1, 4096, 4096, 4096, 4096, 0x1001, 0x1001,
+                        2, 2])
+    a = np.concatenate([a, edges_a]).astype(np.int32)
+    b = np.concatenate([b, edges_b]).astype(np.int32)
+    got = np.asarray(K._tdiv_dyn_exact(jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(K._tdiv(jnp.asarray(a), jnp.asarray(b)))
+    assert np.array_equal(got, want)
+
+
 @pytest.mark.parametrize("mode,looping", [(3, False), (4, True), (2, False)])
 def test_adx_encode_batch_device_byte_parity(mode, looping):
     """parallel.adx_encode_batch(device=True) produces byte-identical ADX
