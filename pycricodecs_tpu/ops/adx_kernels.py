@@ -191,6 +191,87 @@ def adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2, *, max_passes=None):
     return (out.astype(jnp.int16), ~changed)
 
 
+def adx_decode_serial_pallas(q, s, a0, a1, h1, h2, *, interpret=False,
+                             chunk_blocks=None):
+    """EXACT serial ADX decode as a VMEM-resident Pallas kernel — the
+    decode twin of adx_encode_serial_pallas.
+
+    The chained-block decode fixpoint converges in a handful of passes on
+    benign content but ~36 on tonal streams (truncation-floor frontier),
+    each pass dragging [L, nb, spb] intermediates through HBM; the serial
+    recurrence is only ~7 dependent VPU ops per sample with every operand
+    in VMEM, so it is faster than ANY pass count and has no convergence
+    flag to route on.  Same per-sample op order as adx_decode_scan.
+
+    q int32 [L, B, spb]; s/a0/a1 int32 [L, B] (mode 2 varies coefficients
+    per block); h1/h2 int32 [L].  Returns (pcm int16 [L, B, spb],
+    converged=True).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, B, spb = q.shape
+    i32 = jnp.int32
+    Gc, LN, Lp, NG, Bp = _serial_dims(L, B, spb, chunk_blocks)
+
+    q_k = _serial_lay(q.astype(i32), L, B, Lp, LN, NG, Gc, (spb,))
+    sab_k = _serial_lay(
+        jnp.stack([s.astype(i32), a0.astype(i32), a1.astype(i32)], axis=2),
+        L, B, Lp, LN, NG, Gc, (3,))
+    hist = jnp.pad(jnp.stack([h1.astype(i32), h2.astype(i32)], axis=1),
+                   ((0, Lp - L), (0, 0)))
+    hist_k = hist.reshape(LN, 8, 128, 2).transpose(0, 3, 1, 2)
+
+    def kernel(q_ref, sab_ref, hist_ref, out_ref, state_s):
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            state_s[0] = hist_ref[0, 0]
+            state_s[1] = hist_ref[0, 1]
+
+        def block_body(b, carry):
+            p1, p2 = carry
+            blk = q_ref[0, 0, b]                      # [spb, 8, 128]
+            sb = sab_ref[0, 0, b, 0]
+            a0b = sab_ref[0, 0, b, 1]
+            a1b = sab_ref[0, 0, b, 2]
+            for t in range(spb):
+                sample = blk[t] * sb + ((a0b * p1) >> 12) \
+                    + ((a1b * p2) >> 12)
+                sample = _clamp16(sample)
+                p2 = p1
+                p1 = sample
+                out_ref[0, 0, b, t] = sample
+            return p1, p2
+
+        p1, p2 = jax.lax.fori_loop(0, Gc, block_body,
+                                   (state_s[0], state_s[1]))
+        state_s[0] = p1
+        state_s[1] = p2
+
+    mem = dict(memory_space=pltpu.VMEM)
+    out_k = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((LN, NG, Gc, spb, 8, 128), i32),
+        grid=(LN, NG),
+        in_specs=[
+            pl.BlockSpec((1, 1, Gc, spb, 8, 128),
+                         lambda ln, g: (ln, g, 0, 0, 0, 0), **mem),
+            pl.BlockSpec((1, 1, Gc, 3, 8, 128),
+                         lambda ln, g: (ln, g, 0, 0, 0, 0), **mem),
+            pl.BlockSpec((1, 2, 8, 128), lambda ln, g: (ln, 0, 0, 0),
+                         **mem),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Gc, spb, 8, 128),
+                               lambda ln, g: (ln, g, 0, 0, 0, 0), **mem),
+        scratch_shapes=[pltpu.VMEM((2, 8, 128), i32)],
+        interpret=interpret,
+    )(q_k, sab_k, hist_k)
+    pcm = _serial_unlay(out_k, L, B, Lp, Bp, (spb,))
+    return pcm.astype(jnp.int16), jnp.bool_(True)
+
+
 # ---------------------------------------------------------------------------
 # On-device block unpack + fused raw-bytes -> PCM pipeline
 # ---------------------------------------------------------------------------
@@ -266,21 +347,36 @@ def adx_unpack_device(payload, *, block_size, bit_depth, encoding_mode,
 
 @partial(jax.jit, static_argnames=("block_size", "bit_depth",
                                    "encoding_mode", "coef",
-                                   "static_coefficients", "max_passes"))
+                                   "static_coefficients", "max_passes",
+                                   "engine"))
 def adx_decode_device_pipeline(payload, h1, h2, *, block_size, bit_depth,
                                encoding_mode, coef,
-                               static_coefficients=None, max_passes=None):
+                               static_coefficients=None, max_passes=None,
+                               engine="auto"):
     """Full on-chip ADX decode: raw block bytes in HBM -> PCM16 in HBM.
 
     payload uint8 [L, nb, block_size], h1/h2 int32 [L].  Returns
     (pcm int16 [L, nb, spb], converged bool).  The unpack is reshape/mask
-    work (no VLC) and the ADPCM recurrence runs as the provably-exact
-    chained-block fixpoint — the decode mirror of the HCA config-10
-    pipeline (reference hot loop: adx.cpp:189-273)."""
+    work (no VLC); the ADPCM recurrence runs as the serial VMEM Pallas
+    kernel on TPU (engine="serial" — always exact, no convergence routing)
+    or the provably-exact chained-block fixpoint elsewhere / under meshes
+    (engine="fixpoint"; pallas_call has no GSPMD rule). Reference hot
+    loop: adx.cpp:189-273."""
     q, s, a0, a1 = adx_unpack_device(
         payload, block_size=block_size, bit_depth=bit_depth,
         encoding_mode=encoding_mode, coef=coef,
         static_coefficients=static_coefficients)
+    if engine == "auto":
+        interp = os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"
+        if jax.devices()[0].platform == "tpu":
+            engine = "serial"
+        elif interp:
+            engine = "interpret"
+        else:
+            engine = "fixpoint"
+    if engine in ("serial", "interpret"):
+        return adx_decode_serial_pallas(q, s, a0, a1, h1, h2,
+                                        interpret=engine == "interpret")
     return adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2,
                                       max_passes=max_passes)
 
@@ -941,6 +1037,39 @@ def _adx_encode_fixpoint_core(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
     return codes, scale_raw, zero, ~changed, e1[:, -1], e2[:, -1], npass
 
 
+def _serial_dims(L, B, spb, chunk_blocks):
+    """Grid/padding arithmetic shared by the serial Pallas codecs: chunk
+    ~512 samples per grid step (pcm + codes blocks are each Gc*spb*4KB and
+    Mosaic double-buffers both across grid steps — Gc=32 at spb=32 blew the
+    16MB scoped-vmem limit: 17.02M, measured)."""
+    Gc = chunk_blocks or max(4, 512 // spb)
+    SL = -(-L // 128)
+    LN = -(-SL // 8)
+    Lp = LN * 8 * 128
+    NG = -(-B // Gc)
+    Bp = NG * Gc
+    return Gc, LN, Lp, NG, Bp
+
+
+def _serial_lay(x, L, B, Lp, LN, NG, Gc, extra_shape):
+    """[L, B, ...] -> [LN, NG, Gc, ..., 8, 128] (lanes on the VPU tile)."""
+    x = jnp.pad(x, ((0, Lp - L), (0, NG * Gc - B)) +
+                ((0, 0),) * (x.ndim - 2))
+    x = x.reshape((LN, 8, 128, NG, Gc) + extra_shape)
+    perm = (0, 3, 4) + tuple(5 + i for i in range(len(extra_shape))) \
+        + (1, 2)
+    return x.transpose(perm)
+
+
+def _serial_unlay(x, L, B, Lp, Bp, extra_shape):
+    """[LN, NG, Gc, ..., 8, 128] -> [L, B, ...]."""
+    n_extra = len(extra_shape)
+    perm = (0,) + (3 + n_extra, 4 + n_extra) + (1, 2) \
+        + tuple(3 + i for i in range(n_extra))
+    x = x.transpose(perm).reshape((Lp, Bp) + extra_shape)
+    return x[:L, :B]
+
+
 def _tdiv_dyn_exact(a, b):
     """C-trunc a/b for dynamic b >= 1, |a| < 2^23, without integer division
     (Mosaic has no VPU int divide): f32 quotient truncated toward zero is
@@ -1010,24 +1139,10 @@ def adx_encode_serial_pallas(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
         mmx = jnp.full((L, B), -(1 << 30), i32)
 
     # ---- lane/block padding + Pallas layout
-    # chunk ~512 samples per grid step: pcm + codes blocks are each
-    # Gc*spb*4KB and Mosaic double-buffers both across grid steps — Gc=32
-    # at spb=32 blew the 16MB scoped-vmem limit (17.02M, measured)
-    Gc = chunk_blocks or max(4, 512 // spb)
-    SL = -(-L // 128)
-    LN = -(-SL // 8)
-    Lp = LN * 8 * 128
-    NG = -(-B // Gc)
-    Bp = NG * Gc
+    Gc, LN, Lp, NG, Bp = _serial_dims(L, B, spb, chunk_blocks)
 
     def lay(x, extra_shape):
-        # [L, B, ...] -> [LN, NG, Gc, ..., 8, 128]
-        x = jnp.pad(x, ((0, Lp - L), (0, Bp - B)) +
-                    ((0, 0),) * (x.ndim - 2))
-        x = x.reshape((LN, 8, 128, NG, Gc) + extra_shape)
-        perm = (0, 3, 4) + tuple(5 + i for i in range(len(extra_shape))) \
-            + (1, 2)
-        return x.transpose(perm)
+        return _serial_lay(x, L, B, Lp, LN, NG, Gc, extra_shape)
 
     pcm_k = lay(pcm.astype(i32), (spb,))              # [LN,NG,Gc,spb,8,128]
     mm_k = lay(jnp.stack([mmn, mmx], axis=2), (2,))   # [LN,NG,Gc,2,8,128]
@@ -1142,17 +1257,9 @@ def adx_encode_serial_pallas(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
         interpret=interpret,
     )(pcm_k, mm_k, coef_k, hist_k)
 
-    def unlay(x, extra_shape):
-        # [LN, NG, Gc, ..., 8, 128] -> [L, B, ...]
-        n_extra = len(extra_shape)
-        perm = (0,) + (3 + n_extra, 4 + n_extra) + (1, 2) \
-            + tuple(3 + i for i in range(n_extra))
-        x = x.transpose(perm).reshape((Lp, Bp) + extra_shape)
-        return x[:L, :B]
-
-    codes = unlay(codes_k, (spb,))
-    scale_raw = unlay(sr_k, ())
-    zero = unlay(zero_k, ()).astype(bool)
+    codes = _serial_unlay(codes_k, L, B, Lp, Bp, (spb,))
+    scale_raw = _serial_unlay(sr_k, L, B, Lp, Bp, ())
+    zero = _serial_unlay(zero_k, L, B, Lp, Bp, ()).astype(bool)
     return codes, scale_raw, zero, jnp.bool_(True)
 
 

@@ -71,6 +71,26 @@ _VAL_HI = [0x88888888, 0x88888888, 0x88888888, 0x88888888,
            0x4C55BB66, 0x3D4C5B66, 0x2E3D4C5B, 0x1F2E3D4C]
 
 
+# Combined (value, advance) byte tables: VB[r][k] packs codes 4k..4k+3 of
+# resolution r as one byte each — low nibble = value+8, high nibble = the
+# bit advance — derived from the packed nibble tables above so they cannot
+# drift. The coefficient phase reads these as PRECOMPUTED per-symbol data
+# (computed once per frame-symbol in XLA-land, reused by all 8 subframes)
+# instead of re-deriving four 3-bit muxes per symbol INSTANCE in-kernel:
+# ~29 fewer VPU ops per symbol on a VPU-issue-bound phase.
+_VB = [[0] * 4 for _ in range(8)]
+for _r in range(8):
+    for _code in range(16):
+        if _code < 8:
+            _val = (_VAL_LO[_r] >> (_code * 4)) & 0xF
+            _adv = (_BIT_LO[_r] >> (_code * 4)) & 0xF
+        else:
+            _val = (_VAL_HI[_r] >> ((_code - 8) * 4)) & 0xF
+            _adv = (_BIT_HI[_r] >> ((_code - 8) * 4)) & 0xF
+        _VB[_r][_code >> 2] |= (_val | (_adv << 4)) << ((_code & 3) * 8)
+del _r, _code, _val, _adv
+
+
 def _mux8(consts, r):
     """Select consts[r] (r in 0..7, [N] vector) with a 3-bit binary tree —
     7 vector selects, no gather."""
@@ -547,6 +567,42 @@ class DeviceUnpacker:
         adv = jnp.where(big, adv_big, adv_small)
         return value, adv
 
+    def _vlc_prog(self, res_prog):
+        """Precompute per-symbol VLC data from the resolution program:
+        rb = r | (MAX_BIT(r) << 8) (i32) and vb[...,4] = the packed
+        (value, advance) byte table for codes 0..15 (u32, _VB layout).
+        Computed ONCE per frame-symbol in XLA-land; the coefficient phase
+        replays the same program for all 8 subframes, so hoisting the four
+        3-bit muxes + MAX_BIT out of the symbol chain cuts ~29 of ~110
+        VPU ops per symbol instance. Shapes: res_prog [..., N] ->
+        (rb [..., N], vb [..., 4, N])."""
+        r = res_prog
+        rb = r | (_max_bit(r) << 8)
+        small = jnp.minimum(r, 7)
+        vb = jnp.stack([_mux8([_VB[rr][k] for rr in range(8)], small)
+                        for k in range(4)], axis=-2)
+        return rb, vb
+
+    def _vlc_symbol_fast(self, ws, o, cur, rb, vb):
+        """_vlc_symbol with the table muxes precomputed (_vlc_prog): rb
+        carries r|bits<<8, vb the 4-word packed byte table. Bit-identical
+        to _vlc_symbol (pinned by tests)."""
+        bits = rb >> 8
+        r = rb & 0xFF
+        code = self._ext128(ws, o, bits, cur)
+        big = r > 7
+        v_big = (1 - ((code & 1) << 1)) * (code >> 1)
+        adv_big = bits - jnp.where(v_big == 0, 1, 0)
+        scode = jnp.where(big, 0, code)
+        w = jnp.where(scode >= 8,
+                      jnp.where(scode >= 12, vb[3], vb[2]),
+                      jnp.where(scode >= 4, vb[1], vb[0]))
+        byte = (w >> ((scode & 3) << 3).astype(jnp.uint32)) & jnp.uint32(255)
+        byte = byte.astype(jnp.int32)
+        value = jnp.where(big, v_big, (byte & 15) - 8)
+        adv = jnp.where(big, adv_big, byte >> 4)
+        return value, adv
+
     def _route_qc(self, per_sub, N):
         """Program-order symbols [8, S, N] -> qc [N, C, 8, 128] int16 with
         static slices/pads — no scatter."""
@@ -569,14 +625,17 @@ class DeviceUnpacker:
         scan body performs no gathers beyond the window fetch."""
         N = cur.shape[0]
         res_prog, S = self._res_program(res)
+        rb_prog, vb_prog = self._vlc_prog(res_prog)
         G = self._G
 
-        def step(cur, rG):
+        def step(cur, xs):
+            rbG, vbG = xs
             ws, base = self._win128(wa, cur)
             o = cur - base
             vals = []
             for j in range(G):
-                value, adv = self._vlc_symbol(ws, o, cur, rG[j])
+                value, adv = self._vlc_symbol_fast(ws, o, cur, rbG[j],
+                                                   vbG[j])
                 vals.append(value.astype(jnp.int16))
                 cur = cur + adv
                 o = o + adv
@@ -584,7 +643,7 @@ class DeviceUnpacker:
 
         subframes = []
         for _s in range(8):
-            cur, ys = jax.lax.scan(step, cur, res_prog)  # ys [Sp/G, G, N]
+            cur, ys = jax.lax.scan(step, cur, (rb_prog, vb_prog))
             subframes.append(ys.reshape(-1, N)[:S])      # [sum(coded), N]
         per_sub = jnp.stack(subframes, axis=0)           # [8, sum, N]
         return self._route_qc(per_sub, N), cur

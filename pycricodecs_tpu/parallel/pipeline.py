@@ -901,7 +901,9 @@ def adx_decode_batch(blobs: Sequence[bytes],
             payload, h1, h2, block_size=block_size, bit_depth=bit_depth,
             encoding_mode=mode, coef=tuple(int(x) for x in coef),
             static_coefficients=tuple(
-                int(x) for x in adx_model.STATIC_COEFFICIENTS))
+                int(x) for x in adx_model.STATIC_COEFFICIENTS),
+            # pallas_call has no GSPMD rule: sharded runs take the fixpoint
+            engine="fixpoint" if mesh is not None else "auto")
         if bool(np.asarray(conv)):
             pcm = np.asarray(pcm_dev).reshape(nlanes, N)
         else:

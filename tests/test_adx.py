@@ -535,6 +535,46 @@ def test_adx_encode_serial_pallas_matches_scan(mode, bd, bs, sfix):
     assert np.array_equal(np.asarray(zero), want[2])
 
 
+@pytest.mark.parametrize("mode,bd,bs", [
+    (3, 4, 0x12), (4, 4, 0x12), (2, 4, 0x12), (3, 8, 0x12), (3, 11, 13),
+])
+def test_adx_decode_serial_pallas_matches_scan(mode, bd, bs):
+    """The serial decode kernel (interpret mode on CPU) is bit-identical
+    to adx_decode_scan, including mode-2 per-block coefficient selects,
+    clamp saturation, lane padding and chunk padding."""
+    import jax.numpy as jnp
+
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    spb = (bs - 2) * 8 // bd
+    nb = 41
+    rng = np.random.default_rng(mode * 7 + bd)
+    L = 3
+    q = rng.integers(-(1 << (bd - 1)), 1 << (bd - 1),
+                     (L, nb, spb)).astype(np.int32)
+    s = rng.integers(1, 0x1000, (L, nb)).astype(np.int32)
+    a0 = np.full((L, nb), 7400, np.int32)
+    a1 = np.full((L, nb), -3342, np.int32)
+    if mode == 2:
+        tab = np.asarray(adxmod.STATIC_COEFFICIENTS, np.int32).reshape(-1, 2)
+        pick = rng.integers(0, tab.shape[0], (L, nb))
+        a0 = tab[pick, 0].astype(np.int32)
+        a1 = tab[pick, 1].astype(np.int32)
+    h1 = np.asarray([0, 100, -31000], np.int32)
+    h2 = np.asarray([0, -40, 32000], np.int32)
+    got, conv = K.adx_decode_serial_pallas(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(a0), jnp.asarray(a1),
+        jnp.asarray(h1), jnp.asarray(h2), interpret=True)
+    assert bool(np.asarray(conv))
+    want = K.adx_decode_scan(
+        jnp.asarray(q.reshape(L, -1)),
+        jnp.asarray(np.repeat(s[..., None], spb, 2).reshape(L, -1)),
+        jnp.asarray(np.repeat(a0[..., None], spb, 2).reshape(L, -1)),
+        jnp.asarray(np.repeat(a1[..., None], spb, 2).reshape(L, -1)),
+        jnp.asarray(h1), jnp.asarray(h2))
+    assert np.array_equal(np.asarray(got).reshape(L, -1), np.asarray(want))
+
+
 def test_tdiv_dyn_exact_matches_tdiv():
     """The f32-reciprocal + correction division used inside the serial
     Pallas kernel is exactly C-truncating over the full residual/scale
