@@ -906,8 +906,16 @@ class DeviceUnpacker:
             wa3, ath_i32, interpret=interpret)
         sf, res, inten, cur, err = self._side_info_unpack(
             sf_p, res_p, int_p, cur_p, err_p, Np)
-        qc = self._coefficients_pallas(wa_p, cur, res,
-                                       interpret=interpret, wa3=wa3)
+        # VMEM gate: the coefficient kernel holds rb (S*4KB) + vb (S*16KB)
+        # + word table + out per block; past ~S=384 (6-8ch configs) that
+        # blows the 16MB scoped-vmem budget, so those configs take the XLA
+        # scan for the coefficient phase (side info stays Pallas)
+        S_est = sum(self.coded)
+        if S_est * 20480 + self.wn * 4096 > 10 * 2**20:
+            qc, _cur = self._coefficients(wa_p, cur, res)
+        else:
+            qc = self._coefficients_pallas(wa_p, cur, res,
+                                           interpret=interpret, wa3=wa3)
         return (qc[:N], sf[:N], res[:N], inten[:N], err[:N])
 
     def _coefficients_pallas(self, wa, cur, res, interpret=False, wa3=None):
@@ -940,12 +948,15 @@ class DeviceUnpacker:
         # frames -> (block, sublane, lane); word/step axes become major dims
         if wa3 is None:
             wa3 = self._wa3_of(wa, Np)
-        rp3 = res_prog.reshape(NSTEP, G, NB, 8, 128) \
+        rb_prog, vb_prog = self._vlc_prog(res_prog)
+        rb3 = rb_prog.reshape(NSTEP, G, NB, 8, 128) \
             .transpose(2, 0, 1, 3, 4).astype(jnp.int32)
+        vb4 = vb_prog.reshape(NSTEP, G, 4, NB, 8, 128) \
+            .transpose(3, 0, 1, 2, 4, 5)
         cur3 = cur.reshape(NB, 1, 8, 128)
         fs = self.fs
 
-        def kernel(wa_ref, rp_ref, cur0_ref, out_ref, cur_s):
+        def kernel(wa_ref, rb_ref, vb_ref, cur0_ref, out_ref, cur_s):
             s = pl.program_id(1)
 
             @pl.when(s == 0)
@@ -967,7 +978,8 @@ class DeviceUnpacker:
             def superstep(j, carry):
                 cur, qc8p = carry[0], carry[1]
                 w16 = list(carry[2:])
-                rG = rp_ref[0, j]                        # [G, 8, 128]
+                rbG = rb_ref[0, j]                       # [G, 8, 128]
+                vbG = vb_ref[0, j]                       # [G, 4, 8, 128]
                 bb = jnp.minimum(cur >> 3, fs - 1)
                 q = bb >> 2
                 qc8 = q >> 3
@@ -988,7 +1000,8 @@ class DeviceUnpacker:
                 o = cur - bb * 8
                 vals = []
                 for g in range(G):
-                    value, adv = self._vlc_symbol(ws, o, cur, rG[g])
+                    value, adv = self._vlc_symbol_fast(ws, o, cur, rbG[g],
+                                                       vbG[g])
                     vals.append(value.astype(jnp.int16))
                     cur = cur + adv
                     o = o + adv
@@ -1011,6 +1024,8 @@ class DeviceUnpacker:
                              **mem_kw),
                 pl.BlockSpec((1, NSTEP, G, 8, 128),
                              lambda b, s: (b, 0, 0, 0, 0), **mem_kw),
+                pl.BlockSpec((1, NSTEP, G, 4, 8, 128),
+                             lambda b, s: (b, 0, 0, 0, 0, 0), **mem_kw),
                 pl.BlockSpec((1, 1, 8, 128), lambda b, s: (b, 0, 0, 0),
                              **mem_kw),
             ],
@@ -1018,7 +1033,7 @@ class DeviceUnpacker:
                                    lambda b, s: (b, s, 0, 0, 0), **mem_kw),
             scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
             interpret=interpret,
-        )(wa3, rp3, cur3)
+        )(wa3, rb3, vb4, cur3)
         # [NB, sub, NSTEP, G*8, 128] -> program-order [8, S, N]
         per_sub = out.reshape(NB, 8, NSTEP, G, 8, 128) \
             .transpose(1, 2, 3, 0, 4, 5) \
