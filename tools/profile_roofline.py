@@ -207,9 +207,11 @@ def main():
         "audio_sec_per_sec": round(audio_sec / t_efull, 0),
         # packer threshold-sum op model: 2 contributions x ~3 ops over
         # (symbols x words+1) per frame
-        "pack_model_ops": int(eF * (2 + 2 * einfo.channels
-                                    + 8 * sum(einfo.coded_count[:einfo.channels]))
-                              * (einfo.frame_size // 4 + 1) * 6),
+        # python ints throughout: numpy scalars overflow in this product
+        "pack_model_ops": int(eF) * (2 + 2 * int(einfo.channels)
+                                     + 8 * int(sum(
+                                         einfo.coded_count[:einfo.channels])))
+        * (int(einfo.frame_size) // 4 + 1) * 6,
     }
     rec["encode_stages"]["pack_model_pct_vpu"] = round(
         100 * rec["encode_stages"]["pack_model_ops"] / t_pack / VPU_OPS, 1)
