@@ -979,7 +979,7 @@ def config18():
             fmax = pipeline._round_up(
                 max(infos[i][0].frame_count for i in members), 32)
             csize = len(members)
-            Bp = (1 << (csize - 1).bit_length()) if csize > 2 else csize
+            Bp = pipeline._batch_bucket(csize)
             frames_np = np.zeros((Bp, fmax, fs), np.uint8)
             for b, idx in enumerate(members):
                 info, blob, hs = infos[idx]
@@ -1108,8 +1108,8 @@ def config19():
     pcm_np = np.broadcast_to(one, (n, 2, N)).copy()
     F = N // 1152
 
-    def harness(joint_bound):
-        cfg = E.make_config(rate, 2, br, joint_bound=joint_bound)
+    def harness(joint_bound, channels=2):
+        cfg = E.make_config(rate, channels, br, joint_bound=joint_bound)
         pads = E.frame_padding(cfg, F)
         kw = dict(version=cfg.version, sr_idx=cfg.sr_idx,
                   bitrate_idx=cfg.bitrate_idx, mode=cfg.mode,
@@ -1123,7 +1123,7 @@ def config19():
             frames = E.mp2_encode_frames(pcm, p, **kw)
             return frames, frames[0, 0, 0] + frames[-1, -1, -1]
 
-        dev = jax.device_put(pcm_np)
+        dev = jax.device_put(pcm_np[:, :channels])
         pd = jax.device_put(pads)
         frames, s = run(dev, pd)
         int(np.asarray(s))
@@ -1142,11 +1142,21 @@ def config19():
 
     joint_rate = harness(jb)
     indep_rate = harness(None)
+    # mono bank at the SAME rate/bitrate: completes the encode matrix so
+    # the mono<->joint gap decomposes into channels x frame-rate terms
+    # (config 15's mono headline runs at 22.05 kHz = half the frames per
+    # audio-second, which is why it is not directly comparable)
+    mono_rate = harness(None, channels=1)
     print(f"-- config 19: joint {joint_rate:.0f} vs independent "
-          f"{indep_rate:.0f} audio-sec/s/chip", file=sys.stderr)
+          f"{indep_rate:.0f} vs mono {mono_rate:.0f} audio-sec/s/chip",
+          file=sys.stderr)
     return ("ahx_device_encode_joint_stereo_audio_sec_per_sec_per_chip",
             joint_rate, "audio-sec/sec/chip", None,
-            round(joint_rate / indep_rate, 4))
+            round(joint_rate / indep_rate, 4),
+            {"stereo_independent_audio_sec_per_sec_per_chip":
+                 round(indep_rate, 2),
+             "mono_same_rate_audio_sec_per_sec_per_chip":
+                 round(mono_rate, 2)})
 
 
 def main():
@@ -1197,6 +1207,8 @@ def main():
                 # mixed-bank throughput relative to a uniform bank of the
                 # same total audio through the same engine (config 14)
                 rec["vs_homogeneous"] = res[4]
+            if len(res) > 5 and isinstance(res[5], dict):
+                rec.update(res[5])  # config-specific companion metrics
             print(json.dumps(rec))
 
 

@@ -559,7 +559,12 @@ def hca_encode_frames(pcm, *, base_band, total_band, pairs, coded_counts,
         level, boundary, sf, res, intensity, hfr_scales, delta_bits, quant,
         channels=pcm.shape[1], coded_counts=coded_counts,
         channel_types=channel_types, hfr_group_count=hfr_group_count,
-        frame_size=frame_size)
+        frame_size=frame_size,
+        # VMEM scatter kernel follows the transform's Pallas gate: on for
+        # real-TPU / interpret runs, XLA reduce under meshes and on CPU
+        pallas_mode=("interpret" if use_pallas and
+                     jax.devices()[0].platform != "tpu"
+                     else "tpu" if use_pallas else None))
     return frames, guard | (level < 0)
 
 

@@ -204,7 +204,76 @@ def _exclusive_prefix(bits):
     return off[..., :N]
 
 
-def _scatter_words(w_n, hi, lo, W, max_sym_bits=16):
+def _scatter_segments_pallas(rel, hi_c, lo_c, J, interpret=False):
+    """Level-1 chunk-local threshold sums as a VMEM-resident Pallas kernel.
+
+    The XLA formulation materialises the [B,F,K,S,J+1] compare/select
+    masks through HBM (~94 GB per 256-stream bank — pack_scatter measured
+    115 ms standalone, the packer's whale, PROFILE_r04); here each frame
+    tile keeps its chunk symbols in VMEM and the whole reduce is ~20k VPU
+    ops per 1024-frame tile. Frames ride the (sublane, lane) tile axes,
+    thresholds and chunks are fori loops (static unrolls at this size blow
+    Mosaic's trace budget — the MP2 ~40k-op compile lesson).
+
+    rel i32 / hi_c, lo_c u32 [B, F, K, S] -> seg u32 [B, F, K, J].
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F, K, S = rel.shape
+    BF = B * F
+    NBF = -(-BF // 1024)
+    BFp = NBF * 1024
+
+    def lay(x):
+        x = x.reshape(BF, K, S)
+        x = jnp.pad(x, ((0, BFp - BF), (0, 0), (0, 0)))
+        return x.reshape(NBF, 8, 128, K, S).transpose(0, 3, 4, 1, 2)
+
+    rel_k, hi_k, lo_k = lay(rel), lay(hi_c), lay(lo_c)
+
+    def kernel(rel_ref, hi_ref, lo_ref, seg_ref):
+        def k_body(k, _c):
+            rels = rel_ref[0, k]                       # [S, 8, 128]
+            his = hi_ref[0, k]
+            los = lo_ref[0, k]
+
+            def t_body(t, aprev):
+                thr = t + 1
+                acc = jnp.sum(jnp.where(rels < thr, his, u32(0)), axis=0) \
+                    + jnp.sum(jnp.where(rels + 1 < thr, los, u32(0)),
+                              axis=0)
+                seg_ref[0, k, t] = acc - aprev
+                return acc
+
+            jax.lax.fori_loop(0, J, t_body,
+                              jnp.zeros((8, 128), u32))
+            return _c
+
+        jax.lax.fori_loop(0, K, k_body, jnp.int32(0))
+
+    mem = dict(memory_space=pltpu.VMEM)
+    seg_k = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NBF, K, J, 8, 128), u32),
+        grid=(NBF,),
+        in_specs=[
+            pl.BlockSpec((1, K, S, 8, 128), lambda b: (b, 0, 0, 0, 0),
+                         **mem),
+            pl.BlockSpec((1, K, S, 8, 128), lambda b: (b, 0, 0, 0, 0),
+                         **mem),
+            pl.BlockSpec((1, K, S, 8, 128), lambda b: (b, 0, 0, 0, 0),
+                         **mem),
+        ],
+        out_specs=pl.BlockSpec((1, K, J, 8, 128), lambda b: (b, 0, 0, 0, 0),
+                               **mem),
+        interpret=interpret,
+    )(rel_k, hi_k, lo_k)
+    seg = seg_k.transpose(0, 3, 4, 1, 2).reshape(BFp, K, J)[:BF]
+    return seg.reshape(B, F, K, J)
+
+
+def _scatter_words(w_n, hi, lo, W, max_sym_bits=16, pallas_mode=None):
     """Monotone symbol->word scatter, two-level: [B,F,N] -> [B,F,W] u32.
 
     Level 1 (VPU): symbols in chunks of S=32; within a chunk, word indices
@@ -250,14 +319,18 @@ def _scatter_words(w_n, hi, lo, W, max_sym_bits=16):
     # first two symbols are the 16-bit sync/header words; +31 start skew
     worst_bits = max(S * max_sym_bits, 2 * 16 + (S - 2) * max_sym_bits)
     J = ((31 + worst_bits - 1) >> 5) + 2                # local word span
-    thr = jnp.arange(J + 1, dtype=i32)                  # [J+1]
-    # (measured on-chip: a K-on-lanes transpose of this reduce is ~8%
-    # SLOWER than the natural layout — XLA's own layout assignment wins)
-    m_hi = rel[..., None] < thr                         # [B,F,K,S,J+1]
-    m_lo = (rel + 1)[..., None] < thr
-    A = jnp.sum(jnp.where(m_hi, hi_c[..., None], u32(0)), axis=-2) \
-        + jnp.sum(jnp.where(m_lo, lo_c[..., None], u32(0)), axis=-2)
-    seg = A[..., 1:] - A[..., :-1]                      # [B, F, K, J] u32
+    if pallas_mode in ("tpu", "interpret"):
+        seg = _scatter_segments_pallas(rel, hi_c, lo_c, J,
+                                       interpret=pallas_mode == "interpret")
+    else:
+        thr = jnp.arange(J + 1, dtype=i32)              # [J+1]
+        # (measured on-chip: a K-on-lanes transpose of this reduce is ~8%
+        # SLOWER than the natural layout — XLA's layout assignment wins)
+        m_hi = rel[..., None] < thr                     # [B,F,K,S,J+1]
+        m_lo = (rel + 1)[..., None] < thr
+        A = jnp.sum(jnp.where(m_hi, hi_c[..., None], u32(0)), axis=-2) \
+            + jnp.sum(jnp.where(m_lo, lo_c[..., None], u32(0)), axis=-2)
+        seg = A[..., 1:] - A[..., :-1]                  # [B, F, K, J] u32
 
     # byte planes -> exact f32 matmul placement against the base one-hot
     planes = jax.lax.bitcast_convert_type(seg, jnp.uint8)  # [B,F,K,J,4]
@@ -278,10 +351,11 @@ def _scatter_words(w_n, hi, lo, W, max_sym_bits=16):
 
 @partial(jax.jit, static_argnames=("channels", "coded_counts",
                                    "channel_types", "hfr_group_count",
-                                   "frame_size"))
+                                   "frame_size", "pallas_mode"))
 def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
                        delta_bits, quant, *, channels, coded_counts,
-                       channel_types, hfr_group_count, frame_size):
+                       channel_types, hfr_group_count, frame_size,
+                       pallas_mode=None):
     """Pack frames on device: encode tensors -> u8 [B, F, frame_size].
 
     level/boundary i32 [B,F]; sf/res u8 [B,F,C,128]; intensity u8 [B,F,C,8];
@@ -363,7 +437,8 @@ def pack_frames_device(level, boundary, sf, res, intensity, hfr_scales,
     W = -(-fs // 4)
     # widest non-header symbol: 13-bit scalefactor escape (delta_bits 7 +
     # raw 6); spectrum <= 12, hfr 6, intensity 4 (see _scatter_words)
-    words = _scatter_words(w_n, hi, lo, W, max_sym_bits=13)  # [B, F, W]
+    words = _scatter_words(w_n, hi, lo, W, max_sym_bits=13,
+                           pallas_mode=pallas_mode)    # [B, F, W]
 
     # CRC16 over frame[:fs-2]: GF(2) linearity as parity-of-popcount —
     # crc bit j = parity(sum_w popcount(words_w & M[w, j])); the sum over

@@ -141,6 +141,21 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     return Mesh(devices, axis_names=tuple(axis_names))
 
 
+def _batch_bucket(csize: int) -> int:
+    """Batch-shape bucket: 1.5x-pow2 ladder (1,2,3,4,6,8,12,16,24,32,...).
+
+    Every distinct batch shape is a fresh device compile, so buckets bound
+    the cache; pow2 buckets wasted up to 33% of a mixed bank's elements
+    (config 18's 12-stream groups padded to 16 — measured utilisation
+    0.726, the dominant term in vs_homogeneous 0.883). The half-step
+    ladder caps the waste at 1/3 worst-case, ~12% typical, for at most
+    2x the compile-cache entries."""
+    if csize <= 4:
+        return csize
+    p = 1 << (csize - 1).bit_length()          # next pow2 >= csize
+    return p - (p >> 2) if csize <= p - (p >> 2) else p
+
+
 def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
@@ -590,7 +605,7 @@ def _decode_group_inner(group, infos, results, mesh, stats, fetch_pool,
     for csize in chunk_sizes:
         members = group[start:start + csize]
         start += csize
-        Bp = (1 << (csize - 1).bit_length()) if csize > 2 else csize
+        Bp = _batch_bucket(csize)
         if B > chunk:
             Bp = chunk  # uniform chunk shape -> one compiled executable
         if mesh is not None:
