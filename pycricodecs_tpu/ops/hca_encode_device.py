@@ -560,11 +560,15 @@ def hca_encode_frames(pcm, *, base_band, total_band, pairs, coded_counts,
         channels=pcm.shape[1], coded_counts=coded_counts,
         channel_types=channel_types, hfr_group_count=hfr_group_count,
         frame_size=frame_size,
-        # VMEM scatter kernel follows the transform's Pallas gate: on for
-        # real-TPU / interpret runs, XLA reduce under meshes and on CPU
-        pallas_mode=("interpret" if use_pallas and
-                     jax.devices()[0].platform != "tpu"
-                     else "tpu" if use_pallas else None))
+        # MEASURED NEGATIVE (round 5): routing the scatter through the VMEM
+        # kernel made config 12 SLOWER on-chip (7,713x vs 8,772x) — the
+        # [BF,K,S]->[NBF,KN,KB,S,8,128] re-layout transposes of three
+        # symbol tensors cost more than the mask materialisation they
+        # avoid (XLA largely fuses those masks inside the full program;
+        # the 115 ms standalone figure does not transfer). Kernel kept
+        # (parity-tested) for a future layout that avoids the transposes;
+        # default stays the XLA reduce.
+        pallas_mode=None)
     return frames, guard | (level < 0)
 
 

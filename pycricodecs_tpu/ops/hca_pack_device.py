@@ -224,52 +224,62 @@ def _scatter_segments_pallas(rel, hi_c, lo_c, J, interpret=False):
     BF = B * F
     NBF = -(-BF // 1024)
     BFp = NBF * 1024
+    # chunk-axis grid blocking: K is ~55 for stereo q2 frames (8 subframes
+    # x C x coded_count spectrum symbols), so whole-K blocks blew scoped
+    # vmem (48M measured); chunks are independent, KB=8 keeps ~7MB live
+    KB = 8
+    KN = -(-K // KB)
+    Kp = KN * KB
 
     def lay(x):
         x = x.reshape(BF, K, S)
-        x = jnp.pad(x, ((0, BFp - BF), (0, 0), (0, 0)))
-        return x.reshape(NBF, 8, 128, K, S).transpose(0, 3, 4, 1, 2)
+        # rel pads must keep rel >= 0 semantics: zero rows give acc 0
+        x = jnp.pad(x, ((0, BFp - BF), (0, Kp - K), (0, 0)))
+        return x.reshape(NBF, 8, 128, KN, KB, S).transpose(0, 3, 4, 5, 1, 2)
 
     rel_k, hi_k, lo_k = lay(rel), lay(hi_c), lay(lo_c)
 
     def kernel(rel_ref, hi_ref, lo_ref, seg_ref):
         def k_body(k, _c):
-            rels = rel_ref[0, k]                       # [S, 8, 128]
-            his = hi_ref[0, k]
-            los = lo_ref[0, k]
+            rels = rel_ref[0, 0, k]                    # [S, 8, 128]
+            # Mosaic has no unsigned reductions: sum in i32 — two's
+            # complement wrap == mod-2^32 u32 sum, bit-identical
+            his = hi_ref[0, 0, k].astype(i32)
+            los = lo_ref[0, 0, k].astype(i32)
 
             def t_body(t, aprev):
                 thr = t + 1
-                acc = jnp.sum(jnp.where(rels < thr, his, u32(0)), axis=0) \
-                    + jnp.sum(jnp.where(rels + 1 < thr, los, u32(0)),
+                acc = jnp.sum(jnp.where(rels < thr, his, i32(0)), axis=0) \
+                    + jnp.sum(jnp.where(rels + 1 < thr, los, i32(0)),
                               axis=0)
-                seg_ref[0, k, t] = acc - aprev
+                seg_ref[0, 0, k, t] = (acc - aprev).astype(u32)
                 return acc
 
             jax.lax.fori_loop(0, J, t_body,
-                              jnp.zeros((8, 128), u32))
+                              jnp.zeros((8, 128), i32))
             return _c
 
-        jax.lax.fori_loop(0, K, k_body, jnp.int32(0))
+        jax.lax.fori_loop(0, KB, k_body, jnp.int32(0))
 
     mem = dict(memory_space=pltpu.VMEM)
     seg_k = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NBF, K, J, 8, 128), u32),
-        grid=(NBF,),
+        out_shape=jax.ShapeDtypeStruct((NBF, KN, KB, J, 8, 128), u32),
+        grid=(NBF, KN),
         in_specs=[
-            pl.BlockSpec((1, K, S, 8, 128), lambda b: (b, 0, 0, 0, 0),
-                         **mem),
-            pl.BlockSpec((1, K, S, 8, 128), lambda b: (b, 0, 0, 0, 0),
-                         **mem),
-            pl.BlockSpec((1, K, S, 8, 128), lambda b: (b, 0, 0, 0, 0),
-                         **mem),
+            pl.BlockSpec((1, 1, KB, S, 8, 128),
+                         lambda b, kc: (b, kc, 0, 0, 0, 0), **mem),
+            pl.BlockSpec((1, 1, KB, S, 8, 128),
+                         lambda b, kc: (b, kc, 0, 0, 0, 0), **mem),
+            pl.BlockSpec((1, 1, KB, S, 8, 128),
+                         lambda b, kc: (b, kc, 0, 0, 0, 0), **mem),
         ],
-        out_specs=pl.BlockSpec((1, K, J, 8, 128), lambda b: (b, 0, 0, 0, 0),
-                               **mem),
+        out_specs=pl.BlockSpec((1, 1, KB, J, 8, 128),
+                               lambda b, kc: (b, kc, 0, 0, 0, 0), **mem),
         interpret=interpret,
     )(rel_k, hi_k, lo_k)
-    seg = seg_k.transpose(0, 3, 4, 1, 2).reshape(BFp, K, J)[:BF]
+    seg = seg_k.reshape(NBF, Kp, J, 8, 128) \
+        .transpose(0, 3, 4, 1, 2).reshape(BFp, Kp, J)[:BF, :K]
     return seg.reshape(B, F, K, J)
 
 
