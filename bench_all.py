@@ -52,6 +52,44 @@ def _time(fn, reps=5):
 
 _ORACLE = "/tmp/refbuild"
 
+_FETCH_RT = None
+
+
+def _fetch_rt():
+    """Best-of-7 seconds for one trivial dispatch+scalar-fetch round trip.
+
+    Every link-free config's timed iteration ends in a tiny completion
+    fetch (block_until_ready returns early over the tunnel), which costs a
+    full ~27 ms host<->device round trip — measurement apparatus, not
+    workload (CLAUDE.md round-2: 'subtract it or the numbers lie'). The
+    headline values keep the conservative apparatus-inclusive methodology
+    for cross-round continuity; the minus_fetch extra reports the chip's
+    own rate."""
+    global _FETCH_RT
+    if _FETCH_RT is None:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda x: (x * 2).sum())
+        x = jnp.arange(8.0)
+        float(f(x))
+        best = 1e18
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(f(x))
+            best = min(best, time.perf_counter() - t0)
+        _FETCH_RT = best
+    return _FETCH_RT
+
+
+def _onchip_extras(total_audio, best):
+    """Companion metrics for a link-free config: the fetch round trip and
+    the fetch-corrected chip rate (guarded against a throttled RT probe
+    eating the whole measurement)."""
+    rt = _fetch_rt()
+    corrected = total_audio / max(best - rt, best * 0.2)
+    return {"fetch_rt_ms": round(rt * 1e3, 1),
+            "minus_fetch_audio_sec_per_sec_per_chip": round(corrected, 2)}
+
 
 def _time_oracle(stmt, reps=7, **blobs):
     """Best-of-N seconds for one compiled-reference call, or None.
@@ -413,7 +451,8 @@ def config10():
         assert not bool(np.asarray(e))   # scalar fetch = completion barrier
         best = min(best, time.perf_counter() - t0)
     return ("hca_device_pipeline_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+            n * dur / best, "audio-sec/sec/chip", None, None,
+            _onchip_extras(n * dur, best))
 
 
 def _ahx_device_rate(mp2_stream, data_offset, n, dur, total_samples,
@@ -582,7 +621,8 @@ def config12():
         bool(np.asarray(flag))           # scalar fetch = completion barrier
         best = min(best, time.perf_counter() - t0)
     return ("hca_device_encode_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+            n * dur / best, "audio-sec/sec/chip", None, None,
+            _onchip_extras(n * dur, best))
 
 
 def config13():
@@ -636,7 +676,8 @@ def config13():
         assert bool(np.asarray(flag))
         best = min(best, time.perf_counter() - t0)
     return ("adx_device_pipeline_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+            n * dur / best, "audio-sec/sec/chip", None, None,
+            _onchip_extras(n * dur, best))
 
 
 def config14():
@@ -760,7 +801,8 @@ def config15():
         int(np.asarray(s))               # scalar fetch = completion barrier
         best = min(best, time.perf_counter() - t0)
     return ("ahx_device_encode_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+            n * dur / best, "audio-sec/sec/chip", None, None,
+            _onchip_extras(n * dur, best))
 
 
 def config16():
@@ -816,7 +858,8 @@ def config16():
         assert bool(np.asarray(flag))
         best = min(best, time.perf_counter() - t0)
     return ("adx_device_encode_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+            n * dur / best, "audio-sec/sec/chip", None, None,
+            _onchip_extras(n * dur, best))
 
 
 def config17():
@@ -913,7 +956,8 @@ def config17():
         assert not bool(np.asarray(e))   # scalar fetch = completion barrier
         best = min(best, time.perf_counter() - t0)
     return ("hca_noise_device_pipeline_audio_sec_per_sec_per_chip",
-            n * dur / best, "audio-sec/sec/chip")
+            n * dur / best, "audio-sec/sec/chip", None, None,
+            _onchip_extras(n * dur, best))
 
 
 def config18():
