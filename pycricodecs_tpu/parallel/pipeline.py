@@ -148,8 +148,8 @@ def _batch_bucket(csize: int) -> int:
     the cache; pow2 buckets wasted up to 33% of a mixed bank's elements
     (config 18's 12-stream groups padded to 16 — measured utilisation
     0.726, the dominant term in vs_homogeneous 0.883). The half-step
-    ladder caps the waste at 1/3 worst-case, ~12% typical, for at most
-    2x the compile-cache entries."""
+    ladder caps the padded size at 1.5x worst-case (pow2: 2x), exact at
+    every rung, for at most 2x the compile-cache entries."""
     if csize <= 4:
         return csize
     p = 1 << (csize - 1).bit_length()          # next pow2 >= csize

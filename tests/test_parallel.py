@@ -538,3 +538,23 @@ def test_pick_hca_engine_prefers_host_off_tpu():
     if native.load() is None:
         pytest.skip("native core unavailable")
     assert parallel.pick_hca_engine() == "host"
+
+
+def test_batch_bucket_ladder():
+    """1.5x-pow2 batch buckets: exact small sizes, half-step ladder above,
+    monotone, and the padded size bounded by 1.5x (pow2 padded up to 2x —
+    config 18's 12->16 was the dominant heterogeneous-bank cost)."""
+    from pycricodecs_tpu.parallel.pipeline import _batch_bucket
+
+    for c in range(1, 5):
+        assert _batch_bucket(c) == c
+    assert _batch_bucket(12) == 12
+    assert _batch_bucket(5) == 6 and _batch_bucket(7) == 8
+    assert _batch_bucket(13) == 16 and _batch_bucket(17) == 24
+    assert _batch_bucket(96) == 96 and _batch_bucket(97) == 128
+    prev = 0
+    for c in range(1, 600):
+        b = _batch_bucket(c)
+        assert b >= c and b >= prev
+        assert b * 2 <= 3 * c, (c, b)          # padded <= 1.5x
+        prev = b
