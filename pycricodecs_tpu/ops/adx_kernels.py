@@ -345,10 +345,44 @@ def adx_unpack_device(payload, *, block_size, bit_depth, encoding_mode,
     return q, s, a0, a1
 
 
+def _resolve_serial_engine(engine, spb):
+    """Resolve engine="auto" OUTSIDE jit (env/backend state must not be
+    read at trace time: the first trace per shape would permanently win
+    the jit cache — code-review finding, round 5) and gate the serial
+    kernels' VMEM budget: pcm+codes blocks are Gc*spb*4KB each and Mosaic
+    double-buffers both, so chunks past ~1024 samples blow the 16MB
+    scoped-vmem limit (spb can reach 1012 at bit_depth 2 / block_size
+    0xFF, where even Gc=1 is marginal — those take the XLA fixpoint)."""
+    if engine != "auto":
+        return engine
+    if spb < 2 or max(1, 512 // spb) * spb > 768:
+        return "fixpoint"
+    if jax.devices()[0].platform == "tpu":
+        return "serial"
+    if os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    return "fixpoint"
+
+
 @partial(jax.jit, static_argnames=("block_size", "bit_depth",
                                    "encoding_mode", "coef",
                                    "static_coefficients", "max_passes",
                                    "engine"))
+def _adx_decode_device_pipeline_jit(payload, h1, h2, *, block_size,
+                                    bit_depth, encoding_mode, coef,
+                                    static_coefficients, max_passes,
+                                    engine):
+    q, s, a0, a1 = adx_unpack_device(
+        payload, block_size=block_size, bit_depth=bit_depth,
+        encoding_mode=encoding_mode, coef=coef,
+        static_coefficients=static_coefficients)
+    if engine in ("serial", "interpret"):
+        return adx_decode_serial_pallas(q, s, a0, a1, h1, h2,
+                                        interpret=engine == "interpret")
+    return adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2,
+                                      max_passes=max_passes)
+
+
 def adx_decode_device_pipeline(payload, h1, h2, *, block_size, bit_depth,
                                encoding_mode, coef,
                                static_coefficients=None, max_passes=None,
@@ -360,25 +394,15 @@ def adx_decode_device_pipeline(payload, h1, h2, *, block_size, bit_depth,
     work (no VLC); the ADPCM recurrence runs as the serial VMEM Pallas
     kernel on TPU (engine="serial" — always exact, no convergence routing)
     or the provably-exact chained-block fixpoint elsewhere / under meshes
-    (engine="fixpoint"; pallas_call has no GSPMD rule). Reference hot
-    loop: adx.cpp:189-273."""
-    q, s, a0, a1 = adx_unpack_device(
-        payload, block_size=block_size, bit_depth=bit_depth,
+    (engine="fixpoint"; pallas_call has no GSPMD rule). engine="auto"
+    resolves before tracing (_resolve_serial_engine). Reference hot loop:
+    adx.cpp:189-273."""
+    spb = (block_size - 2) * 8 // bit_depth
+    return _adx_decode_device_pipeline_jit(
+        payload, h1, h2, block_size=block_size, bit_depth=bit_depth,
         encoding_mode=encoding_mode, coef=coef,
-        static_coefficients=static_coefficients)
-    if engine == "auto":
-        interp = os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"
-        if jax.devices()[0].platform == "tpu":
-            engine = "serial"
-        elif interp:
-            engine = "interpret"
-        else:
-            engine = "fixpoint"
-    if engine in ("serial", "interpret"):
-        return adx_decode_serial_pallas(q, s, a0, a1, h1, h2,
-                                        interpret=engine == "interpret")
-    return adx_decode_fixpoint_blocks(q, s, a0, a1, h1, h2,
-                                      max_passes=max_passes)
+        static_coefficients=static_coefficients, max_passes=max_passes,
+        engine=_resolve_serial_engine(engine, spb))
 
 
 def adx_decode_host(codes, scales, c0, c1, h1, h2):
@@ -704,6 +728,11 @@ def adx_encode_fixpoint(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
              zero bool [L, B], converged bool).
     """
     L, B, _ = pcm.shape
+    if strategy == "reseed" and max_passes is not None:
+        # the reseed core has its own (outer, inner) budgets; silently
+        # falling through to the segmented engine would mislabel a
+        # measurement (code-review finding, round 5)
+        raise ValueError("strategy='reseed' does not take max_passes")
     if strategy == "reseed" and max_passes is None:
         # MEASURED NEGATIVE RESULT (round 5, kept for the record): the
         # decode-reseeded fixpoint advances the exact frontier at EXACTLY
@@ -1042,7 +1071,7 @@ def _serial_dims(L, B, spb, chunk_blocks):
     ~512 samples per grid step (pcm + codes blocks are each Gc*spb*4KB and
     Mosaic double-buffers both across grid steps — Gc=32 at spb=32 blew the
     16MB scoped-vmem limit: 17.02M, measured)."""
-    Gc = chunk_blocks or max(4, 512 // spb)
+    Gc = chunk_blocks or max(1, 512 // spb)
     SL = -(-L // 128)
     LN = -(-SL // 8)
     Lp = LN * 8 * 128
@@ -1312,6 +1341,29 @@ def adx_pack_device(codes, scale_field, *, block_size, bit_depth):
 @partial(jax.jit, static_argnames=("spb", "encoding_mode", "bit_depth",
                                    "block_size", "filter_", "scale_fix",
                                    "max_passes", "engine"))
+def _adx_encode_device_pipeline_jit(pcm, c0, c1, h1, h2, *, spb,
+                                    encoding_mode, bit_depth, block_size,
+                                    filter_, scale_fix, max_passes,
+                                    engine):
+    if engine in ("serial", "interpret"):
+        codes, scale_raw, zero, conv = adx_encode_serial_pallas(
+            pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
+            bit_depth=bit_depth, scale_fix=scale_fix,
+            interpret=engine == "interpret")
+    else:
+        codes, scale_raw, zero, conv = adx_encode_fixpoint(
+            pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
+            bit_depth=bit_depth, scale_fix=scale_fix, max_passes=max_passes)
+    if encoding_mode == 2:
+        scale_field = jnp.where(zero, 0,
+                                (filter_ << 13) | (scale_raw & 0x1FFF))
+    else:
+        scale_field = jnp.where(zero, 0, scale_raw & 0xFFFF)
+    payload = adx_pack_device(codes, scale_field, block_size=block_size,
+                              bit_depth=bit_depth)
+    return payload, conv
+
+
 def adx_encode_device_pipeline(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
                                bit_depth, block_size, filter_=0,
                                scale_fix=False, max_passes=None,
@@ -1330,29 +1382,10 @@ def adx_encode_device_pipeline(pcm, c0, c1, h1, h2, *, spb, encoding_mode,
     rule, so mesh-sharded callers must not pick it); "fixpoint" = the
     chained-block fixpoint (XLA, shardable); "interpret" = serial kernel in
     Pallas interpret mode (CPU tests); "auto" = serial on TPU (or under
-    PYCRICODECS_PALLAS_INTERPRET=1), fixpoint otherwise."""
-    if engine == "auto":
-        interp = os.environ.get("PYCRICODECS_PALLAS_INTERPRET") == "1"
-        if jax.devices()[0].platform == "tpu" and spb >= 2:
-            engine = "serial"
-        elif interp and spb >= 2:
-            engine = "interpret"
-        else:
-            engine = "fixpoint"
-    if engine in ("serial", "interpret"):
-        codes, scale_raw, zero, conv = adx_encode_serial_pallas(
-            pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
-            bit_depth=bit_depth, scale_fix=scale_fix,
-            interpret=engine == "interpret")
-    else:
-        codes, scale_raw, zero, conv = adx_encode_fixpoint(
-            pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
-            bit_depth=bit_depth, scale_fix=scale_fix, max_passes=max_passes)
-    if encoding_mode == 2:
-        scale_field = jnp.where(zero, 0,
-                                (filter_ << 13) | (scale_raw & 0x1FFF))
-    else:
-        scale_field = jnp.where(zero, 0, scale_raw & 0xFFFF)
-    payload = adx_pack_device(codes, scale_field, block_size=block_size,
-                              bit_depth=bit_depth)
-    return payload, conv
+    PYCRICODECS_PALLAS_INTERPRET=1) for VMEM-safe spb, fixpoint otherwise —
+    resolved BEFORE tracing (_resolve_serial_engine)."""
+    return _adx_encode_device_pipeline_jit(
+        pcm, c0, c1, h1, h2, spb=spb, encoding_mode=encoding_mode,
+        bit_depth=bit_depth, block_size=block_size, filter_=filter_,
+        scale_fix=scale_fix, max_passes=max_passes,
+        engine=_resolve_serial_engine(engine, spb))
