@@ -870,6 +870,16 @@ def adx_decode_batch(blobs: Sequence[bytes],
     for (mode, bit_depth, block_size, version, hfreq, srate,
          bucket), members in groups.items():
         spb = (block_size - 2) * 8 // bit_depth
+        if spb > 256:
+            # exotic geometry (bd<=2 with huge blocks, up to spb=1012):
+            # EVERY device engine statically unrolls spb, so the compile
+            # alone runs for minutes (timed out at 900s over the tunnel,
+            # round 5) — host lanes are the engine of record here
+            for idx in members:
+                h, blob = parsed[idx]
+                results[idx] = adx_model.decode(blob, use_jax=False,
+                                                strict_cri_check=False)
+            continue
         nlanes = sum(parsed[i][0].channels for i in members)
         lanes_p, bucket_p = nlanes, bucket
         if mesh is not None:
@@ -999,6 +1009,10 @@ def adx_encode_batch(wav_blobs: Sequence[bytes], *, bit_depth: int = 4,
         groups.setdefault(_round_up(prep.frames, 64), []).append(idx)
 
     spb = (block_size - 2) * 8 // bit_depth
+    if spb > 256:
+        # every device engine statically unrolls spb (minutes of compile
+        # at spb ~1000, see adx_decode_batch's gate): host encoder
+        return [adx_model.encode(bytes(b), **kw) for b in wav_blobs]
     for bucket, members in groups.items():
         nlanes = sum(preps[i].channels for i in members)
         if mesh is not None:

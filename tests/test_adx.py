@@ -631,3 +631,31 @@ def test_adx_encode_batch_device_nonconverged_falls_back(monkeypatch):
     blob = _wav_bytes(samples=4096, channels=2, seed=5)
     got = parallel.adx_encode_batch([blob], device=True)
     assert got[0] == adxmod.encode(blob)
+
+
+def test_adx_device_paths_gate_exotic_spb():
+    """bit_depth 2 at block_size 0xFF gives spb=1012: every device engine
+    statically unrolls spb (the fixpoint compile alone ran past 900 s),
+    so engine='auto' refuses the serial kernel and the batch pipelines
+    route such groups to the host lanes — byte-identical results, no
+    minutes-long compile."""
+    from pycricodecs_tpu import parallel
+    from pycricodecs_tpu.ops import adx_kernels as K
+
+    assert K._resolve_serial_engine("auto", 1012) == "fixpoint"
+    assert K._resolve_serial_engine("auto", 1) == "fixpoint"
+    assert K._resolve_serial_engine("fixpoint", 32) == "fixpoint"
+    assert K._resolve_serial_engine("serial", 1012) == "serial"  # explicit
+
+    pcm = make_sine_pcm16(1012 * 6, 2, 48000, seed=60)
+    # silence the entire first block (spb=1012): the reproduced reference
+    # CRI-string check reads one byte into block 0 and rejects nonzero
+    pcm[:1012 * 2] = 0
+    wav = write_wav(pcm, 2, 48000)
+    kw = dict(bit_depth=2, block_size=0xFF, encoding_mode=3)
+    want = adxmod.encode(wav, **kw)
+    got_enc = parallel.adx_encode_batch([wav], device=True, **kw)
+    assert got_enc[0] == want
+    got_dec = parallel.adx_decode_batch([want], device=True)
+    assert got_dec[0] == adxmod.decode(want, use_jax=False,
+                                       strict_cri_check=False)
