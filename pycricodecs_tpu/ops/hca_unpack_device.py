@@ -928,7 +928,8 @@ class DeviceUnpacker:
         phase. The subframe axis rides the grid (sequential per block: the
         bit cursor carries across subframes in VMEM scratch) and the fetch /
         VLC math is the same gather-free formulation as the scan path
-        (_vlc_symbol), so output is bit-identical."""
+        (_vlc_symbol_fast over the _vlc_prog precomputed byte tables), so
+        output is bit-identical."""
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
