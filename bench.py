@@ -151,10 +151,17 @@ def main():
         # pre-staged in HBM, unpack+transform on-chip, PCM left on device
         try:
             import bench_all
-            _m, x, _u = bench_all.config10()
+            res = bench_all.config10()   # tuple; [5] = extras dict (r5)
+            x = res[1]
             print(f"on-device pipeline (link-independent, bit-exact):"
                   f" {x:.0f}x realtime/chip", file=sys.stderr)
             extra["device_pipeline_x_realtime"] = round(x, 2)
+            if len(res) > 5 and isinstance(res[5], dict):
+                mf = res[5].get("minus_fetch_audio_sec_per_sec_per_chip")
+                if mf:
+                    # completion-fetch round trip excluded (apparatus,
+                    # not workload — see bench_all._fetch_rt)
+                    extra["device_pipeline_minus_fetch"] = mf
         except Exception as exc:  # noqa: BLE001
             print(f"on-device pipeline measurement failed: {exc!r}",
                   file=sys.stderr)
